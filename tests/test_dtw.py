@@ -1,0 +1,94 @@
+"""DTW parity: device scan-based kernel vs the NumPy reference semantics, including
+tie-breaks, masked (padded) inputs, and jump-frame extraction."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from whisper_char_alignment_tpu.ops import dtw as dtw_mod
+
+
+def _random_cost(rng, n, m):
+    # alignment-style input: negated softmax attention matrix
+    a = rng.random((n, m)).astype(np.float32)
+    a = a / a.sum(axis=-1, keepdims=True)
+    return -a
+
+
+def test_identity_path():
+    # strict diagonal dominance (-1 on diag, +1 off) -> pure diagonal path;
+    # note -eye alone ties off-diagonal costs, and reference tie-breaks go "left"
+    x = (np.ones((4, 4)) - 2 * np.eye(4)).astype(np.float32)
+    ti, tj = dtw_mod.dtw(x)
+    np.testing.assert_array_equal(ti, [0, 1, 2, 3])
+    np.testing.assert_array_equal(tj, [0, 1, 2, 3])
+
+
+def test_hand_checkable_2x3():
+    x = np.array([[0.0, 1.0, 1.0],
+                  [1.0, 1.0, 0.0]], dtype=np.float32)
+    ti_np, tj_np = dtw_mod.dtw_np(x)
+    ti, tj = dtw_mod.dtw(x)
+    np.testing.assert_array_equal(ti, ti_np)
+    np.testing.assert_array_equal(tj, tj_np)
+    # path must start at (0,0) and end at (1,2), monotonic
+    assert ti[0] == 0 and tj[0] == 0
+    assert ti[-1] == 1 and tj[-1] == 2
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("shape", [(5, 9), (9, 5), (1, 7), (7, 1), (24, 60)])
+def test_random_parity_vs_numpy(seed, shape):
+    rng = np.random.default_rng(seed)
+    x = _random_cost(rng, *shape)
+    ti_np, tj_np = dtw_mod.dtw_np(x)
+    ti, tj = dtw_mod.dtw(x)
+    np.testing.assert_array_equal(ti, ti_np)
+    np.testing.assert_array_equal(tj, tj_np)
+
+
+def test_tie_break_parity():
+    # constant matrix: every step ties; parity depends on exact tie-break order
+    x = np.zeros((4, 6), dtype=np.float32)
+    ti_np, tj_np = dtw_mod.dtw_np(x)
+    ti, tj = dtw_mod.dtw(x)
+    np.testing.assert_array_equal(ti, ti_np)
+    np.testing.assert_array_equal(tj, tj_np)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_padded_equals_sliced(seed):
+    """Running the padded (N_max, M_max) recurrence and backtracing from the true
+    (n, m) must equal slicing first (reference timing.py:64,102 semantics)."""
+    rng = np.random.default_rng(100 + seed)
+    n, m = 7, 23
+    n_max, m_max = 12, 40
+    x_true = _random_cost(rng, n, m)
+    x_pad = np.zeros((n_max, m_max), dtype=np.float32)
+    x_pad[:n, :m] = x_true
+
+    tr = dtw_mod.dtw_trace(jnp.asarray(x_pad), jnp.int32(n), jnp.int32(m))
+    ti, tj, k = dtw_mod.dtw_backtrace(tr, jnp.int32(n), jnp.int32(m))
+    k = int(k)
+    ti = np.asarray(ti)[:k][::-1]
+    tj = np.asarray(tj)[:k][::-1]
+
+    ti_np, tj_np = dtw_mod.dtw_np(x_true)
+    np.testing.assert_array_equal(ti, ti_np)
+    np.testing.assert_array_equal(tj, tj_np)
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_jump_frames_match_reference_jump_extraction(seed):
+    rng = np.random.default_rng(7 + seed)
+    n, m = 9, 30
+    x = _random_cost(rng, n, m)
+    ti_np, tj_np = dtw_mod.dtw_np(x)
+    # reference jump extraction (timing.py:110-111)
+    jumps = np.pad(np.diff(ti_np), (1, 0), constant_values=1).astype(bool)
+    jump_frames_ref = tj_np[jumps]
+
+    tr = dtw_mod.dtw_trace(jnp.asarray(x), jnp.int32(n), jnp.int32(m))
+    jf = np.asarray(dtw_mod.dtw_jump_frames(tr, jnp.int32(n), jnp.int32(m)))
+    np.testing.assert_array_equal(jf[:n], jump_frames_ref)
+    assert (jf[n:] == -1).all()

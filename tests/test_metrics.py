@@ -1,0 +1,99 @@
+"""Unit tests for boundary metrics (hand-computable fixtures, SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+from whisper_char_alignment_tpu.align import metrics
+
+
+def test_eval_n1_exact_match():
+    y = [0.5, 1.0, 2.0]
+    n, _ = metrics.eval_n1(y, y, tolerance=0.0)
+    assert n == 3
+
+
+def test_eval_n1_tolerance_window():
+    y = [1.0, 2.0, 3.0]
+    yhat = [1.04, 2.5, 2.96]
+    n, _ = metrics.eval_n1(y, yhat, tolerance=0.05)
+    # 1.04 matches 1.0; 2.5 matches nothing (2.0 passed over); 2.96 matches 3.0
+    assert n == 2
+
+
+def test_eval_n1_empty_pred():
+    assert metrics.eval_n1([1.0], [], tolerance=0.1) == (0, 0)
+
+
+def test_eval_n1_greedy_two_pointer_semantics():
+    # the greedy matcher never revisits: y=..., a late yhat can't claim an early y
+    y = [1.0, 1.1]
+    yhat = [1.1]
+    n, _ = metrics.eval_n1(y, yhat, tolerance=0.05)
+    assert n == 1  # 1.0 vs 1.1 fails at tol .05? |1.0-1.1|=0.1 > .05 -> advance y; match 1.1
+
+
+def test_eval_n1_strict_word_identity():
+    y = [1.0, 2.0]
+    words = ["Hello", "world"]
+    yhat = [1.01, 2.01]
+    words_hat = ["hello,", "there"]
+    tp, fp, fn = metrics.eval_n1_strict(y, yhat, words, words_hat, tolerance=0.05)
+    assert (tp, fp, fn) == (1, 1, 1)  # 'hello' matches (case/punct folded), 'there' doesn't
+
+
+def test_eval_n1_strict_each_ref_used_once():
+    y = [1.0]
+    words = ["a"]
+    yhat = [1.0, 1.0]
+    words_hat = ["a", "a"]
+    tp, fp, fn = metrics.eval_n1_strict(y, yhat, words, words_hat, tolerance=0.01)
+    assert (tp, fp, fn) == (1, 1, 0)
+
+
+def test_get_seg_metrics_perfect():
+    p, r, f1, rv, _ = metrics.get_seg_metrics(10, 10, 10, 10)
+    assert p == pytest.approx(1.0, abs=1e-5)
+    assert r == pytest.approx(1.0, abs=1e-5)
+    assert f1 == pytest.approx(1.0, abs=1e-4)
+    assert rv == pytest.approx(1.0, abs=1e-4)
+
+
+def test_get_seg_metrics_half_precision():
+    p, r, f1, rv, os_ = metrics.get_seg_metrics(5, 5, 10, 5)
+    assert p == pytest.approx(0.5, abs=1e-5)
+    assert r == pytest.approx(1.0, abs=1e-5)
+    # R-value formula check (reference metrics.py:81-84)
+    os_expected = 1.0 / 0.5 - 1
+    r1 = np.sqrt((1 - 1.0) ** 2 + os_expected ** 2)
+    r2 = (-os_expected + 1.0 - 1) / np.sqrt(2)
+    assert rv == pytest.approx(1 - (abs(r1) + abs(r2)) / 2, abs=1e-4)
+
+
+def test_coverage_penalty_uniform_below_threshold():
+    # coverage per frame = 0.4 < 0.5 -> penalty = sum(max(c, .5)) - F*.5 = 0
+    attn = np.full((4, 10), 0.1)
+    assert metrics.coverage_penalty(attn, threshold=0.5) == pytest.approx(0.0)
+
+
+def test_coverage_penalty_overcovered_frames():
+    attn = np.zeros((4, 10))
+    attn[:, 0] = 0.5  # coverage 2.0 on frame 0
+    assert metrics.coverage_penalty(attn, threshold=0.5) == pytest.approx(1.5)
+
+
+def test_entropy_uniform_vs_peaked():
+    uniform = np.full((2, 4), 0.25)
+    peaked = np.array([[0.97, 0.01, 0.01, 0.01]] * 2)
+    # reference returns NEGATED mean entropy (metrics.py:120)
+    assert metrics.entropy(uniform) < metrics.entropy(peaked)
+    assert metrics.entropy(uniform) == pytest.approx(-np.log(4))
+
+
+def test_dtw_timestamp_identical():
+    d, _ = metrics.dtw_timestamp(np.array([1.0, 2.0]), np.array([1.0, 2.0]))
+    assert d == pytest.approx(0.0)
+
+
+def test_count_transitions():
+    c, pos = metrics.count_transitions([0, 0, 1, 1, 0])
+    assert c == 2 and pos == [2, 4]

@@ -1,0 +1,162 @@
+"""Typed configuration for models and the alignment pipeline.
+
+One config dataclass mirrors every CLI flag of the reference (infer_ali.py:151-173,
+probe_oracle.py:141-160, eval_ali.py:56-61), preserving both default sets: the argparse
+defaults and the README-recommended recipe (reference README.md:22-33).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from typing import Optional, Sequence, Tuple
+
+from . import constants
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelDims:
+    """Whisper model dimensions (reference: whisper ModelDimensions, used at
+    timing.py:48 via ``model.dims.n_text_layer``)."""
+
+    n_mels: int
+    n_audio_ctx: int
+    n_audio_state: int
+    n_audio_head: int
+    n_audio_layer: int
+    n_vocab: int
+    n_text_ctx: int
+    n_text_state: int
+    n_text_head: int
+    n_text_layer: int
+
+    @property
+    def n_audio_head_dim(self) -> int:
+        return self.n_audio_state // self.n_audio_head
+
+    @property
+    def n_text_head_dim(self) -> int:
+        return self.n_text_state // self.n_text_head
+
+
+def _dims(state: int, head: int, audio_layer: int, text_layer: int,
+          n_vocab: int, n_mels: int = 80) -> ModelDims:
+    return ModelDims(
+        n_mels=n_mels,
+        n_audio_ctx=constants.MAX_FRAMES,
+        n_audio_state=state,
+        n_audio_head=head,
+        n_audio_layer=audio_layer,
+        n_vocab=n_vocab,
+        n_text_ctx=constants.MAX_LENGTH,
+        n_text_state=state,
+        n_text_head=head,
+        n_text_layer=text_layer,
+    )
+
+
+_MULTI_VOCAB = 51865  # multilingual tokenizer vocab (incl. specials + timestamps)
+_EN_VOCAB = 51864  # English-only tokenizer vocab
+_V3_VOCAB = 51866  # large-v3 adds the <|yue|> language token
+
+# Public Whisper size table (state, heads, audio layers, text layers).
+MODEL_DIMS = {
+    "tiny.en": _dims(384, 6, 4, 4, _EN_VOCAB),
+    "tiny": _dims(384, 6, 4, 4, _MULTI_VOCAB),
+    "base.en": _dims(512, 8, 6, 6, _EN_VOCAB),
+    "base": _dims(512, 8, 6, 6, _MULTI_VOCAB),
+    "small.en": _dims(768, 12, 12, 12, _EN_VOCAB),
+    "small": _dims(768, 12, 12, 12, _MULTI_VOCAB),
+    "medium.en": _dims(1024, 16, 24, 24, _EN_VOCAB),
+    "medium": _dims(1024, 16, 24, 24, _MULTI_VOCAB),
+    "large-v1": _dims(1280, 20, 32, 32, _MULTI_VOCAB),
+    "large-v2": _dims(1280, 20, 32, 32, _MULTI_VOCAB),
+    "large-v3": _dims(1280, 20, 32, 32, _V3_VOCAB, n_mels=128),
+    "large": _dims(1280, 20, 32, 32, _V3_VOCAB, n_mels=128),
+    "large-v3-turbo": _dims(1280, 20, 32, 4, _V3_VOCAB, n_mels=128),
+    "turbo": _dims(1280, 20, 32, 4, _V3_VOCAB, n_mels=128),
+}
+
+
+def tiny_test_dims(n_vocab: int = 256, n_audio_ctx: int = 32, n_text_ctx: int = 24,
+                   state: int = 16, head: int = 2, layers: int = 2,
+                   n_mels: int = 80) -> ModelDims:
+    """A miniature config for unit tests (random weights, fast CPU forwards)."""
+    return ModelDims(
+        n_mels=n_mels, n_audio_ctx=n_audio_ctx, n_audio_state=state,
+        n_audio_head=head, n_audio_layer=layers, n_vocab=n_vocab,
+        n_text_ctx=n_text_ctx, n_text_state=state, n_text_head=head,
+        n_text_layer=layers,
+    )
+
+
+# Per-model hand-picked alignment-head table used only by the baseline
+# ``default_find_alignment`` path (reference: timing.py:156 reads
+# ``model.alignment_heads``). The published table ships as opaque compressed blobs
+# inside the openai-whisper package; supply it via ``set_alignment_heads`` /
+# ``load_alignment_heads_json`` when available. When absent we fall back to all heads
+# of the last half of the decoder layers (the same head population the 'mean'
+# aggregation uses, timing.py:86-89), which keeps the baseline path functional.
+_ALIGNMENT_HEADS_REGISTRY: dict = {}
+
+
+def set_alignment_heads(model_name: str, heads: Sequence[Tuple[int, int]]) -> None:
+    _ALIGNMENT_HEADS_REGISTRY[model_name] = [tuple(h) for h in heads]
+
+
+def load_alignment_heads_json(path: str) -> None:
+    """Load ``{model_name: [[layer, head], ...]}`` from a JSON file."""
+    with open(path) as f:
+        table = json.load(f)
+    for name, heads in table.items():
+        set_alignment_heads(name, heads)
+
+
+def get_alignment_heads(model_name: str, dims: ModelDims):
+    """Return [(layer, head), ...] for the baseline timing path."""
+    if model_name in _ALIGNMENT_HEADS_REGISTRY:
+        return list(_ALIGNMENT_HEADS_REGISTRY[model_name])
+    half = dims.n_text_layer // 2
+    return [(l, h) for l in range(half, dims.n_text_layer)
+            for h in range(dims.n_text_head)]
+
+
+@dataclasses.dataclass
+class AlignConfig:
+    """Every flag of the reference CLIs, with the reference argparse defaults
+    (infer_ali.py:154-171)."""
+
+    model: str = "medium"
+    dataset: str = "TIMIT"  # {"TIMIT", "LibriSpeech"}
+    scp: str = "scp/test.wav.scp"
+    output_dir: str = "results"
+    n_mels: int = 80
+    medfilt_width: int = 7
+    aggr: str = "mean"  # {"mean", "topk"}
+    topk: int = 15
+    aligned_unit_type: str = "subword"  # {"subword", "char"}
+    tolerance: float = 0.02
+    w_colnorm: float = 1.0
+    w_rownorm: float = 1.0
+    w_coverage: float = 0.0
+    plot: bool = False
+    strict: bool = False
+    save_prediction: bool = False
+    default_whisper_timing: bool = False
+    qk_scale: float = 1.0  # hard-wired in the reference (infer_ali.py:45)
+    # probe_oracle extras (probe_oracle.py:151-152)
+    hit_within: int = 10
+    # TPU-pipeline extras (no reference analog): batching / sharding
+    batch_size: int = 8
+    checkpoint: Optional[str] = None  # path to .pt/.safetensors/.npz weights
+    tokenizer_dir: Optional[str] = None  # dir with vocab/merges assets
+    data_parallel: int = 1  # devices on the batch mesh axis
+
+    @classmethod
+    def recommended(cls, **overrides) -> "AlignConfig":
+        """README-recommended recipe (reference README.md:22-33): char units,
+        topk=10 aggregation, medfilt 3, strict eval at 50 ms."""
+        base = dict(aggr="topk", topk=10, aligned_unit_type="char",
+                    medfilt_width=3, tolerance=0.05, strict=True)
+        base.update(overrides)
+        return cls(**base)
