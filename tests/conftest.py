@@ -1,19 +1,23 @@
 """Test harness config: force an 8-virtual-device CPU mesh before JAX initializes.
 
 Multi-chip sharding is tested on host-device meshes per SURVEY.md §4 — real TPUs are
-not required for correctness tests.
+not required for correctness tests. Note: the axon TPU plugin ignores the
+``JAX_PLATFORMS`` env var, so the platform must be forced via ``jax.config``.
+Set ``WCA_TEST_TPU=1`` to run the suite on the real chip instead.
 """
 
 import os
+import sys
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
 
-import sys
+import jax
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+if not os.environ.get("WCA_TEST_TPU"):
+    jax.config.update("jax_platforms", "cpu")

@@ -1,0 +1,74 @@
+"""WAV decode: NumPy parser and optional C++ fast path, round-trip fixtures."""
+
+import os
+
+import numpy as np
+import pytest
+
+from whisper_char_alignment_tpu.audio import wav, _wavio_native
+
+
+def _sine(n=16000, ch=1):
+    t = np.arange(n) / 16000.0
+    x = 0.5 * np.sin(2 * np.pi * 440 * t).astype(np.float32)
+    return np.tile(x, (ch, 1))
+
+
+def test_pcm16_roundtrip(tmp_path):
+    x = _sine()
+    p = str(tmp_path / "a.wav")
+    wav.save(p, x, 16000)
+    y, sr = wav.load(p)
+    assert sr == 16000
+    assert y.shape == x.shape
+    np.testing.assert_allclose(y, x, atol=1.0 / 32768 + 1e-6)
+
+
+def test_stereo_shape(tmp_path):
+    x = _sine(ch=2)
+    x[1] *= 0.25
+    p = str(tmp_path / "s.wav")
+    wav.save(p, x, 16000)
+    y, sr = wav.load(p)
+    assert y.shape == (2, 16000)
+    np.testing.assert_allclose(y[1], x[1], atol=1e-3)
+
+
+def test_float32_wav(tmp_path):
+    # hand-roll an IEEE-float WAV and decode it
+    import struct
+    x = _sine()[0]
+    pcm = x.astype("<f4").tobytes()
+    p = str(tmp_path / "f.wav")
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE")
+        f.write(b"fmt " + struct.pack("<IHHIIHH", 16, 3, 1, 16000, 64000, 4, 32))
+        f.write(b"data" + struct.pack("<I", len(pcm)) + pcm)
+    y, sr = wav.load(p)
+    np.testing.assert_allclose(y[0], x, atol=1e-7)
+
+
+def test_numpy_vs_native_parity(tmp_path):
+    native = _wavio_native.get()
+    if native is None:
+        pytest.skip("native wavio not available")
+    x = _sine(n=12345)
+    p = str(tmp_path / "n.wav")
+    wav.save(p, x, 16000)
+    with open(p, "rb") as f:
+        y_np, sr_np = wav._parse_wav(f.read())
+    y_c, sr_c = native.load(p)
+    assert sr_np == sr_c
+    np.testing.assert_allclose(y_np, y_c, atol=1e-7)
+
+
+def test_reject_garbage(tmp_path):
+    p = str(tmp_path / "g.wav")
+    with open(p, "wb") as f:
+        f.write(b"not a wav file at all")
+    os.environ["WCA_DISABLE_NATIVE"] = "1"
+    try:
+        with pytest.raises(ValueError):
+            wav.load(p)
+    finally:
+        del os.environ["WCA_DISABLE_NATIVE"]
