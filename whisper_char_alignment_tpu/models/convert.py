@@ -1,0 +1,243 @@
+"""Checkpoint conversion: OpenAI whisper ``.pt`` / HF transformers -> our pytree.
+
+Replaces the reference's ``whisper.load_model`` download-cache path
+(reference: infer_ali.py:36). Sources supported:
+
+- OpenAI checkpoint files (``{"dims": ..., "model_state_dict": ...}`` zip-pickles),
+- HF ``WhisperForConditionalGeneration`` state dicts / safetensors files,
+- our own ``.npz`` exports (fast re-load, no torch needed).
+
+All linear weights are transposed from torch's (out, in) to (in, out) for the
+``x @ W`` convention, and per-layer tensors are stacked along axis 0 to match the
+``lax.scan`` execution layout in ``models.whisper``.
+"""
+
+from __future__ import annotations
+
+import io
+import os
+from typing import Any, Dict, Tuple
+
+import numpy as np
+
+from ..config import ModelDims
+from . import whisper as wmodel
+
+
+def _np(t) -> np.ndarray:
+    if isinstance(t, np.ndarray):
+        return t
+    return t.detach().cpu().float().numpy()  # torch tensor
+
+
+def _dense_from_torch(sd, prefix, bias=True):
+    p = {"w": _np(sd[f"{prefix}.weight"]).T}
+    if bias and f"{prefix}.bias" in sd:
+        p["b"] = _np(sd[f"{prefix}.bias"])
+    return p
+
+
+def _ln_from_torch(sd, prefix):
+    return {"scale": _np(sd[f"{prefix}.weight"]), "bias": _np(sd[f"{prefix}.bias"])}
+
+
+def _stack(dicts):
+    import jax
+
+    return jax.tree.map(lambda *xs: np.stack(xs), *dicts)
+
+
+# ---------------------------------------------------------------------------
+# OpenAI whisper state dict layout (encoder.blocks.N.attn.query. ...)
+# ---------------------------------------------------------------------------
+
+def from_openai_state_dict(sd: Dict[str, Any], dims: ModelDims) -> Dict[str, Any]:
+    def attn(prefix):
+        return {
+            "q": _dense_from_torch(sd, f"{prefix}.query"),
+            "k": _dense_from_torch(sd, f"{prefix}.key", bias=False),
+            "v": _dense_from_torch(sd, f"{prefix}.value"),
+            "out": _dense_from_torch(sd, f"{prefix}.out"),
+        }
+
+    def block(prefix, cross):
+        b = {
+            "attn_ln": _ln_from_torch(sd, f"{prefix}.attn_ln"),
+            "attn": attn(f"{prefix}.attn"),
+            "mlp_ln": _ln_from_torch(sd, f"{prefix}.mlp_ln"),
+            "mlp": {
+                "fc1": _dense_from_torch(sd, f"{prefix}.mlp.0"),
+                "fc2": _dense_from_torch(sd, f"{prefix}.mlp.2"),
+            },
+        }
+        if cross:
+            b["cross_attn_ln"] = _ln_from_torch(sd, f"{prefix}.cross_attn_ln")
+            b["cross_attn"] = attn(f"{prefix}.cross_attn")
+        return b
+
+    if "encoder.positional_embedding" in sd:
+        enc_pos = _np(sd["encoder.positional_embedding"])
+    else:
+        enc_pos = wmodel.sinusoids(dims.n_audio_ctx, dims.n_audio_state)
+
+    params = {
+        "encoder": {
+            "conv1": {"w": _np(sd["encoder.conv1.weight"]),
+                      "b": _np(sd["encoder.conv1.bias"])},
+            "conv2": {"w": _np(sd["encoder.conv2.weight"]),
+                      "b": _np(sd["encoder.conv2.bias"])},
+            "pos_emb": enc_pos,
+            "blocks": _stack([block(f"encoder.blocks.{i}", False)
+                              for i in range(dims.n_audio_layer)]),
+            "ln_post": _ln_from_torch(sd, "encoder.ln_post"),
+        },
+        "decoder": {
+            "tok_emb": _np(sd["decoder.token_embedding.weight"]),
+            "pos_emb": _np(sd["decoder.positional_embedding"]),
+            "blocks": _stack([block(f"decoder.blocks.{i}", True)
+                              for i in range(dims.n_text_layer)]),
+            "ln": _ln_from_torch(sd, "decoder.ln"),
+        },
+    }
+    return params
+
+
+def load_openai_checkpoint(path: str) -> Tuple[Dict[str, Any], ModelDims]:
+    """Load an OpenAI whisper ``.pt`` checkpoint (requires torch for unpickling)."""
+    import torch
+
+    with open(path, "rb") as f:
+        ckpt = torch.load(io.BytesIO(f.read()), map_location="cpu",
+                          weights_only=False)
+    d = ckpt["dims"]
+    dims = ModelDims(**{k: d[k] for k in ModelDims.__dataclass_fields__})
+    return from_openai_state_dict(ckpt["model_state_dict"], dims), dims
+
+
+# ---------------------------------------------------------------------------
+# HF transformers WhisperForConditionalGeneration layout
+# ---------------------------------------------------------------------------
+
+def dims_from_hf_config(cfg) -> ModelDims:
+    return ModelDims(
+        n_mels=cfg.num_mel_bins,
+        n_audio_ctx=cfg.max_source_positions,
+        n_audio_state=cfg.d_model,
+        n_audio_head=cfg.encoder_attention_heads,
+        n_audio_layer=cfg.encoder_layers,
+        n_vocab=cfg.vocab_size,
+        n_text_ctx=cfg.max_target_positions,
+        n_text_state=cfg.d_model,
+        n_text_head=cfg.decoder_attention_heads,
+        n_text_layer=cfg.decoder_layers,
+    )
+
+
+def from_hf_state_dict(sd: Dict[str, Any], dims: ModelDims) -> Dict[str, Any]:
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+
+    def attn(prefix):
+        return {
+            "q": _dense_from_torch(sd, f"{prefix}.q_proj"),
+            "k": _dense_from_torch(sd, f"{prefix}.k_proj", bias=False),
+            "v": _dense_from_torch(sd, f"{prefix}.v_proj"),
+            "out": _dense_from_torch(sd, f"{prefix}.out_proj"),
+        }
+
+    def block(prefix, cross):
+        b = {
+            "attn_ln": _ln_from_torch(sd, f"{prefix}.self_attn_layer_norm"),
+            "attn": attn(f"{prefix}.self_attn"),
+            "mlp_ln": _ln_from_torch(sd, f"{prefix}.final_layer_norm"),
+            "mlp": {
+                "fc1": _dense_from_torch(sd, f"{prefix}.fc1"),
+                "fc2": _dense_from_torch(sd, f"{prefix}.fc2"),
+            },
+        }
+        if cross:
+            b["cross_attn_ln"] = _ln_from_torch(sd, f"{prefix}.encoder_attn_layer_norm")
+            b["cross_attn"] = attn(f"{prefix}.encoder_attn")
+        return b
+
+    return {
+        "encoder": {
+            "conv1": {"w": _np(sd[f"{pre}encoder.conv1.weight"]),
+                      "b": _np(sd[f"{pre}encoder.conv1.bias"])},
+            "conv2": {"w": _np(sd[f"{pre}encoder.conv2.weight"]),
+                      "b": _np(sd[f"{pre}encoder.conv2.bias"])},
+            "pos_emb": _np(sd[f"{pre}encoder.embed_positions.weight"]),
+            "blocks": _stack([block(f"{pre}encoder.layers.{i}", False)
+                              for i in range(dims.n_audio_layer)]),
+            "ln_post": _ln_from_torch(sd, f"{pre}encoder.layer_norm"),
+        },
+        "decoder": {
+            "tok_emb": _np(sd[f"{pre}decoder.embed_tokens.weight"]),
+            "pos_emb": _np(sd[f"{pre}decoder.embed_positions.weight"]),
+            "blocks": _stack([block(f"{pre}decoder.layers.{i}", True)
+                              for i in range(dims.n_text_layer)]),
+            "ln": _ln_from_torch(sd, f"{pre}decoder.layer_norm"),
+        },
+    }
+
+
+def from_hf_model(model) -> Tuple[Dict[str, Any], ModelDims]:
+    dims = dims_from_hf_config(model.config)
+    return from_hf_state_dict(dict(model.state_dict()), dims), dims
+
+
+def load_safetensors(path: str, dims: ModelDims) -> Dict[str, Any]:
+    """Load an HF-layout safetensors file (no torch required)."""
+    from safetensors.numpy import load_file
+
+    return from_hf_state_dict(load_file(path), dims)
+
+
+# ---------------------------------------------------------------------------
+# npz round-trip (our own fast format)
+# ---------------------------------------------------------------------------
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten(v, key + "/"))
+        else:
+            out[key] = np.asarray(v)
+    return out
+
+
+def _unflatten(flat):
+    tree: Dict[str, Any] = {}
+    for key, v in flat.items():
+        parts = key.split("/")
+        node = tree
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = v
+    return tree
+
+
+def save_npz(path: str, params: Dict[str, Any], dims: ModelDims) -> None:
+    flat = _flatten(params)
+    flat["__dims__"] = np.array(
+        [getattr(dims, f) for f in ModelDims.__dataclass_fields__], np.int64)
+    np.savez(path, **flat)
+
+
+def load_npz(path: str) -> Tuple[Dict[str, Any], ModelDims]:
+    with np.load(path) as z:
+        flat = {k: z[k] for k in z.files}
+    dims_vec = flat.pop("__dims__")
+    dims = ModelDims(*[int(x) for x in dims_vec])
+    return _unflatten(flat), dims
+
+
+def load_checkpoint(path: str) -> Tuple[Dict[str, Any], ModelDims]:
+    """Dispatch on file extension: .pt (OpenAI), .npz (ours)."""
+    ext = os.path.splitext(path)[1]
+    if ext == ".pt":
+        return load_openai_checkpoint(path)
+    if ext == ".npz":
+        return load_npz(path)
+    raise ValueError(f"unsupported checkpoint format: {path}")

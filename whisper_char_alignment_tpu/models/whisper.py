@@ -1,0 +1,358 @@
+"""Whisper encoder/decoder as pure JAX functions over a parameter pytree.
+
+Re-designs the model slice of ``openai-whisper`` that the reference drives
+(reference call sites: infer_ali.py:36 ``load_model``, timing.py:57-58 teacher-forced
+``model(mel, tokens)`` under forward hooks + ``disable_sdpa``). TPU-first choices:
+
+- layers are *stacked* along a leading axis and executed with ``lax.scan`` —
+  constant-size XLA program regardless of depth, natural sharding axis, and the
+  per-layer cross-attention QK stack falls out as the scan's stacked output
+  (no hooks: ``forward(params, mel, tokens) -> (logits, qk[L, B, H, T, F])``);
+- all matmuls carry ``preferred_element_type=float32`` so bf16 params/activations
+  still accumulate in f32 on the MXU;
+- everything is shape-static: mel is always (B, n_mels, 2 * n_audio_ctx), tokens
+  always (B, T) — padding + masks instead of dynamic shapes.
+
+Math parity notes (vs whisper.model):
+- attention scales q and k each by ``head_dim ** -0.25``; the captured QK equals the
+  pre-softmax product *after* this scaling (and after the causal mask for self-attn),
+  which is exactly what the reference's hook captures (timing.py:52-54, requires
+  ``disable_sdpa`` so the module returns qk);
+- GELU is the exact erf form; LayerNorm eps 1e-5; key projection has no bias;
+- logits are tied to the token embedding.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelDims
+
+Params = Dict[str, Any]
+
+
+def sinusoids(length: int, channels: int, max_timescale: float = 10000.0) -> np.ndarray:
+    """Fixed sinusoidal position embedding (whisper.model.sinusoids semantics)."""
+    assert channels % 2 == 0
+    log_timescale_increment = np.log(max_timescale) / (channels // 2 - 1)
+    inv_timescales = np.exp(-log_timescale_increment * np.arange(channels // 2))
+    scaled_time = np.arange(length)[:, None] * inv_timescales[None, :]
+    return np.concatenate([np.sin(scaled_time), np.cos(scaled_time)], axis=1).astype(
+        np.float32)
+
+
+# ---------------------------------------------------------------------------
+# Initialization
+# ---------------------------------------------------------------------------
+
+def _dense(rng, d_in, d_out, bias=True):
+    k1, _ = jax.random.split(rng)
+    w = jax.random.normal(k1, (d_in, d_out), jnp.float32) * (d_in ** -0.5)
+    p = {"w": w}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), jnp.float32)
+    return p
+
+
+def _ln(d):
+    return {"scale": jnp.ones((d,), jnp.float32), "bias": jnp.zeros((d,), jnp.float32)}
+
+
+def _attn_block(rng, d, cross: bool):
+    ks = jax.random.split(rng, 8)
+    block = {
+        "attn_ln": _ln(d),
+        "attn": {
+            "q": _dense(ks[0], d, d),
+            "k": _dense(ks[1], d, d, bias=False),
+            "v": _dense(ks[2], d, d),
+            "out": _dense(ks[3], d, d),
+        },
+        "mlp_ln": _ln(d),
+        "mlp": {"fc1": _dense(ks[4], d, 4 * d), "fc2": _dense(ks[5], 4 * d, d)},
+    }
+    if cross:
+        block["cross_attn_ln"] = _ln(d)
+        block["cross_attn"] = {
+            "q": _dense(ks[6], d, d),
+            "k": _dense(ks[7], d, d, bias=False),
+            "v": _dense(jax.random.fold_in(rng, 101), d, d),
+            "out": _dense(jax.random.fold_in(rng, 102), d, d),
+        }
+    return block
+
+
+def _stack_blocks(blocks):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+
+
+def init_params(rng: jax.Array, dims: ModelDims) -> Params:
+    """Random-init parameter pytree (layers stacked on axis 0)."""
+    d = dims.n_audio_state
+    ks = jax.random.split(rng, 8)
+    enc_blocks = _stack_blocks(
+        [_attn_block(jax.random.fold_in(ks[0], i), d, cross=False)
+         for i in range(dims.n_audio_layer)])
+    dec_blocks = _stack_blocks(
+        [_attn_block(jax.random.fold_in(ks[1], i), dims.n_text_state, cross=True)
+         for i in range(dims.n_text_layer)])
+    return {
+        "encoder": {
+            "conv1": {
+                "w": jax.random.normal(ks[2], (d, dims.n_mels, 3)) * 0.05,
+                "b": jnp.zeros((d,)),
+            },
+            "conv2": {
+                "w": jax.random.normal(ks[3], (d, d, 3)) * 0.05,
+                "b": jnp.zeros((d,)),
+            },
+            "pos_emb": jnp.asarray(sinusoids(dims.n_audio_ctx, d)),
+            "blocks": enc_blocks,
+            "ln_post": _ln(d),
+        },
+        "decoder": {
+            "tok_emb": jax.random.normal(ks[4], (dims.n_vocab, dims.n_text_state)) * 0.02,
+            "pos_emb": jax.random.normal(ks[5], (dims.n_text_ctx, dims.n_text_state)) * 0.01,
+            "blocks": dec_blocks,
+            "ln": _ln(dims.n_text_state),
+        },
+    }
+
+
+# ---------------------------------------------------------------------------
+# Forward
+# ---------------------------------------------------------------------------
+
+def _layer_norm(p, x, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = x32.mean(-1, keepdims=True)
+    var = ((x32 - mean) ** 2).mean(-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def _linear(p, x):
+    y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _split_heads(x, n_head):
+    b, t, d = x.shape
+    return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, t, hd = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
+
+
+def _qkv_attention(p, x, xa, n_head, mask=None, return_qk=False,
+                   kv_override: Optional[Tuple[jax.Array, jax.Array]] = None):
+    """Scaled-dot attention; returns (out, qk_f32 or None, (k, v)).
+
+    ``qk`` is the pre-softmax logit tensor *including* the additive mask — the
+    quantity the reference's hook captures (whisper qkv_attention returns
+    ``qk.detach()`` after mask addition).
+    """
+    d_head = x.shape[-1] // n_head
+    scale = d_head ** -0.25
+    q = _split_heads(_linear(p["q"], x), n_head) * scale
+    if kv_override is not None:
+        k, v = kv_override
+    else:
+        src = x if xa is None else xa  # self-attention vs cross-attention source
+        k = _split_heads(_linear(p["k"], src), n_head)
+        v = _split_heads(_linear(p["v"], src), n_head)
+    qk = jnp.einsum("bhtd,bhsd->bhts", q, k * scale,
+                    preferred_element_type=jnp.float32)
+    if mask is not None:
+        qk = qk + mask
+    w = jax.nn.softmax(qk.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = _merge_heads(jnp.einsum("bhts,bhsd->bhtd", w, v,
+                                  preferred_element_type=jnp.float32).astype(x.dtype))
+    out = _linear(p["out"], out)
+    return out, (qk if return_qk else None), (k, v)
+
+
+def _residual_block(bp, x, xa, n_head, mask, return_qk,
+                    cross_kv: Optional[Tuple[jax.Array, jax.Array]] = None):
+    """One decoder/encoder block. Returns (x, cross_qk or None)."""
+    a, _, _ = _qkv_attention(bp["attn"], _layer_norm(bp["attn_ln"], x), None,
+                             n_head, mask=mask)
+    x = x + a
+    qk = None
+    if "cross_attn" in bp:
+        c, qk, _ = _qkv_attention(
+            bp["cross_attn"], _layer_norm(bp["cross_attn_ln"], x), xa, n_head,
+            return_qk=return_qk, kv_override=cross_kv)
+        x = x + c
+    h = _layer_norm(bp["mlp_ln"], x)
+    h = _linear(bp["mlp"]["fc2"], jax.nn.gelu(_linear(bp["mlp"]["fc1"], h),
+                                              approximate=False))
+    return x + h, qk
+
+
+def _conv1d(p, x, stride):
+    # x: (B, C_in, T); torch Conv1d weight layout (C_out, C_in, K), padding=1
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), window_strides=(stride,), padding=[(1, 1)],
+        dimension_numbers=("NCH", "OIH", "NCH"),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    return y + p["b"].astype(x.dtype)[None, :, None]
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype"))
+def encode_audio(params: Params, dims: ModelDims, mel: jax.Array,
+                 compute_dtype=jnp.float32) -> jax.Array:
+    """AudioEncoder: mel (B, n_mels, 2 * n_audio_ctx) -> (B, n_audio_ctx, d)."""
+    ep = params["encoder"]
+    x = mel.astype(compute_dtype)
+    x = jax.nn.gelu(_conv1d(ep["conv1"], x, 1), approximate=False)
+    x = jax.nn.gelu(_conv1d(ep["conv2"], x, 2), approximate=False)
+    x = x.transpose(0, 2, 1)  # (B, T, d)
+    x = x + ep["pos_emb"].astype(compute_dtype)
+
+    def step(x, bp):
+        y, _ = _residual_block(bp, x, None, dims.n_audio_head, None, False)
+        return y, None
+
+    x, _ = jax.lax.scan(step, x, ep["blocks"])
+    return _layer_norm(ep["ln_post"], x)
+
+
+def _causal_mask(t: int) -> jax.Array:
+    return jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "return_qk", "compute_dtype"))
+def decode_text(params: Params, dims: ModelDims, tokens: jax.Array, xa: jax.Array,
+                return_qk: bool = True, compute_dtype=jnp.float32):
+    """TextDecoder teacher-forced over the full token sequence.
+
+    tokens (B, T) int32, xa (B, F, d) encoder output.
+    Returns (logits (B, T, vocab) f32, qk (L, B, H, T, F) f32 or None).
+    """
+    dp = params["decoder"]
+    t = tokens.shape[-1]
+    x = (dp["tok_emb"][tokens] + dp["pos_emb"][:t]).astype(compute_dtype)
+    mask = _causal_mask(t)
+    xa = xa.astype(compute_dtype)
+
+    def step(x, bp):
+        y, qk = _residual_block(bp, x, xa, dims.n_text_head, mask, return_qk)
+        return y, qk
+
+    x, qks = jax.lax.scan(step, x, dp["blocks"])
+    x = _layer_norm(dp["ln"], x)
+    logits = jnp.dot(x.astype(jnp.float32), dp["tok_emb"].T.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return logits, qks
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "return_qk", "compute_dtype"))
+def forward(params: Params, dims: ModelDims, mel: jax.Array, tokens: jax.Array,
+            return_qk: bool = True, compute_dtype=jnp.float32):
+    """Teacher-forced full forward: the hook-free equivalent of the reference's
+    ``model(mel, tokens)`` + cross-attn QK capture (timing.py:45-58)."""
+    xa = encode_audio(params, dims, mel, compute_dtype=compute_dtype)
+    return decode_text(params, dims, tokens, xa, return_qk=return_qk,
+                       compute_dtype=compute_dtype)
+
+
+# ---------------------------------------------------------------------------
+# Incremental decoding support (KV cache)
+# ---------------------------------------------------------------------------
+
+def init_kv_cache(dims: ModelDims, batch: int, max_len: int,
+                  dtype=jnp.float32) -> Params:
+    hd = dims.n_text_head_dim
+    shape = (dims.n_text_layer, batch, dims.n_text_head, max_len, hd)
+    return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype"))
+def precompute_cross_kv(params: Params, dims: ModelDims, xa: jax.Array,
+                        compute_dtype=jnp.float32):
+    """Cross-attention K/V for every decoder layer: (L, B, H, F, hd) each."""
+    xa = xa.astype(compute_dtype)
+
+    def step(_, bp):
+        cp = bp["cross_attn"]
+        k = _split_heads(_linear(cp["k"], xa), dims.n_text_head)
+        v = _split_heads(_linear(cp["v"], xa), dims.n_text_head)
+        return None, (k, v)
+
+    _, (ks, vs) = jax.lax.scan(step, None, params["decoder"]["blocks"])
+    return ks, vs
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype"))
+def decode_step(params: Params, dims: ModelDims, tokens: jax.Array, pos: jax.Array,
+                cache: Params, cross_kv, compute_dtype=jnp.float32):
+    """One autoregressive decoder step.
+
+    tokens (B, 1) int32 at position ``pos`` (scalar int32); cache holds self-attn
+    K/V for all layers at positions < pos. Returns (logits (B, vocab), new_cache).
+    """
+    dp = params["decoder"]
+    b = tokens.shape[0]
+    max_len = cache["k"].shape[3]
+    x = (dp["tok_emb"][tokens[:, 0]] + dp["pos_emb"][pos]).astype(compute_dtype)
+    x = x[:, None, :]  # (B, 1, d)
+
+    # positions >= pos+1 are zeros in the cache; mask them out of the softmax
+    pos_mask = jnp.where(jnp.arange(max_len)[None, None, None, :] <= pos,
+                         0.0, -jnp.inf).astype(jnp.float32)
+    cross_ks, cross_vs = cross_kv
+
+    def step(carry, inp):
+        x, layer = carry
+        bp, ck, cv = inp
+        h = _layer_norm(bp["attn_ln"], x)
+        hd = dims.n_text_head_dim
+        scale = hd ** -0.25
+        q = _split_heads(_linear(bp["attn"]["q"], h), dims.n_text_head) * scale
+        k_new = _split_heads(_linear(bp["attn"]["k"], h), dims.n_text_head)
+        v_new = _split_heads(_linear(bp["attn"]["v"], h), dims.n_text_head)
+        k_all = jax.lax.dynamic_update_slice_in_dim(
+            cache["k"][layer], k_new.astype(cache["k"].dtype), pos, axis=2)
+        v_all = jax.lax.dynamic_update_slice_in_dim(
+            cache["v"][layer], v_new.astype(cache["v"].dtype), pos, axis=2)
+        qk = jnp.einsum("bhtd,bhsd->bhts", q, k_all.astype(compute_dtype) * scale,
+                        preferred_element_type=jnp.float32) + pos_mask
+        w = jax.nn.softmax(qk, axis=-1).astype(compute_dtype)
+        a = _merge_heads(jnp.einsum("bhts,bhsd->bhtd", w,
+                                    v_all.astype(compute_dtype),
+                                    preferred_element_type=jnp.float32
+                                    ).astype(compute_dtype))
+        x = x + _linear(bp["attn"]["out"], a)
+
+        c, _, _ = _qkv_attention(bp["cross_attn"],
+                                 _layer_norm(bp["cross_attn_ln"], x), None,
+                                 dims.n_text_head, kv_override=(ck, cv))
+        x = x + c
+        h2 = _layer_norm(bp["mlp_ln"], x)
+        h2 = _linear(bp["mlp"]["fc2"],
+                     jax.nn.gelu(_linear(bp["mlp"]["fc1"], h2), approximate=False))
+        return (x + h2, layer + 1), (k_new, v_new)
+
+    (x, _), (k_news, v_news) = jax.lax.scan(
+        step, (x, 0), (dp["blocks"], cross_ks.astype(compute_dtype),
+                       cross_vs.astype(compute_dtype)))
+    new_cache = {
+        "k": jax.lax.dynamic_update_slice(
+            cache["k"], k_news.astype(cache["k"].dtype), (0, 0, 0, pos, 0)),
+        "v": jax.lax.dynamic_update_slice(
+            cache["v"], v_news.astype(cache["v"].dtype), (0, 0, 0, pos, 0)),
+    }
+    x = _layer_norm(dp["ln"], x)
+    logits = jnp.dot(x[:, 0].astype(jnp.float32), dp["tok_emb"].T.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return logits, new_cache
