@@ -1,0 +1,90 @@
+"""Loader shim for the C++ BPE core (cpp/bpe.cc via ctypes).
+
+Failures are non-fatal: ``ByteBPE`` falls back to its pure-Python merge loop.
+Disable with ``WCA_DISABLE_NATIVE=1``.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import struct
+import subprocess
+import threading
+from typing import Dict, List
+
+_lock = threading.Lock()
+_lib_state: dict = {"tried": False, "lib": None}
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+_SRC = os.path.join(_REPO_ROOT, "cpp", "bpe.cc")
+_SO = os.path.join(_REPO_ROOT, "cpp", "build", "libbpe.so")
+
+
+def _get_lib():
+    with _lock:
+        if not _lib_state["tried"]:
+            _lib_state["tried"] = True
+            if not os.path.exists(_SO):
+                if not os.path.exists(_SRC):
+                    return None
+                os.makedirs(os.path.dirname(_SO), exist_ok=True)
+                try:
+                    subprocess.run(
+                        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
+                         "-o", _SO],
+                        check=True, capture_output=True, timeout=120)
+                except Exception:
+                    return None
+            try:
+                lib = ctypes.CDLL(_SO)
+                lib.bpe_new.restype = ctypes.c_void_p
+                lib.bpe_new.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+                lib.bpe_free.argtypes = [ctypes.c_void_p]
+                lib.bpe_encode.restype = ctypes.c_int32
+                lib.bpe_encode.argtypes = [
+                    ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+                _lib_state["lib"] = lib
+            except Exception:
+                _lib_state["lib"] = None
+        return _lib_state["lib"]
+
+
+class NativeBPE:
+    def __init__(self, lib, handle):
+        self._lib = lib
+        self._handle = handle
+        self._buf = (ctypes.c_int32 * 4096)()
+
+    def __del__(self):
+        try:
+            self._lib.bpe_free(self._handle)
+        except Exception:
+            pass
+
+    def encode_pieces(self, pieces: List[bytes]) -> List[int]:
+        out: List[int] = []
+        lib, h, buf = self._lib, self._handle, self._buf
+        for piece in pieces:
+            n = lib.bpe_encode(h, piece, len(piece), buf, len(buf))
+            if n < 0:
+                raise ValueError("native BPE failed")
+            out.extend(buf[:n])
+        return out
+
+
+def build(ranks: Dict[bytes, int]):
+    if os.environ.get("WCA_DISABLE_NATIVE"):
+        return None
+    lib = _get_lib()
+    if lib is None:
+        return None
+    parts = [struct.pack("<q", len(ranks))]
+    for k, v in ranks.items():
+        parts.append(struct.pack("<i", len(k)) + k + struct.pack("<i", v))
+    blob = b"".join(parts)
+    handle = lib.bpe_new(blob, len(blob))
+    if not handle:
+        return None
+    return NativeBPE(lib, handle)
