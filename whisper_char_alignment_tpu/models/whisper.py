@@ -231,13 +231,43 @@ def _causal_mask(t: int) -> jax.Array:
     return jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "return_qk", "compute_dtype"))
+def qk_to_attention(qk: jax.Array, frame_len: jax.Array, token_len: jax.Array,
+                    medfilt_width: int, qk_scale, attn_dtype=jnp.float32):
+    """Post-process raw cross-attention QK logits into alignment attention maps.
+
+    Mirrors the reference's per-utterance pipeline (timing.py:63-66): frame
+    truncation (as masking), median filter *on logits*, scaled softmax — plus
+    zeroing of padded token rows so fixed-shape batching is exactly equivalent to
+    the reference's physical slicing. qk: (B, H, T, F) f32.
+    """
+    from ..ops.medfilt import median_filter_masked  # local import avoids a cycle
+
+    b, _, t, f = qk.shape
+    qk = median_filter_masked(qk, medfilt_width, frame_len)
+    frame_ok = jnp.arange(f)[None, :] < frame_len[:, None]  # (B, F)
+    qk = jnp.where(frame_ok[:, None, None, :], qk * qk_scale, -jnp.inf)
+    attn = jax.nn.softmax(qk, axis=-1)
+    token_ok = jnp.arange(t)[None, :] < token_len[:, None]  # (B, T)
+    return jnp.where(token_ok[:, None, :, None], attn, 0.0).astype(attn_dtype)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dims", "return_qk", "compute_dtype", "medfilt_width", "attn_dtype"))
 def decode_text(params: Params, dims: ModelDims, tokens: jax.Array, xa: jax.Array,
-                return_qk: bool = True, compute_dtype=jnp.float32):
+                return_qk: bool = True, compute_dtype=jnp.float32,
+                medfilt_width: Optional[int] = None,
+                frame_len: Optional[jax.Array] = None,
+                token_len: Optional[jax.Array] = None,
+                qk_scale=1.0, attn_dtype=jnp.float32):
     """TextDecoder teacher-forced over the full token sequence.
 
     tokens (B, T) int32, xa (B, F, d) encoder output.
     Returns (logits (B, T, vocab) f32, qk (L, B, H, T, F) f32 or None).
+
+    When ``medfilt_width`` is given, each layer's QK is post-processed *inside the
+    layer scan* (mask -> median filter -> scaled softmax -> pad-row zeroing via
+    :func:`qk_to_attention`), so the raw f32 QK stack is never materialized across
+    layers — the scan output is the alignment-ready attention stack.
     """
     dp = params["decoder"]
     t = tokens.shape[-1]
@@ -247,6 +277,9 @@ def decode_text(params: Params, dims: ModelDims, tokens: jax.Array, xa: jax.Arra
 
     def step(x, bp):
         y, qk = _residual_block(bp, x, xa, dims.n_text_head, mask, return_qk)
+        if qk is not None and medfilt_width is not None:
+            qk = qk_to_attention(qk, frame_len, token_len, medfilt_width, qk_scale,
+                                 attn_dtype)
         return y, qk
 
     x, qks = jax.lax.scan(step, x, dp["blocks"])

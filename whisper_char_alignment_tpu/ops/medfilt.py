@@ -34,6 +34,39 @@ def median_filter(x: jax.Array, width: int) -> jax.Array:
     return jnp.sort(windows, axis=-1)[..., pad]
 
 
+@functools.partial(jax.jit, static_argnums=(1,))
+def median_filter_masked(x: jax.Array, width: int, valid_len: jax.Array) -> jax.Array:
+    """Per-item masked median filter: for each batch item, behaves exactly as if
+    ``x[b, ..., :valid_len[b]]`` had been sliced first (reflect padding at the true
+    right edge), which is what the reference does by physically slicing before
+    filtering (timing.py:64-65). Frames >= valid_len are passed through unfiltered
+    (they are masked out downstream anyway). Items with valid_len <= width//2 are
+    returned unchanged (published short-input semantics).
+
+    x: (B, ..., F); valid_len: (B,) int32.
+    """
+    assert width > 0 and width % 2 == 1
+    pad = width // 2
+    f = x.shape[-1]
+
+    def one(xi, m):
+        # m = last valid index; reflect window indices at 0 and at m
+        i = jnp.arange(f)[:, None]
+        k = jnp.arange(width)[None, :]
+        j = jnp.abs(i + k - pad)  # left reflect
+        j = jnp.where(j > m, 2 * m - j, j)  # right reflect at the true edge
+        j = jnp.clip(j, 0, f - 1)
+        windows = xi[..., j]  # (..., F, width)
+        out = jnp.sort(windows, axis=-1)[..., pad]
+        # frames beyond the valid region keep their raw values
+        beyond = jnp.arange(f) > m
+        out = jnp.where(beyond, xi, out)
+        # whisper semantics: inputs with valid length <= pad are returned unchanged
+        return jnp.where(m + 1 <= pad, xi, out)
+
+    return jax.vmap(one)(x, valid_len.astype(jnp.int32) - 1)
+
+
 def median_filter_np(x: np.ndarray, width: int) -> np.ndarray:
     """NumPy twin of :func:`median_filter` (host fallback / test oracle)."""
     assert width > 0 and width % 2 == 1
