@@ -1,0 +1,132 @@
+"""Greedy decode-loop parity: the jitted while_loop + vectorized filters must
+reproduce a naive per-step Python implementation of the published decoding rules
+running on the same model (teacher-forced re-forward each step, no KV cache)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_char_alignment_tpu.config import tiny_test_dims
+from whisper_char_alignment_tpu.models import decoding, whisper as wmodel
+from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=24, n_text_ctx=24,
+                          state=16, head=2, layers=2)
+    params = wmodel.init_params(jax.random.PRNGKey(3), dims)
+    rng = np.random.default_rng(0)
+    mel = rng.normal(0, 1, (2, dims.n_mels, 2 * dims.n_audio_ctx)).astype(np.float32)
+    return tok, dims, params, mel
+
+
+def _log_softmax(x):
+    x = x - np.max(x[np.isfinite(x)]) if np.isfinite(x).any() else x
+    e = np.exp(x)
+    return x - np.log(e.sum())
+
+
+def naive_decode(params, dims, tok, mel_1, options: decoding.DecodingOptions,
+                 sample_len):
+    """Published decode loop, one utterance, no cache: re-forward every step."""
+    use_ts = not options.without_timestamps
+    prompt = list(tok.sot_sequence_including_notimestamps if not use_ts
+                  else tok.sot_sequence)
+    sample_begin = len(prompt)
+    suppress = decoding._get_suppress_tokens(tok, options)
+    blank_ids = tok.encode(" ") + [tok.eot]
+    ts_begin = tok.timestamp_begin
+    max_init_idx = (round(options.max_initial_timestamp / 0.02)
+                    if (use_ts and options.max_initial_timestamp) else None)
+
+    tokens = list(prompt)
+    sum_lp = 0.0
+    for _ in range(sample_len):
+        logits_full, _ = wmodel.forward(params, dims, jnp.asarray(mel_1)[None],
+                                        jnp.asarray([tokens], jnp.int32),
+                                        return_qk=False)
+        logits = np.asarray(logits_full)[0, -1].astype(np.float64)
+        logits[list(suppress)] = -np.inf
+        if len(tokens) == sample_begin:
+            logits[blank_ids] = -np.inf
+        if use_ts:
+            logits[tok.no_timestamps] = -np.inf
+            seq = tokens[sample_begin:]
+            last_was = len(seq) >= 1 and seq[-1] >= ts_begin
+            penult_was = len(seq) < 2 or seq[-2] >= ts_begin
+            if last_was:
+                if penult_was:
+                    logits[ts_begin:] = -np.inf
+                else:
+                    logits[:tok.eot] = -np.inf
+            ts = [t for t in seq if t >= ts_begin]
+            if ts:
+                last = ts[-1] if (last_was and not penult_was) else ts[-1] + 1
+                logits[ts_begin:last] = -np.inf
+            if len(tokens) == sample_begin:
+                logits[:ts_begin] = -np.inf
+                if max_init_idx is not None:
+                    logits[ts_begin + max_init_idx + 1:] = -np.inf
+            lp = _log_softmax(logits)
+            ts_lp = np.logaddexp.reduce(lp[ts_begin:])
+            if ts_lp > lp[:ts_begin].max():
+                logits[:ts_begin] = -np.inf
+        nxt = int(np.argmax(logits))
+        sum_lp += _log_softmax(logits)[nxt]
+        tokens.append(nxt)
+        if nxt == tok.eot:
+            break
+    out = tokens[sample_begin:]
+    if tok.eot in out:
+        out = out[:out.index(tok.eot)]
+    return out, sum_lp
+
+
+@pytest.mark.parametrize("without_timestamps", [False, True])
+def test_decode_matches_naive_oracle(setup, without_timestamps):
+    tok, dims, params, mel = setup
+    sample_len = 10
+    options = decoding.DecodingOptions(language="en",
+                                       without_timestamps=without_timestamps,
+                                       sample_len=sample_len)
+    results = decoding.decode(params, dims, tok, jnp.asarray(mel), options)
+    for k in range(mel.shape[0]):
+        expect_tokens, _ = naive_decode(params, dims, tok, mel[k], options,
+                                        sample_len)
+        assert results[k].tokens == expect_tokens, (
+            f"item {k}: {results[k].tokens} vs {expect_tokens}")
+        assert results[k].text == tok.decode(expect_tokens).strip()
+
+
+def test_decode_single_input_returns_single_result(setup):
+    tok, dims, params, mel = setup
+    res = decoding.decode(params, dims, tok, jnp.asarray(mel[0]),
+                          decoding.DecodingOptions(language="en", sample_len=4))
+    assert isinstance(res, decoding.DecodingResult)
+    assert isinstance(res.text, str)
+    assert res.language == "en"
+
+
+def test_first_sampled_token_is_timestamp_within_cap(setup):
+    tok, dims, params, mel = setup
+    res = decoding.decode(params, dims, tok, jnp.asarray(mel),
+                          decoding.DecodingOptions(language="en", sample_len=6))
+    for r in res:
+        # raw sampled sequence begins with a timestamp <= <|1.00|> unless empty
+        raw = r.tokens
+        if raw:
+            first_full = raw[0]
+            # note: r.tokens excludes nothing before eot; the first generated token
+            assert first_full >= tok.timestamp_begin
+            assert first_full <= tok.timestamp_begin + 50
+
+
+def test_detect_language_runs(setup):
+    tok, dims, params, mel = setup
+    code, probs = decoding.detect_language(params, dims, tok, jnp.asarray(mel[0]))
+    assert code in tok.all_language_codes
+    assert abs(sum(probs.values()) - 1.0) < 1e-3

@@ -1,0 +1,264 @@
+"""Greedy autoregressive transcription with Whisper's decoding rules.
+
+Replaces ``whisper.decode`` + ``DecodingOptions(language="en")`` (reference call
+sites: infer_ali.py:40,50,60; probe_oracle.py:37,48,59; README.md:95,107). The
+decode loop is a jitted ``lax.while_loop`` over a KV cache with the published logit
+filters applied as vectorized masks each step:
+
+1. SuppressBlank — " " and eot suppressed at the first sampled position;
+2. SuppressTokens — non-speech symbols + [transcribe, translate, sot, sot_prev,
+   sot_lm, no_speech] (the "-1" default suppress set);
+3. ApplyTimestampRules — no_timestamps always suppressed; timestamps come in
+   pairs (after a lone timestamp only another timestamp or eot; after a pair only
+   text); timestamps are monotonic; the first sampled token must be a timestamp
+   (capped by max_initial_timestamp); and when the summed timestamp probability
+   exceeds the best text token, text is suppressed.
+
+The prompt (sot sequence) is folded into the same loop as forced steps, so prefill
+and sampling share one compiled program. Batched over utterances.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import zlib
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelDims
+from . import whisper as wmodel
+
+_NEG_INF = jnp.float32(-jnp.inf)
+
+
+@dataclasses.dataclass(frozen=True)
+class DecodingOptions:
+    task: str = "transcribe"
+    language: Optional[str] = None
+    temperature: float = 0.0  # only 0.0 (greedy) is implemented
+    sample_len: Optional[int] = None
+    suppress_tokens: Optional[str] = "-1"
+    suppress_blank: bool = True
+    without_timestamps: bool = False
+    max_initial_timestamp: Optional[float] = 1.0
+
+
+@dataclasses.dataclass
+class DecodingResult:
+    language: str
+    tokens: List[int]
+    text: str
+    avg_logprob: float
+    no_speech_prob: float
+    temperature: float
+    compression_ratio: float
+
+
+def _get_suppress_tokens(tokenizer, options: DecodingOptions) -> Tuple[int, ...]:
+    """The published "-1" suppress set: non-speech symbols plus task/sot specials."""
+    suppress: list = []
+    if options.suppress_tokens == "-1":
+        suppress.extend(tokenizer.non_speech_tokens)
+    elif options.suppress_tokens:
+        suppress.extend(int(t) for t in str(options.suppress_tokens).split(","))
+    suppress.extend([tokenizer.transcribe, tokenizer.translate, tokenizer.sot,
+                     tokenizer.sot_prev, tokenizer.sot_lm])
+    if tokenizer.no_speech is not None:
+        suppress.append(tokenizer.no_speech)
+    return tuple(sorted(set(suppress)))
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dims", "sample_begin", "max_steps", "ts_begin", "eot", "no_timestamps",
+    "no_speech", "max_initial_ts_index", "use_timestamps", "compute_dtype"))
+def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
+                 *, sample_begin: int, max_steps: int, ts_begin: int, eot: int,
+                 no_timestamps: int, no_speech: int,
+                 max_initial_ts_index: Optional[int],
+                 use_timestamps: bool, compute_dtype=jnp.float32):
+    """Returns (tokens (B, L), sum_logprobs (B,), no_speech_probs (B,))."""
+    b = mel.shape[0]
+    n_vocab = dims.n_vocab
+    total = sample_begin + max_steps
+    vocab_ids = jnp.arange(n_vocab)
+
+    xa = wmodel.encode_audio(params, dims, mel, compute_dtype=compute_dtype)
+    cross_kv = wmodel.precompute_cross_kv(params, dims, xa,
+                                          compute_dtype=compute_dtype)
+    cache = wmodel.init_kv_cache(dims, b, total, dtype=compute_dtype)
+
+    tokens0 = jnp.full((b, total), eot, jnp.int32)
+    tokens0 = jax.lax.dynamic_update_slice(
+        tokens0, jnp.broadcast_to(prompt[None], (b, sample_begin)), (0, 0))
+
+    def apply_filters(logits, i, tokens, has_ts, last_ts_tok):
+        """i = current position being *predicted* (the new token's index)."""
+        cur_len = i  # number of tokens consumed so far
+        sampled = cur_len - sample_begin  # how many sampled tokens exist
+        logits = logits + suppress_mask[None]
+        first = sampled == 0
+        logits = jnp.where(first, logits + blank_mask[None], logits)
+        if not use_timestamps:
+            return logits
+        # --- ApplyTimestampRules ---
+        logits = logits.at[:, no_timestamps].set(_NEG_INF)
+        last_tok = tokens[:, jnp.maximum(cur_len - 1, 0)]
+        penult_tok = tokens[:, jnp.maximum(cur_len - 2, 0)]
+        last_was = (sampled >= 1) & (last_tok >= ts_begin)
+        penult_was = (sampled < 2) | (penult_tok >= ts_begin)
+        is_ts_col = (vocab_ids >= ts_begin)[None]
+        is_text_col = (vocab_ids < eot)[None]
+        kill_ts = (last_was & penult_was)[:, None] & is_ts_col
+        kill_text = (last_was & ~penult_was)[:, None] & is_text_col
+        logits = jnp.where(kill_ts | kill_text, _NEG_INF, logits)
+        # monotonic timestamps: forbid [ts_begin, ts_last)
+        ts_last = jnp.where(last_was & ~penult_was, last_ts_tok, last_ts_tok + 1)
+        kill_mono = (has_ts[:, None]
+                     & (vocab_ids[None] >= ts_begin)
+                     & (vocab_ids[None] < ts_last[:, None]))
+        logits = jnp.where(kill_mono, _NEG_INF, logits)
+        # first sampled token must be a timestamp, capped at max_initial_timestamp
+        kill_first = jnp.zeros((1, n_vocab), bool) | (vocab_ids < ts_begin)[None]
+        if max_initial_ts_index is not None:
+            kill_first = kill_first | (vocab_ids > ts_begin + max_initial_ts_index)[None]
+        logits = jnp.where(first & kill_first, _NEG_INF, logits)
+        # prefer timestamps when their total probability dominates any text token
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        ts_lp = jax.nn.logsumexp(logprobs[:, ts_begin:], axis=-1)
+        max_text_lp = logprobs[:, :ts_begin].max(axis=-1)
+        kill_text_all = (ts_lp > max_text_lp)[:, None] & (vocab_ids < ts_begin)[None]
+        return jnp.where(kill_text_all, _NEG_INF, logits)
+
+    def cond(state):
+        i, _, _, finished, _, _, _, _ = state
+        return (i < total) & ~jnp.all(finished)
+
+    def body(state):
+        i, tokens, cache, finished, sum_lp, has_ts, last_ts_tok, ns_prob = state
+        tok_in = jax.lax.dynamic_slice(tokens, (0, i - 1), (b, 1))
+        logits, cache = wmodel.decode_step(params, dims, tok_in, i - 1, cache,
+                                           cross_kv, compute_dtype=compute_dtype)
+        # no-speech probability: softmax at the position right after sot
+        # (sot is prompt[0], consumed at i == 1)
+        ns_prob = jnp.where(i == 1, jax.nn.softmax(logits, axis=-1)[:, no_speech],
+                            ns_prob)
+        is_prompt = i < sample_begin
+        filtered = apply_filters(logits, i, tokens, has_ts, last_ts_tok)
+        next_sampled = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
+        logprobs = jax.nn.log_softmax(filtered, axis=-1)
+        chosen_lp = jnp.take_along_axis(logprobs, next_sampled[:, None],
+                                        axis=-1)[:, 0]
+        prompt_tok = tokens[:, jnp.minimum(i, total - 1)]
+        next_tok = jnp.where(is_prompt, prompt_tok,
+                             jnp.where(finished, eot, next_sampled))
+        sum_lp = jnp.where(is_prompt | finished, sum_lp, sum_lp + chosen_lp)
+        new_finished = finished | (~is_prompt & (next_tok == eot))
+        sampled_ts = ~is_prompt & ~finished & (next_tok >= ts_begin)
+        has_ts = has_ts | sampled_ts
+        last_ts_tok = jnp.where(sampled_ts, next_tok, last_ts_tok)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, next_tok[:, None], (0, jnp.minimum(i, total - 1)))
+        return (i + 1, tokens, cache, new_finished, sum_lp, has_ts, last_ts_tok,
+                ns_prob)
+
+    state = (jnp.int32(1), tokens0, cache, jnp.zeros((b,), bool),
+             jnp.zeros((b,), jnp.float32), jnp.zeros((b,), bool),
+             jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.float32))
+    # consume the first prompt token outside the loop to fill position 0's cache —
+    # handled inside the loop by starting at i=1 after seeding tokens0
+    i, tokens, cache, finished, sum_lp, has_ts, last_ts_tok, ns_prob = (
+        jax.lax.while_loop(cond, body, state))
+    return tokens, sum_lp, ns_prob
+
+
+def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
+           options: Optional[DecodingOptions] = None,
+           compute_dtype=jnp.float32) -> List[DecodingResult]:
+    """Transcribe a batch of mels. mel: (B, n_mels, 2*n_audio_ctx) or single
+    (n_mels, frames). Returns one DecodingResult per utterance (a single result
+    for unbatched input, like the published API)."""
+    options = options or DecodingOptions()
+    single = mel.ndim == 2
+    if single:
+        mel = mel[None]
+
+    if options.without_timestamps:
+        prompt = list(tokenizer.sot_sequence_including_notimestamps)
+    else:
+        prompt = list(tokenizer.sot_sequence)
+    sample_begin = len(prompt)
+    sample_len = options.sample_len or dims.n_text_ctx // 2
+
+    suppress = _get_suppress_tokens(tokenizer, options)
+    suppress_mask = np.zeros((dims.n_vocab,), np.float32)
+    suppress_mask[list(suppress)] = -np.inf
+    blank_mask = np.zeros((dims.n_vocab,), np.float32)
+    if options.suppress_blank:
+        blank_ids = tokenizer.encode(" ") + [tokenizer.eot]
+        blank_mask[blank_ids] = -np.inf
+
+    max_initial_ts_index = None
+    if options.max_initial_timestamp is not None and not options.without_timestamps:
+        max_initial_ts_index = round(options.max_initial_timestamp / 0.02)
+
+    tokens, sum_lp, ns_prob = _decode_loop(
+        params, dims, jnp.asarray(mel), jnp.asarray(prompt, jnp.int32),
+        jnp.asarray(suppress_mask), jnp.asarray(blank_mask),
+        sample_begin=sample_begin, max_steps=sample_len,
+        ts_begin=tokenizer.timestamp_begin, eot=tokenizer.eot,
+        no_timestamps=tokenizer.no_timestamps, no_speech=tokenizer.no_speech,
+        max_initial_ts_index=max_initial_ts_index,
+        use_timestamps=not options.without_timestamps,
+        compute_dtype=compute_dtype)
+
+    tokens = np.asarray(tokens)
+    sum_lp = np.asarray(sum_lp)
+    ns_prob = np.asarray(ns_prob)
+    results = []
+    lang = options.language or (tokenizer.language or "en")
+    for k in range(tokens.shape[0]):
+        seq = tokens[k, sample_begin:].tolist()
+        if tokenizer.eot in seq:
+            seq = seq[:seq.index(tokenizer.eot)]
+        text = tokenizer.decode(seq).strip()
+        avg_lp = sum_lp[k] / (len(seq) + 1)
+        try:
+            ratio = len(text.encode()) / max(len(zlib.compress(text.encode())), 1)
+        except Exception:
+            ratio = np.nan
+        results.append(DecodingResult(
+            language=lang, tokens=seq, text=text, avg_logprob=float(avg_lp),
+            no_speech_prob=float(ns_prob[k]), temperature=options.temperature,
+            compression_ratio=ratio))
+    return results[0] if single else results
+
+
+def detect_language(params, dims: ModelDims, tokenizer, mel: jax.Array,
+                    compute_dtype=jnp.float32):
+    """Single-step language id: feed sot, take the argmax over language tokens
+    (published detect_language semantics)."""
+    single = mel.ndim == 2
+    if single:
+        mel = mel[None]
+    xa = wmodel.encode_audio(params, dims, jnp.asarray(mel),
+                             compute_dtype=compute_dtype)
+    cross_kv = wmodel.precompute_cross_kv(params, dims, xa,
+                                          compute_dtype=compute_dtype)
+    cache = wmodel.init_kv_cache(dims, mel.shape[0], 1, dtype=compute_dtype)
+    sot = jnp.full((mel.shape[0], 1), tokenizer.sot, jnp.int32)
+    logits, _ = wmodel.decode_step(params, dims, sot, jnp.int32(0), cache,
+                                   cross_kv, compute_dtype=compute_dtype)
+    lang_tokens = jnp.asarray(tokenizer.all_language_tokens)
+    lang_logits = logits[:, lang_tokens]
+    probs = jax.nn.softmax(lang_logits, axis=-1)
+    idx = np.asarray(jnp.argmax(lang_logits, axis=-1))
+    codes = [tokenizer.all_language_codes[i] for i in idx]
+    probs_np = np.asarray(probs)
+    out = [(c, {tokenizer.all_language_codes[j]: float(probs_np[i, j])
+                for j in range(len(tokenizer.all_language_codes))})
+           for i, c in enumerate(codes)]
+    return out[0] if single else out
