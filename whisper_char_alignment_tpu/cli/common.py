@@ -1,0 +1,97 @@
+"""Shared CLI plumbing: model/tokenizer loading, argparse base, result dumping."""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import time
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import AlignConfig, MODEL_DIMS, ModelDims, tiny_test_dims
+from ..models import convert, whisper as wmodel
+from ..text.tokenizer import WhisperTokenizer, get_test_tokenizer, get_tokenizer
+
+
+def add_reference_flags(parser: argparse.ArgumentParser) -> None:
+    """Every flag of the reference CLIs with identical defaults
+    (reference infer_ali.py:151-173)."""
+    parser.add_argument("--model", type=str, default="medium")
+    parser.add_argument("--dataset", type=str, default="TIMIT",
+                        choices=["TIMIT", "LibriSpeech"])
+    parser.add_argument("--scp", type=str, default="scp/test.wav.scp")
+    parser.add_argument("--output_dir", type=str, required=True,
+                        help="Path to the output directory")
+    parser.add_argument("--n_mels", type=int, default=80)
+    parser.add_argument("--medfilt_width", type=int, default=7)
+    parser.add_argument("--aggr", type=str, default="mean",
+                        choices=["mean", "topk"])
+    parser.add_argument("--topk", type=int, default=15)
+    parser.add_argument("--aligned_unit_type", type=str, default="subword",
+                        choices=["subword", "char"])
+    parser.add_argument("--tolerance", type=float, default=0.02)
+    parser.add_argument("--plot", action="store_true")
+    parser.add_argument("--strict", action="store_true")
+
+
+def add_tpu_flags(parser: argparse.ArgumentParser) -> None:
+    """Flags with no reference analog: weights/tokenizer sources and batching."""
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help=".pt/.npz weights (env WCA_CHECKPOINT)")
+    parser.add_argument("--tokenizer_dir", type=str, default=None,
+                        help="dir with *.tiktoken or vocab.json "
+                             "(env WCA_TOKENIZER_DIR)")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--data_parallel", type=int, default=0,
+                        help="devices on the batch mesh axis (0 = all)")
+    parser.add_argument("--compute_dtype", type=str, default="float32",
+                        choices=["float32", "bfloat16"])
+    parser.add_argument("--test_model", action="store_true",
+                        help="random tiny model + toy tokenizer (offline smoke)")
+
+
+def load_model_and_tokenizer(args) -> Tuple[dict, ModelDims, WhisperTokenizer]:
+    """Resolve weights + tokenizer from flags/env; ``--test_model`` gives a
+    deterministic random tiny model for offline runs."""
+    if getattr(args, "test_model", False):
+        tok = get_test_tokenizer()
+        dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=1500,
+                              n_text_ctx=448, state=32, head=2, layers=2,
+                              n_mels=args.n_mels)
+        params = wmodel.init_params(jax.random.PRNGKey(0), dims)
+        return params, dims, tok
+
+    ckpt = args.checkpoint or os.environ.get("WCA_CHECKPOINT")
+    if not ckpt:
+        raise SystemExit(
+            "no weights available: pass --checkpoint / set WCA_CHECKPOINT "
+            "(or use --test_model for an offline smoke run)")
+    params, dims = convert.load_checkpoint(ckpt)
+    params = jax.tree.map(jnp.asarray, params)
+    multilingual = not args.model.endswith(".en")
+    tok = get_tokenizer(multilingual, language="English",
+                        tokenizer_dir=args.tokenizer_dir)
+    return params, dims, tok
+
+
+def config_from_args(args) -> AlignConfig:
+    keys = [f.name for f in AlignConfig.__dataclass_fields__.values()]
+    kwargs = {k: getattr(args, k) for k in keys if hasattr(args, k)}
+    return AlignConfig(**kwargs)
+
+
+def dump_results(args, results: dict) -> str:
+    """Timestamped provenance JSON: config union metrics
+    (reference infer_ali.py:139-146)."""
+    ts = time.time()
+    filename = datetime.datetime.fromtimestamp(ts).strftime("%Y-%m-%d-%H:%M:%S")
+    merged = {**{k: v for k, v in vars(args).items()}, **results}
+    os.makedirs(args.output_dir, exist_ok=True)
+    out = os.path.join(args.output_dir, f"{filename}.json")
+    with open(out, "w") as f:
+        json.dump(merged, f)
+    return out

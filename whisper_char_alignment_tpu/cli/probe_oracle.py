@@ -1,0 +1,173 @@
+"""Oracle-head probe CLI (reference: probe_oracle.py).
+
+For each utterance with >= 18 ground-truth words: rank every (layer, head) map by
+saliency, align with EACH head individually, keep the head with the best strict F1
+vs ground truth, and measure how often that oracle head falls within the top
+``--hit_within`` saliency-ranked heads.
+
+TPU-first: the reference runs one force_align (and one CPU DTW) per head in a
+Python loop — 384 DTWs per utterance for medium (probe_oracle.py:88-106). Here all
+heads are aligned in ONE device launch: the per-head column-normalized maps are a
+batch for the vmapped DTW kernel.
+
+The per-head scoring loop in the reference crashes as committed (it scores
+``best_ends_hat`` instead of the current head's boundaries and reads an unassigned
+variable — SURVEY.md §2a); this implements the intended semantics: score each
+head's own boundaries, keep the best F1.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..align import timing
+from ..align.metrics import eval_n1, eval_n1_strict, get_seg_metrics
+from ..config import AlignConfig
+from ..constants import AUDIO_SAMPLES_PER_TOKEN, MAX_FRAMES, MAX_LENGTH, \
+    TOKENS_PER_SECOND
+from ..data.dataset import DATASETS
+from ..runner import AlignmentPipeline
+from . import common
+
+
+@functools.partial(jax.jit, static_argnames=("sot_len",))
+def _per_head_jump_frames(attn, token_len, frame_len, sot_len: int):
+    """attn (L, 1, H, T, F) -> jump frames per head (L*H, N+1): every head's
+    single-map 'mean' aggregation (column-normalize) + DTW in one launch."""
+    l, _, h, t, f = attn.shape
+    maps = attn[:, 0].reshape(l * h, t, f).astype(jnp.float32)
+    maps = timing._safe_col_normalize(maps)
+    tl = jnp.broadcast_to(token_len, (l * h,))
+    fl = jnp.broadcast_to(frame_len, (l * h,))
+    return timing.matrix_to_jump_frames(maps, tl, fl, sot_len)
+
+
+def infer_dataset(args) -> dict:
+    params, dims, tok = common.load_model_and_tokenizer(args)
+    cfg = common.config_from_args(args)
+    pipe = AlignmentPipeline(params, dims, tok, cfg, compute_dtype=(
+        jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32))
+    dataset = DATASETS[args.dataset](args.scp, n_mels=args.n_mels)
+
+    from ..text import retokenize
+    from ..audio.mel import pad_or_trim
+    from .. import constants as C
+    from ..runner import _mel_step
+
+    corrects = 0
+    total_preds = 0
+    total_gts = 0
+    if_include_best = 0
+    n_seen = 0
+    sot_len = len(tok.sot_sequence)
+
+    try:
+        from tqdm import tqdm
+        indices = tqdm(range(len(dataset)))
+    except Exception:
+        indices = range(len(dataset))
+
+    for i in indices:
+        utt = dataset[i]
+        if len(utt.text.split()) < 18:
+            continue
+        transcripts, mel = pipe.transcribe_batch([utt])
+        transcription = retokenize.remove_punctuation(transcripts[0])
+        if len(transcription) == 0:
+            transcription = " "
+        text_tokens = retokenize.encode(transcription, tok,
+                                        args.aligned_unit_type)
+        tokens = [*tok.sot_sequence, tok.no_timestamps, *text_tokens, tok.eot]
+        max_frames = utt.duration // AUDIO_SAMPLES_PER_TOKEN
+        if max_frames > MAX_FRAMES or len(tokens) > MAX_LENGTH:
+            print(utt.fid)
+            continue
+        n_seen += 1
+
+        token_len = jnp.asarray([len(tokens)], jnp.int32)
+        frame_len = jnp.asarray([max(int(max_frames), 1)], jnp.int32)
+        tokens_arr = np.full((1, len(tokens)), tok.eot, np.int32)
+        tokens_arr[0] = tokens
+        attn, _ = timing.get_attentions(
+            params, dims, mel[:1], jnp.asarray(tokens_arr), token_len,
+            frame_len, medfilt_width=args.medfilt_width, qk_scale=1.0)
+
+        # saliency ranking of ALL heads (reference probe_oracle.py:83)
+        scores_blh = np.asarray(timing.head_scores(attn, frame_len))[0]
+        entries = sorted(
+            (float(scores_blh[l, h]), (l, h))
+            for l in range(scores_blh.shape[0]) for h in range(scores_blh.shape[1]))
+
+        # one launch: per-head DTW jump frames
+        jf_all = np.asarray(_per_head_jump_frames(attn, token_len, frame_len,
+                                                  sot_len))
+        words, word_tokens, wb = timing.words_and_boundaries(
+            text_tokens, tok, args.aligned_unit_type)
+        if wb is None:
+            continue
+        words_flat = " ".join(words[:-1]).split()
+        n_heads = scores_blh.shape[1]
+
+        best_score = -1.0
+        best_ends_hat = None
+        best_saliency = None
+        for saliency, (l, h) in entries:  # ascending, ties -> higher wins via >=
+            jf = jf_all[l * n_heads + h][:len(text_tokens) + 1]
+            starts_hat, ends_hat = timing.jump_frames_to_times(jf, wb)
+            tp, fp, fn = eval_n1_strict(utt.ends, ends_hat, utt.text.split(),
+                                        words_flat, args.tolerance)
+            _, _, f1, _, _ = get_seg_metrics(tp, tp, len(ends_hat), len(utt.ends))
+            if f1 >= best_score:
+                best_score = f1
+                best_ends_hat = ends_hat
+                best_saliency = saliency
+
+        if best_saliency > entries[-args.hit_within][0]:
+            if_include_best += 1
+
+        if not args.strict:
+            correct_pred, _ = eval_n1(utt.ends, best_ends_hat, args.tolerance)
+            total_gts += len(utt.ends)
+            total_preds += len(best_ends_hat)
+            corrects += correct_pred
+        else:
+            tp, fp, fn = eval_n1_strict(utt.ends, best_ends_hat,
+                                        utt.text.split(), words_flat,
+                                        args.tolerance)
+            corrects += tp
+            total_gts += tp + fn
+            total_preds += tp + fp
+
+    precision, recall, f1, r_value, _ = get_seg_metrics(
+        corrects, corrects, total_preds, total_gts)
+    results = dict(precision=precision, recall=recall, f1=f1, r_value=r_value,
+                   hit_rate=if_include_best / max(len(dataset), 1))
+    print(results)
+    common.dump_results(args, results)
+    return results
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="Arguments for whisper-based forced alignments")
+    common.add_reference_flags(parser)
+    parser.add_argument("--hit_within", type=int, default=10,
+                        help="compute how often the oracle head is included in "
+                             "the selected heads using the proposed approach.")
+    common.add_tpu_flags(parser)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+    print(args)
+    return infer_dataset(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,168 @@
+"""scp-driven datasets: TIMIT and LibriSpeech with ground-truth word alignments.
+
+Re-implements the reference's dataset module (reference: dataset.py). Differences by
+design: loading is lazy with an optional background prefetch thread instead of the
+reference's eager decode-everything-into-RAM ``__init__`` (dataset.py:25-36), labels
+are parsed with ``ast.literal_eval`` instead of ``eval`` (fixing the unsafe parse at
+dataset.py:87), and the mel spectrogram is NOT computed per item on the host — the
+batched runner computes mels on device for whole batches at once.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+import os
+import queue
+import threading
+from glob import glob
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from ..audio import wav
+
+SAMPLE_RATE = 16_000
+
+
+@dataclasses.dataclass
+class Utterance:
+    audio: np.ndarray  # float32 (samples,)
+    duration: int  # samples (pre-padding), drives frame_len = duration // 320
+    text: str
+    starts: List[float]  # ground-truth word start times (s)
+    ends: List[float]  # ground-truth word end times (s)
+    fid: str
+
+
+def _read_scp(scp_file: str) -> List[tuple]:
+    entries = []
+    with open(scp_file) as f:
+        for line in f:
+            parts = line.split()
+            if len(parts) >= 2:
+                entries.append((parts[0], parts[1]))
+    return entries
+
+
+class TIMIT:
+    """TIMIT via scp: ``<fid> <path/to/x.wav>``; labels in sibling ``x.wrd`` files
+    with ``<start_sample> <end_sample> <word>`` lines (reference dataset.py:21-64)."""
+
+    def __init__(self, scp_file: str, n_mels: int = 80, device=None):
+        del n_mels, device  # kept for signature parity; mel is computed on device
+        self.entries = _read_scp(scp_file)
+        self.sample_rate = SAMPLE_RATE
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, i: int) -> Utterance:
+        fid, path = self.entries[i]
+        audio, sr = wav.load(path)
+        assert sr == self.sample_rate, f"{path}: sample rate {sr} != 16000"
+        audio = audio.reshape(-1) if audio.shape[0] == 1 else audio.mean(0)
+        text_file = path.split(".wav")[0] + ".wrd"
+        texts, starts, ends = [], [], []
+        with open(text_file) as f:
+            for line in f:
+                parts = line.split()
+                if len(parts) < 3:
+                    continue
+                starts.append(float(parts[0]) / self.sample_rate)
+                ends.append(float(parts[1]) / self.sample_rate)
+                texts.append(parts[2])
+        return Utterance(audio=audio.astype(np.float32), duration=audio.size,
+                         text=" ".join(texts), starts=starts, ends=ends, fid=fid)
+
+
+class LibriSpeech:
+    """LibriSpeech via scp, with Kaldi word alignments from
+    ``ls_alignment_{split}.txt`` (reference dataset.py:67-122): each line is
+    ``<fid> [("word", start, end), ...]``; empty-word entries are silences."""
+
+    def __init__(self, scp_file: str, n_mels: int = 80, device=None,
+                 alignment_file: Optional[str] = None):
+        del n_mels, device
+        self.entries = _read_scp(scp_file)
+        self.sample_rate = SAMPLE_RATE
+        first_path = self.entries[0][1]
+        split = first_path.split("/")[-4]
+        root = first_path.split(split)[0]
+        self.label_dict = {}
+        for trans in sorted(glob(os.path.join(root, split, "**/*.trans.txt"),
+                                 recursive=True)):
+            with open(trans) as f:
+                for l in f:
+                    fid, text = l.split(" ", 1)
+                    self.label_dict[fid] = text.strip()
+        self.alignment_dict = {}
+        alignment_file = alignment_file or f"ls_alignment_{split}.txt"
+        with open(alignment_file) as f:
+            for line in f:
+                fname, payload = line.split(" ", 1)
+                # safe parse of the [("word", s, e), ...] literal (the reference
+                # used eval(); see SURVEY.md §2a known bugs)
+                self.alignment_dict[fname] = ast.literal_eval(payload.strip())
+
+    def __len__(self) -> int:
+        return len(self.entries)
+
+    def __getitem__(self, i: int) -> Utterance:
+        fid, path = self.entries[i]
+        audio, sr = wav.load(path)
+        assert sr == self.sample_rate
+        audio = audio.reshape(-1) if audio.shape[0] == 1 else audio.mean(0)
+        ali = self.alignment_dict[fid]
+        starts, ends, words = [], [], []
+        for item in ali:
+            if item[0] == "":
+                continue
+            words.append(item[0])
+            starts.append(float(item[1]))
+            ends.append(float(item[2]))
+        return Utterance(audio=audio.astype(np.float32), duration=audio.size,
+                         text=" ".join(words), starts=starts, ends=ends, fid=fid)
+
+
+DATASETS = {"TIMIT": TIMIT, "LibriSpeech": LibriSpeech}
+
+
+def iter_utterances(dataset, prefetch: int = 8) -> Iterator[Utterance]:
+    """Iterate a dataset with a background prefetch thread (WAV decode + label
+    parse overlap with device compute)."""
+    if prefetch <= 0:
+        for i in range(len(dataset)):
+            yield dataset[i]
+        return
+
+    q: "queue.Queue" = queue.Queue(maxsize=prefetch)
+    stop = object()
+
+    def worker():
+        try:
+            for i in range(len(dataset)):
+                q.put(dataset[i])
+        finally:
+            q.put(stop)
+
+    t = threading.Thread(target=worker, daemon=True)
+    t.start()
+    while True:
+        item = q.get()
+        if item is stop:
+            break
+        yield item
+
+
+def batch_iter(dataset, batch_size: int, prefetch: int = 8
+               ) -> Iterator[List[Utterance]]:
+    """Yield lists of up to ``batch_size`` utterances."""
+    batch: List[Utterance] = []
+    for utt in iter_utterances(dataset, prefetch):
+        batch.append(utt)
+        if len(batch) == batch_size:
+            yield batch
+            batch = []
+    if batch:
+        yield batch
