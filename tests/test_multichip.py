@@ -1,0 +1,89 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh (SURVEY.md §4)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from whisper_char_alignment_tpu.align import timing
+from whisper_char_alignment_tpu.config import AlignConfig, tiny_test_dims
+from whisper_char_alignment_tpu.models import whisper as wmodel
+from whisper_char_alignment_tpu.parallel import mesh as mesh_lib
+
+
+@pytest.fixture(scope="module")
+def eight_devices():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return jax.devices()[:8]
+
+
+def test_dryrun_multichip_entrypoint(eight_devices):
+    import __graft_entry__ as g
+    g.dryrun_multichip(8)
+
+
+def test_entry_compiles_single_chip_tinyshapes(eight_devices):
+    """entry() must be jittable; compile-check with tiny dims to keep CPU time
+    sane (the driver compile-checks the real medium shapes on TPU)."""
+    import __graft_entry__ as g
+    dims = tiny_test_dims(n_vocab=128, n_audio_ctx=32, n_text_ctx=16)
+    params = wmodel.init_params(jax.random.PRNGKey(0), dims)
+    fn = g._align_fn(params, dims, sot_len=3, medfilt_width=3, topk=2)
+    mel = jnp.zeros((1, dims.n_mels, 2 * dims.n_audio_ctx))
+    tokens = jnp.zeros((1, 12), jnp.int32)
+    jf, logits = jax.jit(fn)(mel, tokens, jnp.asarray([12]), jnp.asarray([32]))
+    assert jf.shape[0] == 1 and logits.shape[:2] == (1, 12)
+
+
+def test_data_parallel_alignment_matches_single_device(eight_devices):
+    """Sharding the batch over a 1-D mesh must not change any result."""
+    dims = tiny_test_dims(n_vocab=128, n_audio_ctx=32, n_text_ctx=24)
+    params = wmodel.init_params(jax.random.PRNGKey(0), dims)
+    rng = np.random.default_rng(0)
+    b, t = 8, 12
+    mel = rng.normal(0, 1, (b, dims.n_mels, 2 * dims.n_audio_ctx)).astype(np.float32)
+    tokens = rng.integers(0, 100, (b, t)).astype(np.int32)
+    token_len = np.full((b,), t, np.int32)
+    frame_len = rng.integers(8, 33, (b,)).astype(np.int32)
+
+    def run(shard):
+        m = mesh_lib.make_mesh(8) if shard else None
+        put = (lambda x: mesh_lib.shard_batch(x, m)) if shard else jnp.asarray
+        p = mesh_lib.replicate(params, m) if shard else params
+        attn, _ = timing.get_attentions(p, dims, put(jnp.asarray(mel)),
+                                        put(jnp.asarray(tokens)),
+                                        put(jnp.asarray(token_len)),
+                                        put(jnp.asarray(frame_len)),
+                                        medfilt_width=3)
+        jf, matrix, _ = timing.force_align_batch(
+            attn, jnp.asarray(token_len), jnp.asarray(frame_len), 3, "topk", 2)
+        return np.asarray(jf), np.asarray(matrix)
+
+    jf_s, mx_s = run(shard=False)
+    jf_m, mx_m = run(shard=True)
+    np.testing.assert_array_equal(jf_s, jf_m)
+    np.testing.assert_allclose(mx_s, mx_m, atol=1e-5)
+
+
+def test_pipeline_with_mesh(eight_devices, tmp_path):
+    """Full AlignmentPipeline over an 8-device mesh on a synthetic corpus."""
+    from tests.test_pipeline_e2e import make_timit_fixture
+    from whisper_char_alignment_tpu.data.dataset import TIMIT
+    from whisper_char_alignment_tpu.runner import AlignmentPipeline
+    from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+
+    scp = make_timit_fixture(str(tmp_path), n_utts=3, seconds=0.5)
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=32, n_text_ctx=32,
+                          state=16, head=2, layers=2)
+    params = wmodel.init_params(jax.random.PRNGKey(1), dims)
+    cfg = AlignConfig.recommended(topk=2, batch_size=3)
+    mesh = mesh_lib.make_mesh(8)
+    pipe = AlignmentPipeline(params, dims, tok, cfg, mesh=mesh)
+    res = list(pipe.run_dataset(TIMIT(scp), progress=False))
+    assert len(res) == 3
+    for r in res:
+        assert len(r.start_times) == len(r.end_times)
