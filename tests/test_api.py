@@ -1,0 +1,59 @@
+"""High-level api smoke tests (offline, random tiny model)."""
+
+import numpy as np
+import pytest
+
+
+def test_align_from_array():
+    from whisper_char_alignment_tpu import api
+    from whisper_char_alignment_tpu.config import tiny_test_dims
+    from whisper_char_alignment_tpu.models import whisper as wmodel
+    from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+    import jax
+
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=48, n_text_ctx=32,
+                          state=16, head=2, layers=2)
+    model = api.Model(params=wmodel.init_params(jax.random.PRNGKey(0), dims),
+                      dims=dims, tokenizer=tok, name="test")
+    sr = 16000
+    audio = 0.3 * np.sin(2 * np.pi * 440 * np.arange(int(0.9 * sr)) / sr)
+    res = api.align(model, audio.astype(np.float32), topk=2)
+    assert res.fid == "utterance"
+    assert len(res.start_times) == len(res.end_times)
+    if res.words:
+        assert len(res.words) - 1 == len(res.end_times)
+
+
+def test_align_from_wav_file(tmp_path):
+    from whisper_char_alignment_tpu import api
+    from whisper_char_alignment_tpu.audio import wav as wav_mod
+
+    model = None
+    try:
+        model = api.test_model()
+    except Exception as e:
+        pytest.skip(f"test model unavailable: {e}")
+    # full-window (30 s ctx) tiny model is slow on CPU; use a short clip
+    sr = 16000
+    audio = (0.2 * np.sin(2 * np.pi * 300 * np.arange(sr) / sr)).astype(np.float32)
+    p = str(tmp_path / "u.wav")
+    wav_mod.save(p, audio, sr)
+    # shrink the window for CPU: rebuild with small ctx
+    from whisper_char_alignment_tpu.config import tiny_test_dims
+    from whisper_char_alignment_tpu.models import whisper as wmodel
+    import jax
+    dims = tiny_test_dims(n_vocab=model.tokenizer.n_vocab, n_audio_ctx=48,
+                          n_text_ctx=32, state=16, head=2, layers=2)
+    model = api.Model(params=wmodel.init_params(jax.random.PRNGKey(0), dims),
+                      dims=dims, tokenizer=model.tokenizer, name="test")
+    res = api.align(model, p, topk=2)
+    assert res.fid == "u"
+    assert res.matrix is None or res.matrix.ndim == 2
+
+
+def test_load_model_requires_checkpoint(monkeypatch):
+    from whisper_char_alignment_tpu import api
+    monkeypatch.delenv("WCA_CHECKPOINT", raising=False)
+    with pytest.raises(FileNotFoundError):
+        api.load_model("medium")

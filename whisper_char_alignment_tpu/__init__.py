@@ -11,3 +11,6 @@ from . import constants
 from .config import AlignConfig, ModelDims, MODEL_DIMS
 
 __version__ = "0.1.0"
+
+# `from whisper_char_alignment_tpu import api` resolves as a normal submodule
+# import; nothing heavier than constants/config is imported eagerly here.
