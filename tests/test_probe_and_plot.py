@@ -1,0 +1,85 @@
+"""probe_oracle CLI end-to-end (tiny model, synthetic corpus) and plot_attn."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tests.test_pipeline_e2e import make_timit_fixture
+
+
+def make_long_corpus(root, n_utts=2):
+    """Utterances with >= 18 ground-truth words (probe_oracle's filter)."""
+    from whisper_char_alignment_tpu.audio import wav
+    sr = 16000
+    rng = np.random.default_rng(1)
+    scp_lines = []
+    words = ("she had your dark suit in greasy wash water all year and then "
+             "some more words to pass the filter easily").split()
+    for i in range(n_utts):
+        n = sr  # 1 s
+        audio = rng.normal(0, 0.05, n).astype(np.float32)
+        path = os.path.join(root, f"long{i}.wav")
+        wav.save(path, audio, sr)
+        bounds = np.linspace(0, n, len(words) + 1).astype(int)
+        with open(os.path.join(root, f"long{i}.wrd"), "w") as f:
+            for w in range(len(words)):
+                f.write(f"{bounds[w]} {bounds[w + 1]} {words[w]}\n")
+        scp_lines.append(f"dr1-long{i} {path}")
+    scp = os.path.join(root, "long.scp")
+    with open(scp, "w") as f:
+        f.write("\n".join(scp_lines) + "\n")
+    return scp
+
+
+def test_probe_oracle_cli(tmp_path):
+    scp = make_long_corpus(str(tmp_path))
+    out_dir = str(tmp_path / "results")
+    from whisper_char_alignment_tpu.cli import probe_oracle
+    results = probe_oracle.main([
+        "--dataset", "TIMIT", "--scp", scp, "--output_dir", out_dir,
+        "--aligned_unit_type", "char", "--strict", "--tolerance", "0.05",
+        "--medfilt_width", "3", "--hit_within", "2", "--test_model"])
+    assert set(results) >= {"precision", "recall", "f1", "r_value", "hit_rate"}
+    assert 0.0 <= results["hit_rate"] <= 1.0
+    assert any(f.endswith(".json") for f in os.listdir(out_dir))
+
+
+def test_plot_attn(tmp_path):
+    from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+    from whisper_char_alignment_tpu.text.retokenize import encode
+    from whisper_char_alignment_tpu.viz.plot import plot_attn
+
+    tok = get_test_tokenizer()
+    text_tokens = encode("hi there", tok, "char")
+    n = len(text_tokens) + 1
+    rng = np.random.default_rng(0)
+    weights = rng.random((n, 50)).astype(np.float32)
+    out = plot_attn(weights, text_tokens, tok, gt_alignment=[0.3, 0.9],
+                    pred_alignment=[0.32, 0.88], fid="demo",
+                    aligned_unit_type="char", path=str(tmp_path), dpi=72)
+    assert os.path.exists(out) and os.path.getsize(out) > 1000
+
+
+def test_infer_cli_plot_flag(tmp_path, monkeypatch):
+    """Full plot plumbing through the CLI; the random test model transcribes to
+    empty text, so pin the transcription stage to a fixed string."""
+    scp = make_timit_fixture(str(tmp_path), n_utts=2)
+    out_dir = str(tmp_path / "results")
+    from whisper_char_alignment_tpu.runner import AlignmentPipeline
+
+    orig = AlignmentPipeline.transcribe_batch
+
+    def fake_transcribe(self, utts):
+        _, mel = orig(self, utts)
+        return ["hello world" for _ in utts], mel
+
+    monkeypatch.setattr(AlignmentPipeline, "transcribe_batch", fake_transcribe)
+    from whisper_char_alignment_tpu.cli import infer_ali
+    infer_ali.main([
+        "--dataset", "TIMIT", "--scp", scp, "--output_dir", out_dir,
+        "--aggr", "topk", "--topk", "2", "--aligned_unit_type", "char",
+        "--medfilt_width", "3", "--batch_size", "2", "--test_model", "--plot"])
+    img_dir = os.path.join(out_dir, "imgs", "TIMIT")
+    assert os.path.isdir(img_dir) and len(os.listdir(img_dir)) == 2
