@@ -148,6 +148,15 @@ def aggregate_matrix(attn: jax.Array, aggregation: str, topk: int,
     raise ValueError(f"unknown aggregation: {aggregation}")
 
 
+def _dtw_impl() -> str:
+    import os
+
+    impl = os.environ.get("WCA_DTW_IMPL", "auto")
+    if impl == "auto":
+        return "pallas" if jax.default_backend() not in ("cpu",) else "scan"
+    return impl
+
+
 @functools.partial(jax.jit, static_argnames=("sot_len",))
 def matrix_to_jump_frames(matrix: jax.Array, token_len: jax.Array,
                           frame_len: jax.Array, sot_len: int):
@@ -155,25 +164,37 @@ def matrix_to_jump_frames(matrix: jax.Array, token_len: jax.Array,
 
     matrix (B, T, F); rows used are [sot_len : token_len-1] (the reference's
     ``matrix[len(sot_sequence):-1]``, timing.py:102). Returns (B, T - sot_len + 1)
-    jump frames (padded rows -1).
+    jump frames (padded rows -1). The cost/trace recurrence runs in the Pallas
+    wavefront kernel on accelerators (ops/dtw_pallas.py) and as the lax.scan
+    reference on CPU; override with WCA_DTW_IMPL=pallas|scan.
     """
     text_matrix = matrix[:, sot_len:, :]
-    n_rows = token_len - sot_len - 1  # drop the trailing eot row
+    n_rows = (token_len - sot_len - 1).astype(jnp.int32)  # drop the eot row
     costs = -text_matrix
+    frame_len = frame_len.astype(jnp.int32)
+
+    if _dtw_impl() == "pallas":
+        from ..ops.dtw_pallas import dtw_trace_batch
+
+        traces = dtw_trace_batch(costs, use_pallas=True)
+        return jax.vmap(dtw_ops.dtw_jump_frames)(traces, n_rows, frame_len)
 
     def one(x, n, m):
         tr = dtw_ops.dtw_trace(x, n, m)
         return dtw_ops.dtw_jump_frames(tr, n, m)
 
-    return jax.vmap(one)(costs, n_rows.astype(jnp.int32),
-                         frame_len.astype(jnp.int32))
+    return jax.vmap(one)(costs, n_rows, frame_len)
 
 
+@functools.partial(jax.jit, static_argnames=(
+    "sot_len", "aggregation", "topk", "w_colnorm", "w_rownorm", "w_coverage"))
 def force_align_batch(attn: jax.Array, token_len: jax.Array,
                       frame_len: jax.Array, sot_len: int,
                       aggregation: str = "mean", topk: int = -1,
                       w_colnorm=1.0, w_rownorm=1.0, w_coverage=0.0):
-    """Device path of force_align over a batch: aggregation + DTW.
+    """Device path of force_align over a batch: aggregation + DTW, one jitted
+    program (the f32 casts/squares fuse into the reductions — never materialize
+    a full f32 copy of a bf16 attention stack).
 
     Returns (jump_frames (B, N+1), matrix (B, T, F), scores-or-None).
     """

@@ -52,6 +52,10 @@ def add_tpu_flags(parser: argparse.ArgumentParser) -> None:
                         choices=["float32", "bfloat16"])
     parser.add_argument("--test_model", action="store_true",
                         help="random tiny model + toy tokenizer (offline smoke)")
+    parser.add_argument("--profile", action="store_true",
+                        help="print per-stage wall-time summary at the end")
+    parser.add_argument("--trace_dir", type=str, default=None,
+                        help="write a jax.profiler device trace here")
 
 
 def load_model_and_tokenizer(args) -> Tuple[dict, ModelDims, WhisperTokenizer]:

@@ -34,6 +34,10 @@ def infer_dataset(args) -> dict:
 
     dataset = DATASETS[args.dataset](args.scp, n_mels=args.n_mels)
 
+    from ..utils.profiling import device_trace
+    trace_ctx = device_trace(getattr(args, "trace_dir", None))
+    trace_ctx.__enter__()
+
     corrects = 0
     total_preds = 0
     total_gts = 0
@@ -72,6 +76,10 @@ def infer_dataset(args) -> dict:
             total_gts += tp + fn
             total_preds += tp + fp
         n += 1
+
+    trace_ctx.__exit__(None, None, None)
+    if getattr(args, "profile", False):
+        pipe.timers.report()
 
     precision, recall, f1, r_value, _ = get_seg_metrics(
         corrects, corrects, total_preds, total_gts)

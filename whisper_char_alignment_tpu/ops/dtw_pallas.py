@@ -1,0 +1,154 @@
+"""Pallas TPU wavefront kernel for the DTW cost/trace recurrence.
+
+The anti-diagonal recurrence of ``ops.dtw`` as a single on-chip kernel: 8
+utterances ride the 8 sublanes of the VPU, the token axis rides the lanes, and the
+grid's diagonal dimension streams one skewed-input diagonal per step from HBM into
+VMEM (double-buffered by the Pallas pipeline) while the two previous cost diagonals
+persist in VMEM scratch across grid steps. This removes the per-iteration op
+dispatch of the ``lax.scan`` reference implementation (~N+M tiny host-of-ops loop
+bodies) — the whole recurrence is one fused kernel.
+
+Semantics are identical to ``dtw.dtw_trace`` (same asymmetric tie-break; padded
+recurrence subsumes per-item (n, m) — see ops/dtw.py docstring). Parity is tested
+in interpret mode on CPU and against the scan path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_SUB = 8  # utterances per kernel instance (sublanes)
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _skew_batch(x: jax.Array) -> jax.Array:
+    """(B, N, M) -> (B, D, N1_pad) with out[b, d, i] = x[b, i, d - i]."""
+    b, n, m = x.shape
+    d = n + m - 1
+    n1 = _round_up(n + 1, 128)
+    d_idx = jnp.arange(d)[:, None]
+    i_idx = jnp.arange(n1)[None, :]
+    j_idx = d_idx - i_idx
+    valid = (i_idx < n) & (j_idx >= 0) & (j_idx < m)
+    gathered = x[:, jnp.clip(i_idx, 0, n - 1), jnp.clip(j_idx, 0, m - 1)]
+    return jnp.where(valid[None], gathered, 0.0)
+
+
+_DIAG_BLOCK = 64  # diagonals processed per grid step (one DMA'd chunk)
+
+
+def _dtw_kernel(xs_ref, trace_ref, prev_ref, prev2_ref, m_max_ref=None):
+    # xs_ref: (1, K, SUB, N1) — K input diagonals (grid diags d0+2 .. d0+K+1)
+    # trace_ref: (1, K, SUB, N1) int32 out; prev/prev2: (SUB, N1) f32 scratch
+    k_block = xs_ref.shape[1]
+    d0 = pl.program_id(1) * k_block
+    n1 = prev_ref.shape[1]
+    inf = jnp.float32(jnp.inf)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, n1), 1)
+
+    @pl.when(d0 == 0)
+    def _init():
+        # diagonal 0 of the cost grid: cost[0,0] = 0, rest +inf
+        prev2_ref[:] = jnp.where(lane == 0, 0.0, inf)
+        prev_ref[:] = jnp.full((_SUB, n1), inf)
+
+    def shift(v, fill):
+        return jnp.where(lane == 0, fill, pltpu.roll(v, 1, axis=1))
+
+    m_bound = m_max_ref[0] if m_max_ref is not None else None
+
+    def body(k, carry):
+        prev, prev2 = carry
+        c0 = shift(prev2, inf)  # cost[i-1, j-1]
+        c1 = shift(prev, inf)   # cost[i-1, j]
+        c2 = prev               # cost[i, j-1]
+        t = jnp.where((c0 < c1) & (c0 < c2), 0,
+                      jnp.where((c1 < c0) & (c1 < c2), 1, 2)).astype(jnp.int32)
+        c = jnp.where(t == 0, c0, jnp.where(t == 1, c1, c2))
+        xval = shift(xs_ref[0, k], 0.0)  # x at (i, j) = xs_d[i - 1]
+        grid_d = d0 + k + 2  # cells on grid diagonal i + j
+        j_vec = grid_d - lane
+        valid = (lane >= 1) & (j_vec >= 1)
+        if m_bound is not None:
+            valid = valid & (j_vec <= m_bound)
+        cur = jnp.where(valid, xval + c, inf)
+        trace_ref[0, k] = jnp.where(valid, t, -1)
+        return cur, prev
+
+    prev, prev2 = jax.lax.fori_loop(0, k_block, body,
+                                    (prev_ref[:], prev2_ref[:]))
+    prev_ref[:] = prev
+    prev2_ref[:] = prev2
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dtw_trace_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """Batched DTW trace: x (B, N, M) f32 cost -> trace diagonals (B, D, N1_pad)
+    int32 with trace[b, i, j] == out[b, i + j - 2, i] for interior cells.
+
+    B is padded to a multiple of 8 internally; N+1 is padded to a lane multiple.
+    The M bound enters through a scalar passed per kernel call.
+    """
+    b, n, m = x.shape
+    b_pad = _round_up(b, _SUB)
+    if b_pad != b:
+        x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
+    xs = _skew_batch(x)  # (B_pad, D, N1)
+    _, d, n1 = xs.shape
+    d_pad = _round_up(d, _DIAG_BLOCK)
+    if d_pad != d:
+        xs = jnp.pad(xs, ((0, 0), (0, d_pad - d), (0, 0)))
+    groups = b_pad // _SUB
+    # group layout: (G, D, SUB, N1) so a block's last two dims are (SUB, N1)
+    xs_g = jnp.transpose(xs.reshape(groups, _SUB, d_pad, n1), (0, 2, 1, 3))
+    m_bound = jnp.full((1,), m, jnp.int32)
+    k = _DIAG_BLOCK
+
+    def kernel_with_m(m_ref, xs_ref, trace_ref, prev_ref, prev2_ref):
+        _dtw_kernel(xs_ref, trace_ref, prev_ref, prev2_ref, m_max_ref=m_ref)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(groups, d_pad // k),
+        in_specs=[
+            pl.BlockSpec((1, k, _SUB, n1), lambda b_, d_, m_: (b_, d_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, k, _SUB, n1), lambda b_, d_, m_: (b_, d_, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((_SUB, n1), jnp.float32),
+            pltpu.VMEM((_SUB, n1), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel_with_m,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((groups, d_pad, _SUB, n1), jnp.int32),
+        interpret=interpret,
+    )(m_bound, xs_g)
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b_pad, d_pad, n1)
+    return out[:b, :d]
+
+
+def dtw_trace_batch(x: jax.Array, use_pallas: bool = True,
+                    interpret: bool = False) -> jax.Array:
+    """(B, N, M) -> (B, D, N1) trace diagonals via the Pallas kernel (TPU) or the
+    vmapped lax.scan reference (any backend)."""
+    from . import dtw as dtw_ops
+
+    if use_pallas:
+        tr = dtw_trace_pallas(x, interpret=interpret)
+        # the scan path emits int8 diagonals of width N+1; slice to match
+        return tr[:, :, : x.shape[1] + 1].astype(jnp.int8)
+    b = x.shape[0]
+    n = jnp.full((b,), x.shape[1], jnp.int32)
+    m = jnp.full((b,), x.shape[2], jnp.int32)
+    return jax.vmap(dtw_ops.dtw_trace)(x, n, m)

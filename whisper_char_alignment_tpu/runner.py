@@ -26,6 +26,7 @@ from .data.dataset import Utterance, batch_iter
 from .models import decoding, whisper as wmodel
 from .parallel import mesh as mesh_lib
 from .text import retokenize
+from .utils.profiling import StageTimers
 
 
 @dataclasses.dataclass
@@ -90,6 +91,7 @@ class AlignmentPipeline:
         self.sot_len = len(tokenizer.sot_sequence)
         self.options = decoding.DecodingOptions(language=tokenizer.language or "en")
         self.alignment_heads = get_alignment_heads(cfg.model, dims)
+        self.timers = StageTimers()
 
     # -- helpers -------------------------------------------------------------
 
@@ -115,10 +117,13 @@ class AlignmentPipeline:
         audio = np.zeros((b_pad, n_samples), np.float32)
         for i, u in enumerate(utts):
             audio[i] = np.asarray(pad_or_trim(u.audio, n_samples))
-        mel = _mel_step(self._shard(jnp.asarray(audio)), self.dims,
-                        compute_dtype=self.compute_dtype)
-        results = decoding.decode(self.params, self.dims, self.tokenizer, mel,
-                                  self.options, compute_dtype=self.compute_dtype)
+        with self.timers.stage("mel", units=len(utts)):
+            mel = _mel_step(self._shard(jnp.asarray(audio)), self.dims,
+                            compute_dtype=self.compute_dtype)
+        with self.timers.stage("decode", units=len(utts)):
+            results = decoding.decode(self.params, self.dims, self.tokenizer,
+                                      mel, self.options,
+                                      compute_dtype=self.compute_dtype)
         return [r.text for r in results[:len(utts)]], mel
 
     def align_batch(self, utts: Sequence[Utterance],
@@ -168,6 +173,8 @@ class AlignmentPipeline:
                 mel_idx[i] = utt_index[p[0].fid]
             mel_live = jnp.take(mel, jnp.asarray(mel_idx), axis=0)
             token_probs_np = None
+            align_timer = self.timers.stage("capture+align", units=len(live))
+            align_timer.__enter__()
             if cfg.default_whisper_timing:
                 jump_frames, token_probs, matrix = \
                     timing.default_find_alignment_batch(
@@ -194,6 +201,7 @@ class AlignmentPipeline:
                     sot_len=self.sot_len, compute_dtype=self.compute_dtype,
                     return_matrix=return_matrix)
             jump_frames = np.asarray(jump_frames)
+            align_timer.__exit__(None, None, None)
             if return_matrix and matrix is not None:
                 matrix_np = np.asarray(matrix)
             if sel is not None:
