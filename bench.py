@@ -40,7 +40,7 @@ from whisper_char_alignment_tpu.config import ModelDims
 from whisper_char_alignment_tpu.models import decoding, whisper as wmodel
 from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
 
-BATCH = int(os.environ.get("WCA_BENCH_BATCH", "8"))
+BATCH = int(os.environ.get("WCA_BENCH_BATCH", "32"))
 T_BUCKET = int(os.environ.get("WCA_BENCH_TOKENS", "96"))
 DECODE_LEN = int(os.environ.get("WCA_BENCH_DECODE_LEN", "32"))
 N_ITERS = int(os.environ.get("WCA_BENCH_ITERS", "5"))

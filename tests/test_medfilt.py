@@ -52,3 +52,25 @@ def test_short_input_returned_unchanged():
 def test_rejects_even_width():
     with pytest.raises(AssertionError):
         median_filter(np.zeros((2, 8), np.float32), 4)
+
+
+@pytest.mark.parametrize("width", [3, 5, 7, 9])
+def test_masked_equals_slice_first(width):
+    """median_filter_masked must equal slicing each item to its true length
+    first (the reference's physical slice at timing.py:64-65), bit-exactly."""
+    import jax.numpy as jnp
+    from whisper_char_alignment_tpu.ops.medfilt import median_filter_masked
+
+    rng = np.random.default_rng(width)
+    b, h, t, f = 4, 3, 6, 50
+    x = rng.normal(size=(b, h, t, f)).astype(np.float32)
+    valid = rng.integers(1, f + 1, (b,)).astype(np.int32)
+    got = np.asarray(median_filter_masked(jnp.asarray(x), width,
+                                          jnp.asarray(valid)))
+    for i in range(b):
+        m = int(valid[i])
+        if m <= width // 2:
+            expect = x[i][..., :m]
+        else:
+            expect = median_filter_np(x[i][..., :m], width)
+        np.testing.assert_array_equal(got[i][..., :m], expect)

@@ -305,22 +305,31 @@ def forward(params: Params, dims: ModelDims, mel: jax.Array, tokens: jax.Array,
 
 def init_kv_cache(dims: ModelDims, batch: int, max_len: int,
                   dtype=jnp.float32) -> Params:
+    """Self-attention K/V cache, stored transposed as (L, B, H, hd, ctx) — the
+    64-wide head_dim on the last axis would tile-pad to 128 lanes (2x HBM read
+    per decode step); with ctx last nothing is padded."""
     hd = dims.n_text_head_dim
-    shape = (dims.n_text_layer, batch, dims.n_text_head, max_len, hd)
+    shape = (dims.n_text_layer, batch, dims.n_text_head, hd, max_len)
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "compute_dtype"))
 def precompute_cross_kv(params: Params, dims: ModelDims, xa: jax.Array,
                         compute_dtype=jnp.float32):
-    """Cross-attention K/V for every decoder layer: (L, B, H, F, hd) each."""
+    """Cross-attention K/V for every decoder layer, stored transposed as
+    (L, B, H, hd, F) each.
+
+    Layout note: head_dim (64) on the last axis would be padded to the 128-lane
+    tile — a 2x HBM cost on the tensor the decode loop re-reads every step. With
+    (hd, F) as the trailing dims both matmuls of the step contract over F and
+    nothing is padded."""
     xa = xa.astype(compute_dtype)
 
     def step(_, bp):
         cp = bp["cross_attn"]
         k = _split_heads(_linear(cp["k"], xa), dims.n_text_head)
         v = _split_heads(_linear(cp["v"], xa), dims.n_text_head)
-        return None, (k, v)
+        return None, (k.transpose(0, 1, 3, 2), v.transpose(0, 1, 3, 2))
 
     _, (ks, vs) = jax.lax.scan(step, None, params["decoder"]["blocks"])
     return ks, vs
@@ -336,7 +345,7 @@ def decode_step(params: Params, dims: ModelDims, tokens: jax.Array, pos: jax.Arr
     """
     dp = params["decoder"]
     b = tokens.shape[0]
-    max_len = cache["k"].shape[3]
+    max_len = cache["k"].shape[-1]
     x = (dp["tok_emb"][tokens[:, 0]] + dp["pos_emb"][pos]).astype(compute_dtype)
     x = x[:, None, :]  # (B, 1, d)
 
@@ -354,23 +363,32 @@ def decode_step(params: Params, dims: ModelDims, tokens: jax.Array, pos: jax.Arr
         q = _split_heads(_linear(bp["attn"]["q"], h), dims.n_text_head) * scale
         k_new = _split_heads(_linear(bp["attn"]["k"], h), dims.n_text_head)
         v_new = _split_heads(_linear(bp["attn"]["v"], h), dims.n_text_head)
+        # cache layout (B, H, hd, ctx): write the new column at `pos`
         k_all = jax.lax.dynamic_update_slice_in_dim(
-            cache["k"][layer], k_new.astype(cache["k"].dtype), pos, axis=2)
+            cache["k"][layer], k_new.transpose(0, 1, 3, 2).astype(cache["k"].dtype),
+            pos, axis=3)
         v_all = jax.lax.dynamic_update_slice_in_dim(
-            cache["v"][layer], v_new.astype(cache["v"].dtype), pos, axis=2)
-        qk = jnp.einsum("bhtd,bhsd->bhts", q, k_all.astype(compute_dtype) * scale,
+            cache["v"][layer], v_new.transpose(0, 1, 3, 2).astype(cache["v"].dtype),
+            pos, axis=3)
+        qk = jnp.einsum("bhtd,bhds->bhts", q, k_all.astype(compute_dtype) * scale,
                         preferred_element_type=jnp.float32) + pos_mask
         w = jax.nn.softmax(qk, axis=-1).astype(compute_dtype)
-        a = _merge_heads(jnp.einsum("bhts,bhsd->bhtd", w,
+        a = _merge_heads(jnp.einsum("bhts,bhds->bhtd", w,
                                     v_all.astype(compute_dtype),
                                     preferred_element_type=jnp.float32
                                     ).astype(compute_dtype))
         x = x + _linear(bp["attn"]["out"], a)
 
-        c, _, _ = _qkv_attention(bp["cross_attn"],
-                                 _layer_norm(bp["cross_attn_ln"], x), None,
-                                 dims.n_text_head, kv_override=(ck, cv))
-        x = x + c
+        # cross-attention against the transposed (B, H, hd, F) K/V
+        hc = _layer_norm(bp["cross_attn_ln"], x)
+        qc = _split_heads(_linear(bp["cross_attn"]["q"], hc),
+                          dims.n_text_head) * scale  # (B, H, 1, hd)
+        qkc = jnp.einsum("bhtd,bhdf->bhtf", qc, ck * scale,
+                         preferred_element_type=jnp.float32)
+        wc = jax.nn.softmax(qkc, axis=-1).astype(compute_dtype)
+        oc = jnp.einsum("bhtf,bhdf->bhtd", wc, cv,
+                        preferred_element_type=jnp.float32).astype(compute_dtype)
+        x = x + _linear(bp["cross_attn"]["out"], _merge_heads(oc))
         h2 = _layer_norm(bp["mlp_ln"], x)
         h2 = _linear(bp["mlp"]["fc2"],
                      jax.nn.gelu(_linear(bp["mlp"]["fc1"], h2), approximate=False))
@@ -381,9 +399,11 @@ def decode_step(params: Params, dims: ModelDims, tokens: jax.Array, pos: jax.Arr
                        cross_vs.astype(compute_dtype)))
     new_cache = {
         "k": jax.lax.dynamic_update_slice(
-            cache["k"], k_news.astype(cache["k"].dtype), (0, 0, 0, pos, 0)),
+            cache["k"], k_news.transpose(0, 1, 2, 4, 3).astype(cache["k"].dtype),
+            (0, 0, 0, 0, pos)),
         "v": jax.lax.dynamic_update_slice(
-            cache["v"], v_news.astype(cache["v"].dtype), (0, 0, 0, pos, 0)),
+            cache["v"], v_news.transpose(0, 1, 2, 4, 3).astype(cache["v"].dtype),
+            (0, 0, 0, 0, pos)),
     }
     x = _layer_norm(dp["ln"], x)
     logits = jnp.dot(x[:, 0].astype(jnp.float32), dp["tok_emb"].T.astype(jnp.float32),

@@ -34,6 +34,21 @@ def median_filter(x: jax.Array, width: int) -> jax.Array:
     return jnp.sort(windows, axis=-1)[..., pad]
 
 
+def _median_of(slices):
+    """Median of ``w`` same-shaped arrays via odd-even transposition compare-
+    exchange (pure elementwise min/max — XLA fuses the whole network, no
+    (..., w) stack is ever materialized)."""
+    vals = list(slices)
+    w = len(vals)
+    for p in range(w):
+        start = p % 2
+        for i in range(start, w - 1, 2):
+            lo = jnp.minimum(vals[i], vals[i + 1])
+            hi = jnp.maximum(vals[i], vals[i + 1])
+            vals[i], vals[i + 1] = lo, hi
+    return vals[w // 2]
+
+
 @functools.partial(jax.jit, static_argnums=(1,))
 def median_filter_masked(x: jax.Array, width: int, valid_len: jax.Array) -> jax.Array:
     """Per-item masked median filter: for each batch item, behaves exactly as if
@@ -44,27 +59,47 @@ def median_filter_masked(x: jax.Array, width: int, valid_len: jax.Array) -> jax.
     returned unchanged (published short-input semantics).
 
     x: (B, ..., F); valid_len: (B,) int32.
+
+    Fast path: a fused median network over ``width`` shifted slices of the
+    full-edge reflect-padded array (no gather), then the ``width//2`` columns at
+    each item's true right edge — the only columns whose windows cross it — are
+    recomputed with a tiny per-item gather and scattered back.
     """
     assert width > 0 and width % 2 == 1
     pad = width // 2
     f = x.shape[-1]
+    b = x.shape[0]
+    m = valid_len.astype(jnp.int32) - 1  # (B,) last valid index
+    mb = m.reshape((b,) + (1,) * (x.ndim - 1))
 
-    def one(xi, m):
-        # m = last valid index; reflect window indices at 0 and at m
-        i = jnp.arange(f)[:, None]
-        k = jnp.arange(width)[None, :]
-        j = jnp.abs(i + k - pad)  # left reflect
-        j = jnp.where(j > m, 2 * m - j, j)  # right reflect at the true edge
-        j = jnp.clip(j, 0, f - 1)
-        windows = xi[..., j]  # (..., F, width)
-        out = jnp.sort(windows, axis=-1)[..., pad]
-        # frames beyond the valid region keep their raw values
-        beyond = jnp.arange(f) > m
-        out = jnp.where(beyond, xi, out)
-        # whisper semantics: inputs with valid length <= pad are returned unchanged
-        return jnp.where(m + 1 <= pad, xi, out)
+    # base pass: reflect at the FULL array edges, median network over slices
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(pad, pad)], mode="reflect")
+    base = _median_of([jax.lax.slice_in_dim(xp, k, k + f, axis=-1)
+                       for k in range(width)])
 
-    return jax.vmap(one)(x, valid_len.astype(jnp.int32) - 1)
+    # correction: columns c in [valid_len - pad, valid_len) read past the item's
+    # edge in the base pass; recompute them with per-item reflected windows
+    cols = m[:, None] - jnp.arange(pad)[None, :]  # (B, pad) columns to fix
+    win = cols[:, :, None] + (jnp.arange(width) - pad)[None, None, :]  # (B,pad,w)
+    win = jnp.abs(win)  # left reflect
+    win = jnp.where(win > m[:, None, None], 2 * m[:, None, None] - win, win)
+    win = jnp.clip(win, 0, f - 1).reshape(b, pad * width)
+    idx = win.reshape((b,) + (1,) * (x.ndim - 2) + (pad * width,))
+    gathered = jnp.take_along_axis(x, idx, axis=-1)
+    gathered = gathered.reshape(x.shape[:-1] + (pad, width))
+    fixed = jnp.sort(gathered, axis=-1)[..., pad]  # (..., pad)
+    cols_idx = jnp.clip(cols, 0, f - 1).reshape(
+        (b,) + (1,) * (x.ndim - 2) + (pad,))
+    cols_idx = jnp.broadcast_to(cols_idx, x.shape[:-1] + (pad,))
+    out = jnp.put_along_axis(base, cols_idx,
+                             jnp.broadcast_to(fixed, x.shape[:-1] + (pad,)),
+                             axis=-1, inplace=False)
+
+    # frames beyond the valid region keep their raw values; items with
+    # valid_len <= pad are returned unchanged (whisper short-input semantics)
+    frame_ids = jnp.arange(f).reshape((1,) * (x.ndim - 1) + (f,))
+    out = jnp.where(frame_ids > mb, x, out)
+    return jnp.where(mb + 1 <= pad, x, out)
 
 
 def median_filter_np(x: np.ndarray, width: int) -> np.ndarray:
