@@ -16,7 +16,7 @@ reference's physical slicing (see ops.dtw docstring for the DTW argument).
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

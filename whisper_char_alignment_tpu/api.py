@@ -23,7 +23,7 @@ import numpy as np
 
 from . import constants
 from .audio import wav
-from .config import AlignConfig, MODEL_DIMS, ModelDims
+from .config import AlignConfig, ModelDims
 from .data.dataset import Utterance
 from .models import convert, whisper as wmodel
 from .runner import AlignmentPipeline, UttAlignment

@@ -7,12 +7,12 @@ import datetime
 import json
 import os
 import time
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
-from ..config import AlignConfig, MODEL_DIMS, ModelDims, tiny_test_dims
+from ..config import AlignConfig, ModelDims, tiny_test_dims
 from ..models import convert, whisper as wmodel
 from ..text.tokenizer import WhisperTokenizer, get_test_tokenizer, get_tokenizer
 

@@ -11,13 +11,11 @@ Example (README-recommended recipe):
 from __future__ import annotations
 
 import argparse
-import os
 from collections import defaultdict
 
 import jax.numpy as jnp
 
 from ..align.metrics import eval_n1, eval_n1_strict, get_seg_metrics
-from ..config import AlignConfig
 from ..data.dataset import DATASETS
 from ..runner import AlignmentPipeline
 from ..parallel.mesh import make_mesh

@@ -27,9 +27,7 @@ import numpy as np
 
 from ..align import timing
 from ..align.metrics import eval_n1, eval_n1_strict, get_seg_metrics
-from ..config import AlignConfig
-from ..constants import AUDIO_SAMPLES_PER_TOKEN, MAX_FRAMES, MAX_LENGTH, \
-    TOKENS_PER_SECOND
+from ..constants import AUDIO_SAMPLES_PER_TOKEN, MAX_FRAMES, MAX_LENGTH
 from ..data.dataset import DATASETS
 from ..runner import AlignmentPipeline
 from . import common
@@ -55,9 +53,6 @@ def infer_dataset(args) -> dict:
     dataset = DATASETS[args.dataset](args.scp, n_mels=args.n_mels)
 
     from ..text import retokenize
-    from ..audio.mel import pad_or_trim
-    from .. import constants as C
-    from ..runner import _mel_step
 
     corrects = 0
     total_preds = 0

@@ -16,7 +16,7 @@ import os
 import queue
 import threading
 from glob import glob
-from typing import Iterator, List, Optional, Sequence
+from typing import Iterator, List, Optional
 
 import numpy as np
 

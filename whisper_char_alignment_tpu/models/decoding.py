@@ -23,7 +23,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import zlib
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

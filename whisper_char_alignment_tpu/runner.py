@@ -23,7 +23,7 @@ from .align import timing
 from .audio.mel import log_mel_spectrogram, pad_or_trim
 from .config import AlignConfig, ModelDims, get_alignment_heads
 from .data.dataset import Utterance, batch_iter
-from .models import decoding, whisper as wmodel
+from .models import decoding
 from .parallel import mesh as mesh_lib
 from .text import retokenize
 from .utils.profiling import StageTimers
