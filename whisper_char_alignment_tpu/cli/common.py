@@ -52,6 +52,10 @@ def add_tpu_flags(parser: argparse.ArgumentParser) -> None:
                         choices=["float32", "bfloat16"])
     parser.add_argument("--test_model", action="store_true",
                         help="random tiny model + toy tokenizer (offline smoke)")
+    parser.add_argument("--decode_frame_bucket", type=int, default=0,
+                        help="bucket decode cross-attention K/V to the batch's "
+                             "true frames rounded up to this multiple (0 = full "
+                             "30s window, reference-exact)")
     parser.add_argument("--profile", action="store_true",
                         help="print per-stage wall-time summary at the end")
     parser.add_argument("--trace_dir", type=str, default=None,

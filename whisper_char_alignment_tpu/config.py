@@ -151,6 +151,10 @@ class AlignConfig:
     checkpoint: Optional[str] = None  # path to .pt/.safetensors/.npz weights
     tokenizer_dir: Optional[str] = None  # dir with vocab/merges assets
     data_parallel: int = 1  # devices on the batch mesh axis
+    # opt-in decode speedup: bucket cross-attention K/V to the batch's true
+    # frame count rounded up to this multiple (0 = attend over the full padded
+    # 30 s window, exactly like the reference)
+    decode_frame_bucket: int = 0
 
     @classmethod
     def recommended(cls, **overrides) -> "AlignConfig":

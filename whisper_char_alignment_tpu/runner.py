@@ -120,10 +120,18 @@ class AlignmentPipeline:
         with self.timers.stage("mel", units=len(utts)):
             mel = _mel_step(self._shard(jnp.asarray(audio)), self.dims,
                             compute_dtype=self.compute_dtype)
+        kv_frames = None
+        if self.cfg.decode_frame_bucket > 0:
+            max_fl = max(max(u.duration // constants.AUDIO_SAMPLES_PER_TOKEN, 1)
+                         for u in utts)
+            kv_frames = min(
+                self.dims.n_audio_ctx,
+                mesh_lib.pad_to_multiple(int(max_fl), self.cfg.decode_frame_bucket))
         with self.timers.stage("decode", units=len(utts)):
             results = decoding.decode(self.params, self.dims, self.tokenizer,
                                       mel, self.options,
-                                      compute_dtype=self.compute_dtype)
+                                      compute_dtype=self.compute_dtype,
+                                      kv_frames=kv_frames)
         return [r.text for r in results[:len(utts)]], mel
 
     def align_batch(self, utts: Sequence[Utterance],
@@ -156,7 +164,7 @@ class AlignmentPipeline:
         if live:
             b_pad = self._pad_batch(len(live))
             t_max = max(len(p[4]) for p in live)
-            t_bucket = min(constants.MAX_LENGTH,
+            t_bucket = min(self.dims.n_text_ctx,
                            mesh_lib.pad_to_multiple(t_max, self.token_bucket))
             tokens_arr = np.full((b_pad, t_bucket), tok.eot, np.int32)
             token_len = np.ones((b_pad,), np.int32)
