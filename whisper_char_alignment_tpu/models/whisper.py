@@ -25,7 +25,7 @@ Math parity notes (vs whisper.model):
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -153,9 +153,8 @@ def _merge_heads(x):
     return x.transpose(0, 2, 1, 3).reshape(b, t, h * hd)
 
 
-def _qkv_attention(p, x, xa, n_head, mask=None, return_qk=False,
-                   kv_override: Optional[Tuple[jax.Array, jax.Array]] = None):
-    """Scaled-dot attention; returns (out, qk_f32 or None, (k, v)).
+def _qkv_attention(p, x, xa, n_head, mask=None, return_qk=False):
+    """Scaled-dot attention; returns (out, qk_f32 or None).
 
     ``qk`` is the pre-softmax logit tensor *including* the additive mask — the
     quantity the reference's hook captures (whisper qkv_attention returns
@@ -164,12 +163,9 @@ def _qkv_attention(p, x, xa, n_head, mask=None, return_qk=False,
     d_head = x.shape[-1] // n_head
     scale = d_head ** -0.25
     q = _split_heads(_linear(p["q"], x), n_head) * scale
-    if kv_override is not None:
-        k, v = kv_override
-    else:
-        src = x if xa is None else xa  # self-attention vs cross-attention source
-        k = _split_heads(_linear(p["k"], src), n_head)
-        v = _split_heads(_linear(p["v"], src), n_head)
+    src = x if xa is None else xa  # self-attention vs cross-attention source
+    k = _split_heads(_linear(p["k"], src), n_head)
+    v = _split_heads(_linear(p["v"], src), n_head)
     qk = jnp.einsum("bhtd,bhsd->bhts", q, k * scale,
                     preferred_element_type=jnp.float32)
     if mask is not None:
@@ -178,20 +174,19 @@ def _qkv_attention(p, x, xa, n_head, mask=None, return_qk=False,
     out = _merge_heads(jnp.einsum("bhts,bhsd->bhtd", w, v,
                                   preferred_element_type=jnp.float32).astype(x.dtype))
     out = _linear(p["out"], out)
-    return out, (qk if return_qk else None), (k, v)
+    return out, (qk if return_qk else None)
 
 
-def _residual_block(bp, x, xa, n_head, mask, return_qk,
-                    cross_kv: Optional[Tuple[jax.Array, jax.Array]] = None):
+def _residual_block(bp, x, xa, n_head, mask, return_qk):
     """One decoder/encoder block. Returns (x, cross_qk or None)."""
-    a, _, _ = _qkv_attention(bp["attn"], _layer_norm(bp["attn_ln"], x), None,
-                             n_head, mask=mask)
+    a, _ = _qkv_attention(bp["attn"], _layer_norm(bp["attn_ln"], x), None,
+                          n_head, mask=mask)
     x = x + a
     qk = None
     if "cross_attn" in bp:
-        c, qk, _ = _qkv_attention(
+        c, qk = _qkv_attention(
             bp["cross_attn"], _layer_norm(bp["cross_attn_ln"], x), xa, n_head,
-            return_qk=return_qk, kv_override=cross_kv)
+            return_qk=return_qk)
         x = x + c
     h = _layer_norm(bp["mlp_ln"], x)
     h = _linear(bp["mlp"]["fc2"], jax.nn.gelu(_linear(bp["mlp"]["fc1"], h),
