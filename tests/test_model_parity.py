@@ -203,6 +203,19 @@ def test_npz_roundtrip(tmp_path, converted):
         np.testing.assert_array_equal(flat_a[k], flat_b[k])
 
 
+def test_orbax_roundtrip(tmp_path, converted):
+    params, dims = converted
+    p = jax.tree.map(np.asarray, params)
+    path = str(tmp_path / "ckpt")
+    convert.save_orbax(path, p, dims)
+    p2, dims2 = convert.load_checkpoint(path)  # directory -> orbax dispatch
+    assert dims2 == dims
+    fa, fb = convert._flatten(p), convert._flatten(p2)
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_array_equal(fa[k], np.asarray(fb[k]))
+
+
 def test_kv_cached_decode_matches_teacher_forced(converted, sample_inputs):
     mel, tokens = sample_inputs
     params, dims = converted

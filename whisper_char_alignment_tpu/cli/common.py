@@ -12,6 +12,13 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+# persistent compile cache: medium-scale programs take minutes to compile on the
+# first run; cached reruns start in seconds (override dir via JAX's own env vars)
+if not os.environ.get("WCA_NO_COMPILE_CACHE"):
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_wca"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
 from ..config import AlignConfig, ModelDims, tiny_test_dims
 from ..models import convert, whisper as wmodel
 from ..text.tokenizer import WhisperTokenizer, get_test_tokenizer, get_tokenizer

@@ -233,8 +233,34 @@ def load_npz(path: str) -> Tuple[Dict[str, Any], ModelDims]:
     return _unflatten(flat), dims
 
 
+# ---------------------------------------------------------------------------
+# Orbax (directory checkpoints; useful on multi-host / GCS)
+# ---------------------------------------------------------------------------
+
+def save_orbax(path: str, params: Dict[str, Any], dims: ModelDims) -> None:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    payload = {"params": params,
+               "dims": {f: getattr(dims, f) for f in ModelDims.__dataclass_fields__}}
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, payload, force=True)
+
+
+def load_orbax(path: str) -> Tuple[Dict[str, Any], ModelDims]:
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(path)
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = ckptr.restore(path)
+    dims = ModelDims(**{k: int(v) for k, v in payload["dims"].items()})
+    return payload["params"], dims
+
+
 def load_checkpoint(path: str) -> Tuple[Dict[str, Any], ModelDims]:
-    """Dispatch on file extension: .pt (OpenAI), .npz (ours)."""
+    """Dispatch: .pt (OpenAI), .npz (ours), directory (Orbax)."""
+    if os.path.isdir(path):
+        return load_orbax(path)
     ext = os.path.splitext(path)[1]
     if ext == ".pt":
         return load_openai_checkpoint(path)
