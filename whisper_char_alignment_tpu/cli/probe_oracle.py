@@ -48,6 +48,7 @@ def _per_head_jump_frames(attn, token_len, frame_len, sot_len: int):
 def infer_dataset(args) -> dict:
     params, dims, tok = common.load_model_and_tokenizer(args)
     cfg = common.config_from_args(args)
+    cfg.batch_size = 1  # the probe is per-utterance; avoid padding to a full batch
     pipe = AlignmentPipeline(params, dims, tok, cfg, compute_dtype=(
         jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32))
     dataset = DATASETS[args.dataset](args.scp, n_mels=args.n_mels)

@@ -1,0 +1,50 @@
+"""Multi-host initialization for dataset sweeps (SURVEY.md §2c / §5).
+
+Single-host is the default and needs nothing. For multi-host sweeps (e.g.
+probe_oracle over a large corpus on a pod slice), call :func:`initialize` first:
+JAX wires hosts over DCN, each host runs the pipeline on its shard of the scp,
+and scalar metric counters are reduced with :func:`allreduce_counters`.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import numpy as np
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed (no-op when unconfigured single-host)."""
+    import jax
+
+    if num_processes in (None, 1):
+        return
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def shard_entries(entries, process_index: Optional[int] = None,
+                  process_count: Optional[int] = None):
+    """Round-robin shard of scp entries for this host."""
+    import jax
+
+    pi = jax.process_index() if process_index is None else process_index
+    pc = jax.process_count() if process_count is None else process_count
+    return entries[pi::pc]
+
+
+def allreduce_counters(counters: Dict[str, float]) -> Dict[str, float]:
+    """Sum scalar metric counters (tp/fp/fn/...) across hosts via a psum on the
+    global device mesh; identity on single-host."""
+    import jax
+    import jax.numpy as jnp
+
+    if jax.process_count() == 1:
+        return dict(counters)
+    keys = sorted(counters)
+    local = jnp.asarray([float(counters[k]) for k in keys], jnp.float32)
+    summed = jax.experimental.multihost_utils.process_allgather(local).sum(0)
+    return {k: float(v) for k, v in zip(keys, np.asarray(summed))}
