@@ -150,8 +150,11 @@ class AlignmentPipeline:
             text_tokens = retokenize.encode(tr_norm, tok, cfg.aligned_unit_type)
             tokens = [*tok.sot_sequence, tok.no_timestamps, *text_tokens, tok.eot]
             max_frames = u.duration // constants.AUDIO_SAMPLES_PER_TOKEN
+            # reference guards (infer_ali.py:78-81); the token cap also respects
+            # the model's own context for sub-standard test dims
             skip = (max_frames > constants.MAX_FRAMES
-                    or len(tokens) > constants.MAX_LENGTH)
+                    or len(tokens) > min(constants.MAX_LENGTH,
+                                         self.dims.n_text_ctx))
             prepared.append((u, tr_norm, text_norm, text_tokens, tokens,
                              int(max_frames), skip))
 
