@@ -31,10 +31,12 @@ def test_entry_compiles_single_chip_tinyshapes(eight_devices):
     import __graft_entry__ as g
     dims = tiny_test_dims(n_vocab=128, n_audio_ctx=32, n_text_ctx=16)
     params = wmodel.init_params(jax.random.PRNGKey(0), dims)
-    fn = g._align_fn(params, dims, sot_len=3, medfilt_width=3, topk=2)
+    fn = g._align_fn(dims, sot_len=3, medfilt_width=3, topk=2,
+                     compute_dtype=jnp.float32)
     mel = jnp.zeros((1, dims.n_mels, 2 * dims.n_audio_ctx))
     tokens = jnp.zeros((1, 12), jnp.int32)
-    jf, logits = jax.jit(fn)(mel, tokens, jnp.asarray([12]), jnp.asarray([32]))
+    jf, logits = jax.jit(fn)(params, mel, tokens, jnp.asarray([12]),
+                             jnp.asarray([32]))
     assert jf.shape[0] == 1 and logits.shape[:2] == (1, 12)
 
 
