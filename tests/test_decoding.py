@@ -125,6 +125,30 @@ def test_first_sampled_token_is_timestamp_within_cap(setup):
             assert first_full <= tok.timestamp_begin + 50
 
 
+def test_language_none_autodetects(setup):
+    """language=None triggers detection, and decoding proceeds with each item's
+    detected language token in its sot sequence (published decode behavior)."""
+    tok, dims, params, mel = setup
+    res = decoding.decode(params, dims, tok, jnp.asarray(mel),
+                          decoding.DecodingOptions(language=None, sample_len=6))
+    det = decoding.detect_language(params, dims, tok, jnp.asarray(mel))
+    for r, (code, _) in zip(res, det):
+        assert r.language == code
+        explicit = decoding.decode(
+            params, dims, tok, jnp.asarray(mel),
+            decoding.DecodingOptions(language=code, sample_len=6))
+        # items whose detected language equals `code` must match the explicit run
+    # cross-check item 0 fully against an explicit-language decode
+    code0 = det[0][0]
+    explicit = decoding.decode(
+        params, dims, tok, jnp.asarray(mel),
+        decoding.DecodingOptions(language=code0, sample_len=6))
+    if all(c == code0 for c, _ in det):
+        assert [r.tokens for r in res] == [r.tokens for r in explicit]
+    else:
+        assert res[0].tokens == explicit[0].tokens
+
+
 def test_detect_language_runs(setup):
     tok, dims, params, mel = setup
     code, probs = decoding.detect_language(params, dims, tok, jnp.asarray(mel[0]))

@@ -100,8 +100,9 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
     cache = wmodel.init_kv_cache(dims, b, total, dtype=compute_dtype)
 
     tokens0 = jnp.full((b, total), eot, jnp.int32)
-    tokens0 = jax.lax.dynamic_update_slice(
-        tokens0, jnp.broadcast_to(prompt[None], (b, sample_begin)), (0, 0))
+    prompt2d = prompt if prompt.ndim == 2 else jnp.broadcast_to(
+        prompt[None], (b, sample_begin))  # per-item prompts (detected language)
+    tokens0 = jax.lax.dynamic_update_slice(tokens0, prompt2d, (0, 0))
 
     def apply_filters(logits, i, tokens, has_ts, last_ts_tok):
         """i = current position being *predicted* (the new token's index)."""
@@ -195,11 +196,33 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
     if single:
         mel = mel[None]
 
+    detected_langs = None
+    if (options.language is None and tokenizer.is_multilingual
+            and len(tokenizer.sot_sequence) >= 2):
+        # published behavior: detect the language first, then decode with the
+        # detected token in each item's sot sequence
+        det = detect_language(params, dims, tokenizer, mel,
+                              compute_dtype=compute_dtype)
+        detected_langs = [c for c, _ in det]
+
     if options.without_timestamps:
         prompt = list(tokenizer.sot_sequence_including_notimestamps)
     else:
         prompt = list(tokenizer.sot_sequence)
     sample_begin = len(prompt)
+    prompt_arr = np.asarray(prompt, np.int32)
+    codes = tokenizer.all_language_codes
+    lang_pos = 1  # sot, language, task[, notimestamps]
+    if (options.language is not None and tokenizer.is_multilingual
+            and sample_begin >= 2 and options.language in codes):
+        # decode in the requested language even if the tokenizer was built with
+        # a different default (published decode builds its tokenizer per options)
+        prompt_arr = prompt_arr.copy()
+        prompt_arr[lang_pos] = tokenizer.sot + 1 + codes.index(options.language)
+    if detected_langs is not None:
+        prompt_arr = np.tile(prompt_arr[None], (mel.shape[0], 1))
+        for i, code in enumerate(detected_langs):
+            prompt_arr[i, lang_pos] = tokenizer.sot + 1 + codes.index(code)
     sample_len = options.sample_len or dims.n_text_ctx // 2
 
     suppress = _get_suppress_tokens(tokenizer, options)
@@ -215,7 +238,7 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         max_initial_ts_index = round(options.max_initial_timestamp / 0.02)
 
     tokens, sum_lp, ns_prob = _decode_loop(
-        params, dims, jnp.asarray(mel), jnp.asarray(prompt, jnp.int32),
+        params, dims, jnp.asarray(mel), jnp.asarray(prompt_arr),
         jnp.asarray(suppress_mask), jnp.asarray(blank_mask),
         sample_begin=sample_begin, max_steps=sample_len,
         ts_begin=tokenizer.timestamp_begin, eot=tokenizer.eot,
@@ -228,8 +251,9 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
     sum_lp = np.asarray(sum_lp)
     ns_prob = np.asarray(ns_prob)
     results = []
-    lang = options.language or (tokenizer.language or "en")
     for k in range(tokens.shape[0]):
+        lang = (detected_langs[k] if detected_langs is not None
+                else options.language or (tokenizer.language or "en"))
         seq = tokens[k, sample_begin:].tolist()
         if tokenizer.eot in seq:
             seq = seq[:seq.index(tokenizer.eot)]
