@@ -1,0 +1,85 @@
+"""Integration parity: the batched, padded, bucketed pipeline must produce exactly
+the same boundaries as the single-utterance reference-style flow (get_attentions +
+force_align per utterance), for mixed-length batches and both unit types."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_char_alignment_tpu import constants
+from whisper_char_alignment_tpu.align import timing
+from whisper_char_alignment_tpu.audio.mel import log_mel_spectrogram, pad_or_trim
+from whisper_char_alignment_tpu.config import AlignConfig, tiny_test_dims
+from whisper_char_alignment_tpu.data.dataset import Utterance
+from whisper_char_alignment_tpu.models import whisper as wmodel
+from whisper_char_alignment_tpu.runner import AlignmentPipeline
+from whisper_char_alignment_tpu.text import retokenize
+from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+
+TRANSCRIPTS = ["hello world", "the quick brown fox", "greasy wash water"]
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=48, n_text_ctx=64,
+                          state=16, head=2, layers=2)
+    params = wmodel.init_params(jax.random.PRNGKey(7), dims)
+    rng = np.random.default_rng(0)
+    utts = []
+    for i, seconds in enumerate([0.51, 0.29, 0.40]):
+        n = int(16000 * seconds)
+        audio = rng.normal(0, 0.1, n).astype(np.float32)
+        utts.append(Utterance(audio=audio, duration=n, text="a b",
+                              starts=[0.0], ends=[0.1], fid=f"u{i}"))
+    return tok, dims, params, utts
+
+
+def single_utterance_flow(tok, dims, params, utt, transcription,
+                          aligned_unit_type, aggregation, topk):
+    """The reference README flow, one utterance at a time, no batching."""
+    n_samples = 2 * dims.n_audio_ctx * constants.HOP_LENGTH
+    audio = np.asarray(pad_or_trim(utt.audio, n_samples))
+    mel = log_mel_spectrogram(jnp.asarray(audio)[None])
+    tr_norm = retokenize.remove_punctuation(transcription)
+    text_tokens = retokenize.encode(tr_norm, tok, aligned_unit_type)
+    tokens = [*tok.sot_sequence, tok.no_timestamps, *text_tokens, tok.eot]
+    max_frames = min(max(utt.duration // 320, 1), dims.n_audio_ctx)
+    attn, _ = timing.get_attentions(
+        params, dims, mel, jnp.asarray([tokens], jnp.int32),
+        jnp.asarray([len(tokens)], jnp.int32),
+        jnp.asarray([max_frames], jnp.int32), medfilt_width=3)
+    ws = np.asarray(attn)[:, 0]  # (L, H, T, F)
+    words, starts, ends, matrix, scores = timing.force_align(
+        ws, text_tokens, tok, aligned_unit_type=aligned_unit_type,
+        aggregation=aggregation, topk=topk, frame_len=int(max_frames))
+    return words, starts, ends
+
+
+@pytest.mark.parametrize("unit,aggr,topk", [
+    ("char", "topk", 3), ("subword", "mean", -1)])
+def test_batched_pipeline_equals_single_flow(setup, unit, aggr, topk, monkeypatch):
+    tok, dims, params, utts = setup
+    cfg = AlignConfig(aligned_unit_type=unit, aggr=aggr, topk=topk,
+                      medfilt_width=3, batch_size=3)
+    pipe = AlignmentPipeline(params, dims, tok, cfg)
+
+    orig = AlignmentPipeline.transcribe_batch
+
+    def fake(self, batch):
+        _, mel = orig(self, batch)
+        return TRANSCRIPTS[:len(batch)], mel
+
+    monkeypatch.setattr(AlignmentPipeline, "transcribe_batch", fake)
+    batched = pipe.align_batch(utts)
+
+    for utt, transcription, res in zip(utts, TRANSCRIPTS, batched):
+        words, starts, ends = single_utterance_flow(
+            tok, dims, params, utt, transcription, unit, aggr, topk)
+        assert res.words == words, f"{utt.fid} ({unit}/{aggr})"
+        np.testing.assert_array_equal(res.start_times, starts,
+                                      err_msg=f"{utt.fid} starts")
+        np.testing.assert_array_equal(res.end_times, ends,
+                                      err_msg=f"{utt.fid} ends")
