@@ -33,11 +33,13 @@ from ..ops import dtw as dtw_ops
 # ---------------------------------------------------------------------------
 
 @functools.partial(jax.jit, static_argnames=("dims", "medfilt_width",
-                                             "compute_dtype", "attn_dtype"))
+                                             "compute_dtype", "attn_dtype",
+                                             "return_logits"))
 def get_attentions(params, dims: ModelDims, mel: jax.Array, tokens: jax.Array,
                    token_len: jax.Array, frame_len: jax.Array,
                    medfilt_width: int = 7, qk_scale=1.0,
-                   compute_dtype=jnp.float32, attn_dtype=jnp.float32):
+                   compute_dtype=jnp.float32, attn_dtype=jnp.float32,
+                   return_logits: bool = True):
     """Teacher-forced forward returning processed cross-attention maps.
 
     mel (B, n_mels, 2*n_audio_ctx); tokens (B, T) padded with eot;
@@ -49,7 +51,7 @@ def get_attentions(params, dims: ModelDims, mel: jax.Array, tokens: jax.Array,
     logits, attn = wmodel.decode_text(
         params, dims, tokens, xa, return_qk=True, compute_dtype=compute_dtype,
         medfilt_width=medfilt_width, frame_len=frame_len, token_len=token_len,
-        qk_scale=qk_scale, attn_dtype=attn_dtype)
+        qk_scale=qk_scale, attn_dtype=attn_dtype, return_logits=return_logits)
     return attn, logits
 
 

@@ -296,13 +296,15 @@ def qk_to_attention(qk: jax.Array, frame_len: jax.Array, token_len: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=(
-    "dims", "return_qk", "compute_dtype", "medfilt_width", "attn_dtype"))
+    "dims", "return_qk", "compute_dtype", "medfilt_width", "attn_dtype",
+    "return_logits"))
 def decode_text(params: Params, dims: ModelDims, tokens: jax.Array, xa: jax.Array,
                 return_qk: bool = True, compute_dtype=jnp.float32,
                 medfilt_width: Optional[int] = None,
                 frame_len: Optional[jax.Array] = None,
                 token_len: Optional[jax.Array] = None,
-                qk_scale=1.0, attn_dtype=jnp.float32):
+                qk_scale=1.0, attn_dtype=jnp.float32,
+                return_logits: bool = True):
     """TextDecoder teacher-forced over the full token sequence.
 
     tokens (B, T) int32, xa (B, F, d) encoder output.
@@ -328,6 +330,9 @@ def decode_text(params: Params, dims: ModelDims, tokens: jax.Array, xa: jax.Arra
 
     x, qks = jax.lax.scan(step, x, dp["blocks"])
     x = _layer_norm(dp["ln"], x)
+    if not return_logits:
+        # alignment-only callers skip the (B, T, vocab) projection entirely
+        return None, qks
     logits = jnp.dot(x.astype(jnp.float32), dp["tok_emb"].T.astype(jnp.float32),
                      preferred_element_type=jnp.float32)
     return logits, qks

@@ -53,10 +53,10 @@ def _align_step(params, dims: ModelDims, mel, tokens, token_len, frame_len,
                 w_colnorm, w_rownorm, w_coverage, sot_len: int,
                 compute_dtype=jnp.float32, return_matrix: bool = False):
     """Fused capture + head-select + aggregate + DTW for one padded batch."""
-    attn, logits = timing.get_attentions(
+    attn, _ = timing.get_attentions(
         params, dims, mel, tokens, token_len, frame_len,
         medfilt_width=medfilt_width, qk_scale=qk_scale,
-        compute_dtype=compute_dtype)
+        compute_dtype=compute_dtype, return_logits=False)
     jump_frames, matrix, scores = timing.force_align_batch(
         attn, token_len, frame_len, sot_len, aggregation, topk,
         w_colnorm, w_rownorm, w_coverage)
