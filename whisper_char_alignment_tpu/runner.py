@@ -66,6 +66,12 @@ def _align_step(params, dims: ModelDims, mel, tokens, token_len, frame_len,
 
 @functools.partial(jax.jit, static_argnames=("dims", "compute_dtype"))
 def _mel_step(audio, dims: ModelDims, compute_dtype=jnp.float32):
+    import os
+
+    if os.environ.get("WCA_MEL_IMPL") == "pallas":
+        from .ops.mel_pallas import log_mel_pallas
+
+        return log_mel_pallas(audio, n_mels=dims.n_mels).astype(compute_dtype)
     return log_mel_spectrogram(audio, n_mels=dims.n_mels).astype(compute_dtype)
 
 
