@@ -15,6 +15,7 @@ WCA_MEL_IMPL=pallas or call it directly.
 from __future__ import annotations
 
 import functools
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -44,13 +45,15 @@ def _mel_kernel(frames_ref, window_ref, cos_ref, sin_ref, melt_ref, out_ref):
 
 @functools.partial(jax.jit, static_argnames=("n_mels", "interpret"))
 def log_mel_pallas(audio: jax.Array, n_mels: int = constants.N_MELS,
-                   interpret: bool = False) -> jax.Array:
+                   interpret: Optional[bool] = None) -> jax.Array:
     """Whisper log-mel via the fused Pallas kernel.
 
     audio: (B, n_samples) float32, already pad_or_trim'd. Returns
     (B, n_mels, n_samples // HOP), identical semantics to
     ``audio.mel.log_mel_spectrogram``.
     """
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"  # CPU supports interpret only
     assert n_mels <= _NMELS_PAD
     bsz, n_samples = audio.shape
     n_frames = n_samples // _HOP
