@@ -203,6 +203,25 @@ def test_npz_roundtrip(tmp_path, converted):
         np.testing.assert_array_equal(flat_a[k], flat_b[k])
 
 
+def test_safetensors_roundtrip_with_shape_inference(tmp_path, hf_model, converted):
+    from safetensors.numpy import save_file
+
+    params, dims = converted
+    sd = {k: v.detach().numpy() for k, v in hf_model.state_dict().items()}
+    path = str(tmp_path / "m.safetensors")
+    save_file(sd, path)
+    p2, dims2 = convert.load_checkpoint(path)
+    assert (dims2.n_audio_state, dims2.n_audio_layer, dims2.n_text_layer,
+            dims2.n_vocab, dims2.n_mels) == (
+        dims.n_audio_state, dims.n_audio_layer, dims.n_text_layer,
+        dims.n_vocab, dims.n_mels)
+    fa = convert._flatten(jax.tree.map(np.asarray, params))
+    fb = convert._flatten(p2)
+    assert set(fa) == set(fb)
+    for k in fa:
+        np.testing.assert_allclose(fa[k], fb[k], atol=1e-6, err_msg=k)
+
+
 def test_orbax_roundtrip(tmp_path, converted):
     params, dims = converted
     p = jax.tree.map(np.asarray, params)

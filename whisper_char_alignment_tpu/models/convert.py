@@ -192,6 +192,38 @@ def load_safetensors(path: str, dims: ModelDims) -> Dict[str, Any]:
     return from_hf_state_dict(load_file(path), dims)
 
 
+def dims_from_hf_shapes(sd: Dict[str, Any]) -> ModelDims:
+    """Infer ModelDims from an HF-layout state dict's tensor shapes.
+
+    Head counts are not derivable from shapes alone; they come from the published
+    size table (unique per (d_model, n_layers))."""
+    pre = "model." if any(k.startswith("model.") for k in sd) else ""
+    tok_emb = sd[f"{pre}decoder.embed_tokens.weight"]
+    n_vocab, d_model = tok_emb.shape
+    n_mels = sd[f"{pre}encoder.conv1.weight"].shape[1]
+    li = 3 if pre else 2  # ["model",] "encoder", "layers", "<idx>", ...
+    enc_layers = len({k.split(".")[li] for k in sd
+                      if k.startswith(f"{pre}encoder.layers.")})
+    dec_layers = len({k.split(".")[li] for k in sd
+                      if k.startswith(f"{pre}decoder.layers.")})
+    n_audio_ctx = sd[f"{pre}encoder.embed_positions.weight"].shape[0]
+    n_text_ctx = sd[f"{pre}decoder.embed_positions.weight"].shape[0]
+    from ..config import MODEL_DIMS
+
+    for d in MODEL_DIMS.values():
+        if (d.n_audio_state, d.n_audio_layer, d.n_text_layer) == (
+                d_model, enc_layers, dec_layers):
+            n_head = d.n_audio_head
+            break
+    else:
+        n_head = max(1, d_model // 64)  # whisper uses 64-dim heads throughout
+    return ModelDims(n_mels=n_mels, n_audio_ctx=n_audio_ctx,
+                     n_audio_state=d_model, n_audio_head=n_head,
+                     n_audio_layer=enc_layers, n_vocab=n_vocab,
+                     n_text_ctx=n_text_ctx, n_text_state=d_model,
+                     n_text_head=n_head, n_text_layer=dec_layers)
+
+
 # ---------------------------------------------------------------------------
 # npz round-trip (our own fast format)
 # ---------------------------------------------------------------------------
@@ -258,7 +290,7 @@ def load_orbax(path: str) -> Tuple[Dict[str, Any], ModelDims]:
 
 
 def load_checkpoint(path: str) -> Tuple[Dict[str, Any], ModelDims]:
-    """Dispatch: .pt (OpenAI), .npz (ours), directory (Orbax)."""
+    """Dispatch: .pt (OpenAI), .npz (ours), .safetensors (HF), dir (Orbax)."""
     if os.path.isdir(path):
         return load_orbax(path)
     ext = os.path.splitext(path)[1]
@@ -266,4 +298,10 @@ def load_checkpoint(path: str) -> Tuple[Dict[str, Any], ModelDims]:
         return load_openai_checkpoint(path)
     if ext == ".npz":
         return load_npz(path)
+    if ext == ".safetensors":
+        from safetensors.numpy import load_file
+
+        sd = load_file(path)
+        dims = dims_from_hf_shapes(sd)
+        return from_hf_state_dict(sd, dims), dims
     raise ValueError(f"unsupported checkpoint format: {path}")
