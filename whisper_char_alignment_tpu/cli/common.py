@@ -63,6 +63,9 @@ def add_tpu_flags(parser: argparse.ArgumentParser) -> None:
                         help="bucket decode cross-attention K/V to the batch's "
                              "true frames rounded up to this multiple (0 = full "
                              "30s window, reference-exact)")
+    parser.add_argument("--decode_kv_int8", action="store_true",
+                        help="int8-quantize decode cross-attention K/V (halves "
+                             "the decode HBM stream; small accuracy risk)")
     parser.add_argument("--profile", action="store_true",
                         help="print per-stage wall-time summary at the end")
     parser.add_argument("--trace_dir", type=str, default=None,

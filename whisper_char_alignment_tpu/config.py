@@ -155,6 +155,9 @@ class AlignConfig:
     # frame count rounded up to this multiple (0 = attend over the full padded
     # 30 s window, exactly like the reference)
     decode_frame_bucket: int = 0
+    # opt-in decode speedup: int8-quantized cross-attention K/V (halves the
+    # decode loop's HBM stream; small transcript-accuracy risk)
+    decode_kv_int8: bool = False
 
     @classmethod
     def recommended(cls, **overrides) -> "AlignConfig":

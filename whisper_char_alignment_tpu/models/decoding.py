@@ -75,13 +75,13 @@ def _get_suppress_tokens(tokenizer, options: DecodingOptions) -> Tuple[int, ...]
 @functools.partial(jax.jit, static_argnames=(
     "dims", "sample_begin", "max_steps", "ts_begin", "eot", "no_timestamps",
     "no_speech", "max_initial_ts_index", "use_timestamps", "compute_dtype",
-    "kv_frames"))
+    "kv_frames", "kv_int8"))
 def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
                  *, sample_begin: int, max_steps: int, ts_begin: int, eot: int,
                  no_timestamps: int, no_speech: int,
                  max_initial_ts_index: Optional[int],
                  use_timestamps: bool, compute_dtype=jnp.float32,
-                 kv_frames: Optional[int] = None):
+                 kv_frames: Optional[int] = None, kv_int8: bool = False):
     """Returns (tokens (B, L), sum_logprobs (B,), no_speech_probs (B,))."""
     b = mel.shape[0]
     n_vocab = dims.n_vocab
@@ -96,7 +96,8 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
         # bit-identical to the reference, which attends over the padded silence.
         xa = xa[:, :kv_frames]
     cross_kv = wmodel.precompute_cross_kv(params, dims, xa,
-                                          compute_dtype=compute_dtype)
+                                          compute_dtype=compute_dtype,
+                                          quantize=kv_int8)
     cache = wmodel.init_kv_cache(dims, b, total, dtype=compute_dtype)
 
     tokens0 = jnp.full((b, total), eot, jnp.int32)
@@ -187,7 +188,8 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
 def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
            options: Optional[DecodingOptions] = None,
            compute_dtype=jnp.float32,
-           kv_frames: Optional[int] = None) -> List[DecodingResult]:
+           kv_frames: Optional[int] = None,
+           kv_int8: bool = False) -> List[DecodingResult]:
     """Transcribe a batch of mels. mel: (B, n_mels, 2*n_audio_ctx) or single
     (n_mels, frames). Returns one DecodingResult per utterance (a single result
     for unbatched input, like the published API)."""
@@ -245,7 +247,7 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         no_timestamps=tokenizer.no_timestamps, no_speech=tokenizer.no_speech,
         max_initial_ts_index=max_initial_ts_index,
         use_timestamps=not options.without_timestamps,
-        compute_dtype=compute_dtype, kv_frames=kv_frames)
+        compute_dtype=compute_dtype, kv_frames=kv_frames, kv_int8=kv_int8)
 
     tokens = np.asarray(tokens)
     sum_lp = np.asarray(sum_lp)

@@ -362,16 +362,21 @@ def init_kv_cache(dims: ModelDims, batch: int, max_len: int,
     return {"k": jnp.zeros(shape, dtype), "v": jnp.zeros(shape, dtype)}
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype"))
+@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype", "quantize"))
 def precompute_cross_kv(params: Params, dims: ModelDims, xa: jax.Array,
-                        compute_dtype=jnp.float32):
+                        compute_dtype=jnp.float32, quantize: bool = False):
     """Cross-attention K/V for every decoder layer, stored transposed as
     (L, B, H, hd, F) each.
 
     Layout note: head_dim (64) on the last axis would be padded to the 128-lane
     tile — a 2x HBM cost on the tensor the decode loop re-reads every step. With
     (hd, F) as the trailing dims both matmuls of the step contract over F and
-    nothing is padded."""
+    nothing is padded.
+
+    ``quantize=True`` stores K/V as int8 with a per-(layer, item, head, frame)
+    f32 scale — the decode loop is bound by streaming these tensors from HBM
+    every step, so int8 halves its floor; opt-in (small transcript-accuracy
+    risk; the alignment capture path is unaffected)."""
     xa = xa.astype(compute_dtype)
 
     def step(_, bp):
@@ -381,7 +386,20 @@ def precompute_cross_kv(params: Params, dims: ModelDims, xa: jax.Array,
         return None, (k.transpose(0, 1, 3, 2), v.transpose(0, 1, 3, 2))
 
     _, (ks, vs) = jax.lax.scan(step, None, params["decoder"]["blocks"])
-    return ks, vs
+    if not quantize:
+        return ks, vs
+
+    def quant(x):
+        # scale over the 64-wide head_dim axis, per frame column
+        amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=3, keepdims=True)
+        scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+        q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127
+                     ).astype(jnp.int8)
+        return q, scale
+
+    kq, k_s = quant(ks)
+    vq, v_s = quant(vs)
+    return (kq, k_s), (vq, v_s)
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "compute_dtype"))
@@ -428,14 +446,23 @@ def decode_step(params: Params, dims: ModelDims, tokens: jax.Array, pos: jax.Arr
                                     ).astype(compute_dtype))
         x = x + _linear(bp["attn"]["out"], a)
 
-        # cross-attention against the transposed (B, H, hd, F) K/V
+        # cross-attention against the transposed (B, H, hd, F) K/V; int8 K/V
+        # dequantizes on read (the convert fuses into the operand load)
+        def dequant(c):
+            if isinstance(c, tuple):
+                q8, s = c
+                return q8.astype(compute_dtype) * s.astype(compute_dtype)
+            return c.astype(compute_dtype)
+
+        ck_d = dequant(ck)
+        cv_d = dequant(cv)
         hc = _layer_norm(bp["cross_attn_ln"], x)
         qc = _split_heads(_linear(bp["cross_attn"]["q"], hc),
                           dims.n_text_head) * scale  # (B, H, 1, hd)
-        qkc = jnp.einsum("bhtd,bhdf->bhtf", qc, ck * scale,
+        qkc = jnp.einsum("bhtd,bhdf->bhtf", qc, ck_d * scale,
                          preferred_element_type=jnp.float32)
         wc = jax.nn.softmax(qkc, axis=-1).astype(compute_dtype)
-        oc = jnp.einsum("bhtf,bhdf->bhtd", wc, cv,
+        oc = jnp.einsum("bhtf,bhdf->bhtd", wc, cv_d,
                         preferred_element_type=jnp.float32).astype(compute_dtype)
         x = x + _linear(bp["cross_attn"]["out"], _merge_heads(oc))
         h2 = _layer_norm(bp["mlp_ln"], x)
@@ -444,8 +471,7 @@ def decode_step(params: Params, dims: ModelDims, tokens: jax.Array, pos: jax.Arr
         return (x + h2, layer + 1), (k_new, v_new)
 
     (x, _), (k_news, v_news) = jax.lax.scan(
-        step, (x, 0), (dp["blocks"], cross_ks.astype(compute_dtype),
-                       cross_vs.astype(compute_dtype)))
+        step, (x, 0), (dp["blocks"], cross_ks, cross_vs))
     new_cache = {
         "k": jax.lax.dynamic_update_slice(
             cache["k"], k_news.transpose(0, 1, 2, 4, 3).astype(cache["k"].dtype),

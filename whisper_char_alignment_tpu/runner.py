@@ -137,7 +137,8 @@ class AlignmentPipeline:
             results = decoding.decode(self.params, self.dims, self.tokenizer,
                                       mel, self.options,
                                       compute_dtype=self.compute_dtype,
-                                      kv_frames=kv_frames)
+                                      kv_frames=kv_frames,
+                                      kv_int8=self.cfg.decode_kv_int8)
         return [r.text for r in results[:len(utts)]], mel
 
     def align_batch(self, utts: Sequence[Utterance],
