@@ -9,11 +9,11 @@ head selection -> column-normalized aggregation -> batched DTW + jump extraction
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md) and the PyTorch
-reference cannot run in this image (no openai-whisper package). The baseline is the
-driver-defined target denominator: reference CPU alignment throughput for
-Whisper-medium, estimated at 0.033 utts/sec (~30 s per utterance for autoregressive
-decode + teacher-forced forward of a 24-layer 1024-d model on CPU). Override with
-WCA_BENCH_BASELINE=<utts/sec> when a measured reference number exists.
+reference cannot run in this image (no openai-whisper package). The denominator is
+MEASURED with a faithful torch-CPU reference-equivalent at identical shapes
+(scripts/measure_cpu_baseline.py: HF torch Whisper-medium, eager per-utterance, one
+CPU thread, same decode/capture/medfilt/top-k/DTW workload): 0.0250 utts/sec
+(40 s per utterance). Override with WCA_BENCH_BASELINE=<utts/sec>.
 """
 
 import json
@@ -44,7 +44,7 @@ BATCH = int(os.environ.get("WCA_BENCH_BATCH", "32"))
 T_BUCKET = int(os.environ.get("WCA_BENCH_TOKENS", "96"))
 DECODE_LEN = int(os.environ.get("WCA_BENCH_DECODE_LEN", "32"))
 N_ITERS = int(os.environ.get("WCA_BENCH_ITERS", "5"))
-BASELINE = float(os.environ.get("WCA_BENCH_BASELINE", "0.033"))
+BASELINE = float(os.environ.get("WCA_BENCH_BASELINE", "0.0250"))
 
 
 def log(msg):
