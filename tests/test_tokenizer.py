@@ -211,6 +211,30 @@ def test_get_tokenizer_language_aliases():
         get_tokenizer(True, language="klingon", tokenizer_dir="/nonexistent")
 
 
+def test_gpt2_vocab_json_loader(tmp_path):
+    """vocab.json (unicode-mapped strings) must load to the same ranks as the
+    tiktoken format."""
+    import json
+
+    ranks = bpe_mod.toy_ranks()
+    b2u = bpe_mod._bytes_to_unicode()
+    vocab = {"".join(b2u[b] for b in k): v for k, v in ranks.items()}
+    p = tmp_path / "vocab.json"
+    with open(p, "w", encoding="utf-8") as f:
+        json.dump(vocab, f, ensure_ascii=False)
+    loaded = bpe_mod.ByteBPE.from_gpt2_files(str(p))
+    assert loaded.ranks == ranks
+    ref = bpe_mod.ByteBPE(ranks)
+    for text in ["the quick brown fox", "naïve café"]:
+        assert loaded.encode_ordinary(text) == ref.encode_ordinary(text)
+
+
+def test_bytes_to_unicode_is_reversible():
+    m = bpe_mod._bytes_to_unicode()
+    assert len(m) == 256 and len(set(m.values())) == 256
+    assert m[ord("a")] == "a" and m[32] != " "  # space remaps (not printable)
+
+
 def test_tiktoken_file_loader(tmp_path):
     import base64
     ranks = bpe_mod.toy_ranks()

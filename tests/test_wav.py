@@ -62,6 +62,52 @@ def test_numpy_vs_native_parity(tmp_path):
     np.testing.assert_allclose(y_np, y_c, atol=1e-7)
 
 
+def _write_wav(path, fmt_tag, bits, payload, channels=1, rate=16000):
+    import struct
+    with open(path, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 36 + len(payload)) + b"WAVE")
+        f.write(b"fmt " + struct.pack(
+            "<IHHIIHH", 16, fmt_tag, channels, rate,
+            rate * channels * bits // 8, channels * bits // 8, bits))
+        f.write(b"data" + struct.pack("<I", len(payload)) + payload)
+
+
+def test_pcm24_decode(tmp_path):
+    x = np.array([0.5, -0.25, 0.0, 0.999], np.float64)
+    as24 = np.clip(x * (1 << 23), -(1 << 23), (1 << 23) - 1).astype(np.int64)
+    raw = b"".join(int(v & 0xFFFFFF).to_bytes(3, "little") for v in as24)
+    p = str(tmp_path / "p24.wav")
+    _write_wav(p, 1, 24, raw)
+    y, sr = wav.load(p)
+    np.testing.assert_allclose(y[0], x, atol=1e-6)
+
+
+def test_pcm8_decode(tmp_path):
+    raw = bytes([128, 255, 0, 192])  # 0.0, ~1.0, -1.0, 0.5
+    p = str(tmp_path / "p8.wav")
+    _write_wav(p, 1, 8, raw)
+    y, sr = wav.load(p)
+    np.testing.assert_allclose(y[0], [0.0, 127 / 128, -1.0, 0.5], atol=1e-6)
+
+
+def test_pcm32_decode(tmp_path):
+    x = np.array([0.5, -0.5], np.float64)
+    raw = (x * (1 << 31)).astype("<i4").tobytes()
+    p = str(tmp_path / "p32.wav")
+    _write_wav(p, 1, 32, raw)
+    y, sr = wav.load(p)
+    np.testing.assert_allclose(y[0], x, atol=1e-6)
+
+
+def test_extensible_format_treated_as_pcm(tmp_path):
+    x = np.array([0.25, -0.75], np.float64)
+    raw = np.round(x * 32768).astype("<i2").tobytes()
+    p = str(tmp_path / "ext.wav")
+    _write_wav(p, 0xFFFE, 16, raw)
+    y, sr = wav.load(p)
+    np.testing.assert_allclose(y[0], x, atol=1e-4)
+
+
 def test_reject_garbage(tmp_path):
     p = str(tmp_path / "g.wav")
     with open(p, "wb") as f:
