@@ -149,6 +149,38 @@ def test_language_none_autodetects(setup):
         assert res[0].tokens == explicit[0].tokens
 
 
+def test_custom_suppress_token_list(setup):
+    """suppress_tokens as an explicit comma list (the non-'-1' branch) is
+    honored: those ids never appear in the output."""
+    tok, dims, params, mel = setup
+    base = decoding.decode(params, dims, tok, jnp.asarray(mel),
+                           decoding.DecodingOptions(language="en", sample_len=8))
+    banned = sorted({t for r in base for t in r.tokens
+                     if t < tok.eot})[:2]
+    if not banned:
+        pytest.skip("greedy output had no text tokens to ban")
+    opts = decoding.DecodingOptions(
+        language="en", sample_len=8,
+        suppress_tokens=",".join(str(t) for t in banned))
+    res = decoding.decode(params, dims, tok, jnp.asarray(mel), opts)
+    for r in res:
+        assert not (set(r.tokens) & set(banned))
+
+
+def test_suppress_set_construction(setup):
+    tok, dims, params, mel = setup
+    s = decoding._get_suppress_tokens(tok, decoding.DecodingOptions())
+    # specials always suppressed
+    for t in (tok.transcribe, tok.translate, tok.sot, tok.sot_prev, tok.sot_lm,
+              tok.no_speech):
+        assert t in s
+    # the non-speech symbol set is included under the "-1" default
+    assert set(tok.non_speech_tokens) <= set(s)
+    s2 = decoding._get_suppress_tokens(
+        tok, decoding.DecodingOptions(suppress_tokens="5,7"))
+    assert 5 in s2 and 7 in s2 and not (set(tok.non_speech_tokens) - {5, 7}) <= set(s2)
+
+
 def test_detect_language_runs(setup):
     tok, dims, params, mel = setup
     code, probs = decoding.detect_language(params, dims, tok, jnp.asarray(mel[0]))
