@@ -155,6 +155,34 @@ def test_single_utterance_force_align_wrapper():
     assert len(scores) == 4
 
 
+def test_grad_norm_passthrough_aggregation():
+    """'grad_norm' takes a pre-aggregated (T, F) matrix straight to DTW
+    (reference timing.py:99-100)."""
+    rng = np.random.default_rng(9)
+    qk, sot_len, t = _fake_utterance(rng, n_text=8)
+    attn = oracle_get_attentions(qk, qk.shape[-1], 3, 1.0)
+    # aggregate by hand (mean path) and feed the matrix through grad_norm
+    ws = attn / np.linalg.norm(attn, axis=-2, keepdims=True)
+    matrix = ws[ws.shape[0] // 2:].mean(axis=(0, 1))
+
+    tok = get_test_tokenizer()
+    text = "hi there"
+    text_tokens = retokenize.encode(text, tok, "char")
+    qk2, sot_len, t = _fake_utterance(rng, n_text=len(text_tokens))
+    attn2 = oracle_get_attentions(qk2, qk2.shape[-1], 3, 1.0)
+    ws2 = attn2 / np.linalg.norm(attn2, axis=-2, keepdims=True)
+    matrix2 = ws2[ws2.shape[0] // 2:].mean(axis=(0, 1))
+
+    w_a, s_a, e_a, _, _ = timing.force_align(
+        attn2, text_tokens, tok, aligned_unit_type="char", aggregation="mean")
+    w_b, s_b, e_b, _, _ = timing.force_align(
+        matrix2, text_tokens, tok, aligned_unit_type="char",
+        aggregation="grad_norm")
+    assert w_a == w_b
+    np.testing.assert_array_equal(s_a, s_b)
+    np.testing.assert_array_equal(e_a, e_b)
+
+
 def test_filter_attention_reference_compat():
     rng = np.random.default_rng(2)
     qk, sot_len, t = _fake_utterance(rng)

@@ -134,6 +134,10 @@ def aggregate_matrix(attn: jax.Array, aggregation: str, topk: int,
         n_layers = a.shape[0]
         matrix = a[n_layers // 2:].mean(axis=(0, 2))  # over layers, heads
         return matrix, None
+    if aggregation == "grad_norm":
+        # passthrough: the caller supplies an already-aggregated matrix
+        # (reference timing.py:99-100); attn is (B, T, F) here
+        return a, None
     if aggregation == "topk":
         assert topk > 0
         scores = head_scores(a, frame_len, w_colnorm, w_rownorm, w_coverage)
@@ -240,15 +244,23 @@ def force_align(ws, text_tokens, tokenizer, aligned_unit_type="subword",
     for ONE utterance (sot rows included, frames already masked/sliced).
 
     Returns (words, start_times, end_times, matrix, scores).
+
+    ``aggregation='grad_norm'`` takes ``ws`` as an already-aggregated (T, F)
+    matrix and passes it straight to DTW (reference timing.py:99-100).
     """
     ws = jnp.asarray(ws)
-    l, h, t, f = ws.shape
+    if aggregation == "grad_norm":
+        assert ws.ndim == 2, "grad_norm expects an aggregated (tokens, frames) matrix"
+        t, f = ws.shape
+        attn = ws[None]  # (1, T, F): aggregate_matrix passes it through
+    else:
+        l, h, t, f = ws.shape
+        attn = ws[:, None]  # (L, 1, H, T, F)
     if frame_len is None:
         frame_len = f
     sot_len = len(tokenizer.sot_sequence)
     token_len = jnp.asarray([t], jnp.int32)
     frame_len_a = jnp.asarray([frame_len], jnp.int32)
-    attn = ws[:, None]  # (L, 1, H, T, F)
 
     words, word_tokens, word_boundaries = words_and_boundaries(
         text_tokens, tokenizer, aligned_unit_type)
