@@ -32,7 +32,9 @@ import numpy as np
 from ..config import ModelDims
 from . import whisper as wmodel
 
-_NEG_INF = jnp.float32(-jnp.inf)
+# plain Python float (weak-typed): a jnp scalar here would initialize the
+# JAX backend at import time, before callers can force a platform
+_NEG_INF = float("-inf")
 
 
 @dataclasses.dataclass(frozen=True)

@@ -27,7 +27,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-_INF = jnp.float32(jnp.inf)
+# plain Python float (weak-typed in jnp ops): creating a jnp scalar here would
+# initialize the JAX backend at import time, before callers can force a platform
+_INF = float("inf")
 
 
 def _skew(x: jax.Array) -> jax.Array:
