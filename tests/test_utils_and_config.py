@@ -28,15 +28,37 @@ def test_model_dims_table():
     assert MODEL_DIMS["large-v3"].n_mels == 128
 
 
-def test_alignment_heads_registry_and_fallback():
+def test_alignment_heads_published_table():
+    """Every shipped model gets its published head list (reference: the decoded
+    openai-whisper _ALIGNMENT_HEADS blobs, ref timing.py:156), in-bounds for its
+    dims; `--default_whisper_timing` must therefore select the reference's heads."""
+    for name, dims in MODEL_DIMS.items():
+        heads = get_alignment_heads(name, dims)
+        assert heads, name
+        assert len(set(heads)) == len(heads), name
+        for layer, head in heads:
+            assert 0 <= layer < dims.n_text_layer, (name, layer)
+            assert 0 <= head < dims.n_text_head, (name, head)
+    # medium's published list, spot-checked verbatim
+    assert get_alignment_heads("medium", MODEL_DIMS["medium"]) == [
+        (13, 15), (15, 4), (15, 15), (16, 1), (20, 0), (23, 4)]
+    assert get_alignment_heads("tiny", MODEL_DIMS["tiny"]) == [
+        (2, 2), (3, 0), (3, 2), (3, 3), (3, 4), (3, 5)]
+
+
+def test_alignment_heads_fallback_and_override():
     dims = MODEL_DIMS["tiny"]
-    fallback = get_alignment_heads("tiny", dims)
+    fallback = get_alignment_heads("not-a-model", dims)
     # last half of the decoder layers, all heads
     assert fallback[0] == (dims.n_text_layer // 2, 0)
     assert len(fallback) == (dims.n_text_layer - dims.n_text_layer // 2
                              ) * dims.n_text_head
-    set_alignment_heads("tiny", [(1, 2), (3, 4)])
-    assert get_alignment_heads("tiny", dims) == [(1, 2), (3, 4)]
+    orig = get_alignment_heads("tiny", dims)
+    try:
+        set_alignment_heads("tiny", [(1, 2), (3, 4)])
+        assert get_alignment_heads("tiny", dims) == [(1, 2), (3, 4)]
+    finally:
+        set_alignment_heads("tiny", orig)
 
 
 def test_stage_timers():

@@ -92,12 +92,40 @@ def tiny_test_dims(n_vocab: int = 256, n_audio_ctx: int = 32, n_text_ctx: int = 
 
 # Per-model hand-picked alignment-head table used only by the baseline
 # ``default_find_alignment`` path (reference: timing.py:156 reads
-# ``model.alignment_heads``). The published table ships as opaque compressed blobs
-# inside the openai-whisper package; supply it via ``set_alignment_heads`` /
-# ``load_alignment_heads_json`` when available. When absent we fall back to all heads
-# of the last half of the decoder layers (the same head population the 'mean'
-# aggregation uses, timing.py:86-89), which keeps the baseline path functional.
-_ALIGNMENT_HEADS_REGISTRY: dict = {}
+# ``model.alignment_heads``). The (layer, head) lists below are public data: they
+# are the decoded form of the base85-gzip ``_ALIGNMENT_HEADS`` blobs shipped in
+# the openai-whisper package, as mirrored verbatim in the ``alignment_heads``
+# field of the HF ``openai/whisper-*`` ``generation_config.json`` files (and in
+# whisper.cpp / CTranslate2). Override or extend via ``set_alignment_heads`` /
+# ``load_alignment_heads_json``.
+_PUBLISHED_ALIGNMENT_HEADS = {
+    "tiny.en": [(1, 0), (2, 0), (2, 5), (3, 0), (3, 1), (3, 2), (3, 3), (3, 4)],
+    "tiny": [(2, 2), (3, 0), (3, 2), (3, 3), (3, 4), (3, 5)],
+    "base.en": [(3, 3), (4, 7), (5, 1), (5, 5), (5, 7)],
+    "base": [(3, 1), (4, 2), (4, 3), (4, 7), (5, 1), (5, 2), (5, 4), (5, 6)],
+    "small.en": [(6, 6), (7, 0), (7, 3), (7, 8), (8, 2), (8, 5), (8, 7), (9, 0),
+                 (9, 4), (9, 8), (9, 10), (10, 0), (10, 1), (10, 2), (10, 3),
+                 (11, 3), (11, 4)],
+    "small": [(5, 3), (5, 9), (8, 0), (8, 4), (8, 7), (8, 8), (9, 0), (9, 7),
+              (9, 9), (10, 5)],
+    "medium.en": [(11, 4), (14, 1), (14, 12), (14, 14), (15, 4), (16, 0),
+                  (16, 4), (16, 9), (17, 12), (17, 14), (18, 7), (18, 10),
+                  (18, 15), (20, 0), (20, 3), (20, 9), (20, 14), (21, 12)],
+    "medium": [(13, 15), (15, 4), (15, 15), (16, 1), (20, 0), (23, 4)],
+    "large-v1": [(9, 19), (11, 2), (11, 4), (11, 17), (22, 7), (22, 11),
+                 (22, 17), (23, 2), (23, 15)],
+    "large-v2": [(10, 12), (13, 17), (16, 11), (16, 12), (16, 13), (16, 15),
+                 (16, 16), (18, 4), (18, 11), (18, 19), (19, 11), (21, 2),
+                 (21, 3), (22, 3), (22, 9), (22, 12), (23, 5), (23, 7),
+                 (23, 13), (25, 5), (26, 1), (26, 12), (27, 15)],
+    "large-v3": [(7, 0), (10, 17), (12, 18), (13, 12), (16, 1), (17, 14),
+                 (19, 11), (21, 4), (24, 1), (25, 6)],
+    "large-v3-turbo": [(2, 4), (2, 11), (3, 3), (3, 6), (3, 11), (3, 14)],
+}
+_PUBLISHED_ALIGNMENT_HEADS["large"] = _PUBLISHED_ALIGNMENT_HEADS["large-v3"]
+_PUBLISHED_ALIGNMENT_HEADS["turbo"] = _PUBLISHED_ALIGNMENT_HEADS["large-v3-turbo"]
+
+_ALIGNMENT_HEADS_REGISTRY: dict = dict(_PUBLISHED_ALIGNMENT_HEADS)
 
 
 def set_alignment_heads(model_name: str, heads: Sequence[Tuple[int, int]]) -> None:
@@ -113,7 +141,12 @@ def load_alignment_heads_json(path: str) -> None:
 
 
 def get_alignment_heads(model_name: str, dims: ModelDims):
-    """Return [(layer, head), ...] for the baseline timing path."""
+    """Return [(layer, head), ...] for the baseline timing path.
+
+    Known models get the published table above (reference-equivalent). Unknown
+    model names fall back to all heads of the last half of the decoder layers
+    (the same head population the 'mean' aggregation uses, ref timing.py:86-89),
+    which keeps the baseline path functional."""
     if model_name in _ALIGNMENT_HEADS_REGISTRY:
         return list(_ALIGNMENT_HEADS_REGISTRY[model_name])
     half = dims.n_text_layer // 2
