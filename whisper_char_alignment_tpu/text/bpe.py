@@ -34,8 +34,18 @@ def _is_number(c: str) -> bool:
     return unicodedata.category(c).startswith("N")
 
 
+# `\s` in tiktoken's Rust regex engine is the Unicode White_Space property —
+# NOT Python's str.isspace(), which additionally counts the \x1c-\x1f separator
+# control characters. Using isspace() here would split whitespace runs
+# differently from the real tokenizer (fuzzed in tests/test_tiktoken_parity.py).
+_WHITE_SPACE = frozenset(
+    "\t\n\x0b\x0c\r \x85\xa0\u1680"
+    + "".join(chr(c) for c in range(0x2000, 0x200B))
+    + "\u2028\u2029\u202f\u205f\u3000")
+
+
 def _is_space(c: str) -> bool:
-    return c.isspace()
+    return c in _WHITE_SPACE
 
 
 def pre_tokenize(text: str) -> List[str]:
@@ -135,9 +145,12 @@ class ByteBPE:
     # -- core BPE ----------------------------------------------------------
 
     def _bpe_merge(self, piece: bytes) -> List[int]:
+        # whole-piece fast path, exactly like tiktoken's encode_ordinary: a piece
+        # present in the table is emitted directly without running the merge loop
+        whole = self.ranks.get(piece)
+        if whole is not None:
+            return [whole]
         parts = [piece[i:i + 1] for i in range(len(piece))]
-        if len(parts) == 1:
-            return [self.ranks[piece]]
         while True:
             best_rank = None
             best_i = -1
