@@ -1,24 +1,37 @@
-"""Headline benchmark: aligned utterances/sec/chip, Whisper-medium shapes.
+"""Headline benchmark: end-to-end corpus alignment throughput, utts/sec/chip.
 
-Measures the full production pipeline per batch on the available accelerator:
-batched log-mel -> batched greedy decode (fixed 32 sampled tokens ~= a TIMIT
-transcript) -> teacher-forced QK capture with in-scan medfilt/softmax -> top-10
-head selection -> column-normalized aggregation -> batched DTW + jump extraction
-(device) -> boundary times (host). Random weights — runtime is weight-independent.
+Drives the REAL production path (`AlignmentPipeline`, the same code behind
+cli/infer_ali) over a synthetic TIMIT-style corpus generated on the fly: host
+WAV decode -> batched log-mel -> batched greedy decode -> host punctuation
+normalization + char re-tokenization -> teacher-forced QK capture with in-scan
+medfilt/softmax -> top-10 head selection -> batched device DTW -> boundary
+times + word bookkeeping. Whisper-medium shapes, random weights (runtime is
+weight-independent), README-recommended recipe (char units, topk=10, medfilt 3).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
+Everything else goes to stderr (stage split, correctness checks, both ratios).
 
-vs_baseline: the reference repo publishes no numbers (BASELINE.md) and the PyTorch
-reference cannot run in this image (no openai-whisper package). The denominator is
-MEASURED with a faithful torch-CPU reference-equivalent at identical shapes
-(scripts/measure_cpu_baseline.py: HF torch Whisper-medium, eager per-utterance, one
-CPU thread, same decode/capture/medfilt/top-k/DTW workload): 0.0250 utts/sec
-(40 s per utterance). Override with WCA_BENCH_BASELINE=<utts/sec>.
+vs_baseline: the reference repo publishes no numbers (BASELINE.md). The
+denominator is a MEASURED torch-CPU reference-equivalent at identical shapes
+(scripts/measure_cpu_baseline.py): 0.0250 utts/sec on this image's single CPU
+core. The reference on a typical multi-core CPU box would run faster; this host
+has one core, so a default-thread re-measurement is impossible here. To avoid
+an inflated ratio, the reported vs_baseline divides by a conservative model of
+a 16-core reference with PERFECT linear scaling (16 x 0.0250 = 0.40 utts/sec);
+the measured single-core ratio is also printed to stderr. Override with
+WCA_BENCH_BASELINE=<utts/sec>.
+
+Knobs (env): WCA_BENCH_UTTS (96), WCA_BENCH_BATCH (32), WCA_BENCH_DECODE_LEN
+(32 — a real-transcript-length proxy: with random weights eot never fires, so
+the published sample_len=224 default would measure 7x the decode steps a real
+checkpoint pays; set 224 to measure the full-length decode cost),
+WCA_BENCH_TINY=1 (tiny dims smoke mode, CPU-friendly).
 """
 
 import json
 import os
 import sys
+import tempfile
 import time
 
 import numpy as np
@@ -30,82 +43,147 @@ import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_wca"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon TPU plugin ignores the env var; honor it explicitly
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 
 from whisper_char_alignment_tpu import constants
 from whisper_char_alignment_tpu.align import timing
-from whisper_char_alignment_tpu.audio.mel import log_mel_spectrogram
-from whisper_char_alignment_tpu.config import ModelDims
+from whisper_char_alignment_tpu.config import (AlignConfig, MODEL_DIMS,
+                                               tiny_test_dims)
+from whisper_char_alignment_tpu.data.dataset import TIMIT, batch_iter
+from whisper_char_alignment_tpu.data.synthetic import make_timit_corpus
 from whisper_char_alignment_tpu.models import decoding, whisper as wmodel
+from whisper_char_alignment_tpu.ops.dtw import dtw_np
+from whisper_char_alignment_tpu.runner import AlignmentPipeline
+from whisper_char_alignment_tpu.text import retokenize
 from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
 
-BATCH = int(os.environ.get("WCA_BENCH_BATCH", "32"))
-T_BUCKET = int(os.environ.get("WCA_BENCH_TOKENS", "96"))
-DECODE_LEN = int(os.environ.get("WCA_BENCH_DECODE_LEN", "32"))
-N_ITERS = int(os.environ.get("WCA_BENCH_ITERS", "5"))
-BASELINE = float(os.environ.get("WCA_BENCH_BASELINE", "0.0250"))
+TINY = os.environ.get("WCA_BENCH_TINY") == "1"
+N_UTTS = int(os.environ.get("WCA_BENCH_UTTS", "16" if TINY else "96"))
+BATCH = int(os.environ.get("WCA_BENCH_BATCH", "4" if TINY else "32"))
+DECODE_LEN = int(os.environ.get("WCA_BENCH_DECODE_LEN", "8" if TINY else "32"))
+# measured single-core torch reference (scripts/measure_cpu_baseline.py) and
+# the conservative 16-core perfect-scaling model of a multi-core reference box
+BASELINE_1CORE = 0.0250
+BASELINE = float(os.environ.get("WCA_BENCH_BASELINE", str(BASELINE_1CORE * 16)))
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+def check_alignments(alignments, max_seconds):
+    """Loud correctness gates on the benched outputs (a perf run must not
+    silently produce garbage): per-word interval sanity + monotonicity."""
+    n_checked = 0
+    for a in alignments:
+        if a.skipped or len(a.end_times) == 0:
+            continue
+        starts, ends = np.asarray(a.start_times), np.asarray(a.end_times)
+        # reference contract: words includes the trailing eot group, so there is
+        # one interval per words[:-1] (ref README.md prints zip(words[:-1], ...))
+        assert len(starts) == len(ends) == len(a.words) - 1, a.fid
+        assert np.all(starts <= ends + 1e-9), (a.fid, starts, ends)
+        assert np.all(np.diff(ends) >= -1e-9), (a.fid, ends)
+        # each word starts where the previous one ends (jump-time contract)
+        assert np.allclose(starts[1:], ends[:-1]), a.fid
+        assert ends[-1] <= max_seconds + 0.02 and starts[0] >= 0.0, a.fid
+        n_checked += 1
+    assert n_checked > 0, "no live alignments to check"
+    return n_checked
+
+
+def recompute_one_on_cpu(pipeline, batch, cfg, tok):
+    """Recompute one utterance's boundaries with the NumPy DTW oracle from the
+    aggregated matrix and assert exact equality with the device pipeline."""
+    outs = pipeline.align_batch(batch, return_matrix=True)
+    for a in outs:
+        if a.skipped or a.matrix is None or len(a.words) < 2:
+            continue
+        text_tokens = retokenize.encode(a.transcription, tok,
+                                        cfg.aligned_unit_type)
+        _, _, wb = timing.words_and_boundaries(text_tokens, tok,
+                                               cfg.aligned_unit_type)
+        if wb is None:
+            continue
+        ti, tj = dtw_np(-np.asarray(a.matrix, np.float64))
+        first_visit = np.pad(np.diff(ti), (1, 0), constant_values=1).astype(bool)
+        jump_times = tj[first_visit] / constants.TOKENS_PER_SECOND
+        np.testing.assert_allclose(a.start_times, jump_times[wb[:-1]], atol=1e-9)
+        np.testing.assert_allclose(a.end_times, jump_times[wb[1:]], atol=1e-9)
+        return a.fid
+    raise AssertionError("no utterance eligible for the CPU DTW recompute")
+
+
 def main():
-    dims = ModelDims(n_mels=80, n_audio_ctx=1500, n_audio_state=1024,
-                     n_audio_head=16, n_audio_layer=24, n_vocab=51865,
-                     n_text_ctx=448, n_text_state=1024, n_text_head=16,
-                     n_text_layer=24)
-    tok = get_test_tokenizer()
-    # the toy tokenizer's vocab is smaller than the real one; decode over the
-    # full medium vocab by padding special ids into range
-    dims_dec = dims
+    if TINY:
+        tok = get_test_tokenizer()
+        dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=128,
+                              n_text_ctx=96, state=32, head=4, layers=2)
+        model_name = "tiny-test"
+    else:
+        tok = get_test_tokenizer()
+        dims = MODEL_DIMS["medium"]
+        # the toy tokenizer's vocab is smaller than the published 51865; decode
+        # runs over the model's full vocab with the toy specials in range
+        model_name = "medium"
 
     log(f"devices: {jax.devices()}")
     params = wmodel.init_params(jax.random.PRNGKey(0), dims)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 
-    rng = np.random.default_rng(0)
-    audio = rng.normal(0, 0.1, (BATCH, constants.N_SAMPLES)).astype(np.float32)
-    audio_d = jax.device_put(audio)
+    corpus_dir = tempfile.mkdtemp(prefix="wca_bench_corpus_")
+    seconds = (1.0, 2.0) if TINY else (2.0, 7.0)
+    scp = make_timit_corpus(corpus_dir, n_utts=N_UTTS, seconds=seconds,
+                            words_per_utt=(6, 10), seed=0)
+    dataset = TIMIT(scp)
+    max_seconds = seconds[1]
 
-    sot_len = 3
-    tokens = rng.integers(0, 255, (BATCH, T_BUCKET)).astype(np.int32)
-    token_len = np.full((BATCH,), T_BUCKET - 4, np.int32)
-    frame_len = np.full((BATCH,), 300, np.int32)  # ~6 s utterances (TIMIT-like)
-    tokens_d = jax.device_put(tokens)
-    token_len_d = jax.device_put(token_len)
-    frame_len_d = jax.device_put(frame_len)
+    # use_gt_transcript: with random weights the decoded transcript is one
+    # garbage word (degenerate alignment); aligning the GT text instead gives
+    # the alignment stage a realistic char-token workload while the decode
+    # stage still runs (and is timed) at full cost
+    cfg = AlignConfig.recommended(model=model_name, batch_size=BATCH,
+                                  use_gt_transcript=True)
+    pipeline = AlignmentPipeline(params, dims, tok, cfg,
+                                 compute_dtype=jnp.bfloat16)
+    pipeline.options = decoding.DecodingOptions(language="en",
+                                                sample_len=DECODE_LEN)
 
-    options = decoding.DecodingOptions(language="en", sample_len=DECODE_LEN)
-
-    def one_batch():
-        mel = log_mel_spectrogram(audio_d).astype(jnp.bfloat16)
-        results = decoding.decode(params, dims_dec, tok, mel, options,
-                                  compute_dtype=jnp.bfloat16)
-        attn, logits = timing.get_attentions(
-            params, dims, mel, tokens_d, token_len_d, frame_len_d,
-            medfilt_width=3, qk_scale=1.0, compute_dtype=jnp.bfloat16)
-        jump_frames, _, _ = timing.force_align_batch(
-            attn, token_len_d, frame_len_d, sot_len, "topk", 10)
-        return np.asarray(jump_frames), results
-
-    log("compiling (first batch)...")
+    log(f"corpus: {N_UTTS} utts x {seconds}s, batch={BATCH}, "
+        f"decode_len={DECODE_LEN}, dims={model_name}")
+    log("warmup pass (compiles all batch signatures)...")
     t0 = time.time()
-    jf, _ = one_batch()
-    log(f"first batch (compile): {time.time() - t0:.1f}s")
-    assert jf.shape[0] == BATCH and (jf >= 0).any()
+    warm = list(pipeline.run_dataset(dataset, progress=False))
+    log(f"warmup: {time.time() - t0:.1f}s")
+    n_ok = check_alignments(warm, max_seconds)
+    log(f"correctness: {n_ok}/{len(warm)} alignments pass interval checks")
+    # the recompute path uses a different jit signature (return_matrix=True);
+    # run it before the timed pass so its compile stays out of the timing
+    fid = recompute_one_on_cpu(pipeline, list(batch_iter(dataset, BATCH))[0],
+                               cfg, tok)
+    log(f"correctness: device DTW == NumPy oracle recompute for {fid}")
 
+    pipeline.timers = type(pipeline.timers)()  # reset stage timers
     t0 = time.time()
-    for _ in range(N_ITERS):
-        jf, _ = one_batch()
+    results = list(pipeline.run_dataset(dataset, progress=False))
     wall = time.time() - t0
-    utts = N_ITERS * BATCH
-    throughput = utts / wall
-    log(f"{utts} utts in {wall:.2f}s -> {throughput:.2f} utts/sec")
+    check_alignments(results, max_seconds)
+
+    n_aligned = sum(1 for a in results if not a.skipped)
+    throughput = n_aligned / wall
+    for stage, s in pipeline.timers.summary().items():
+        log(f"stage {stage:>14s}: {s['total_s']:.2f}s total, "
+            f"{s['units_per_s']:.1f} utts/s")
+    log(f"{n_aligned} utts in {wall:.2f}s -> {throughput:.2f} utts/sec "
+        f"(vs 1-core measured ref: {throughput / BASELINE_1CORE:.0f}x; "
+        f"vs 16-core linear-scaling model: {throughput / BASELINE:.0f}x)")
 
     print(json.dumps({
-        "metric": "aligned_utts_per_sec_per_chip_whisper_medium",
+        "metric": f"e2e_pipeline_utts_per_sec_per_chip_whisper_{model_name}",
         "value": round(throughput, 3),
         "unit": "utts/sec",
         "vs_baseline": round(throughput / BASELINE, 1),

@@ -46,10 +46,13 @@ def naive_decode(params, dims, tok, mel_1, options: decoding.DecodingOptions,
     tokens = list(prompt)
     sum_lp = 0.0
     for _ in range(sample_len):
+        # pad to one fixed length so the oracle forward has a single jit
+        # signature (causal masking makes the padded tail irrelevant)
+        buf = tokens + [tok.eot] * (dims.n_text_ctx - len(tokens))
         logits_full, _ = wmodel.forward(params, dims, jnp.asarray(mel_1)[None],
-                                        jnp.asarray([tokens], jnp.int32),
+                                        jnp.asarray([buf], jnp.int32),
                                         return_qk=False)
-        logits = np.asarray(logits_full)[0, -1].astype(np.float64)
+        logits = np.asarray(logits_full)[0, len(tokens) - 1].astype(np.float64)
         logits[list(suppress)] = -np.inf
         if len(tokens) == sample_begin:
             logits[blank_ids] = -np.inf
@@ -179,6 +182,48 @@ def test_suppress_set_construction(setup):
     s2 = decoding._get_suppress_tokens(
         tok, decoding.DecodingOptions(suppress_tokens="5,7"))
     assert 5 in s2 and 7 in s2 and not (set(tok.non_speech_tokens) - {5, 7}) <= set(s2)
+
+
+def test_long_decode_224_steps_matches_naive_oracle():
+    """The published decode default is sample_len = n_text_ctx // 2 = 224 with
+    early exit (reference infer_ali.py:26 caps MAX_LENGTH=448). Exercise the
+    timestamp-rule state machine at real sampled lengths against the naive
+    per-step oracle, and check the step accounting."""
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=24, n_text_ctx=240,
+                          state=16, head=2, layers=2)
+    params = wmodel.init_params(jax.random.PRNGKey(7), dims)
+    mel = np.random.default_rng(5).normal(
+        0, 1, (1, dims.n_mels, 2 * dims.n_audio_ctx)).astype(np.float32)
+    sample_len = 224
+    options = decoding.DecodingOptions(language="en", sample_len=sample_len)
+    res = decoding.decode(params, dims, tok, jnp.asarray(mel), options)[0]
+    expect_tokens, _ = naive_decode(params, dims, tok, mel[0], options,
+                                    sample_len)
+    assert res.tokens == expect_tokens
+    # body iterations: (prompt steps) + (sampled steps incl. the eot step,
+    # capped at sample_len); no eot -> exactly sample_len sampled steps
+    sample_begin = len(tok.sot_sequence)
+    assert res.n_steps == sample_begin - 1 + min(len(expect_tokens) + 1,
+                                                 sample_len)
+
+
+def test_decode_early_exit_on_all_finished(setup):
+    """When every item samples eot immediately, the while_loop must stop after
+    the prompt + 1 sampled step even with sample_len=224 — the early-exit path
+    that makes full-length decode affordable on real transcripts."""
+    tok, dims, params, mel = setup
+    # suppress every non-special token except eot; with timestamps disabled the
+    # first sampled token can only be eot
+    banned = [str(t) for t in range(dims.n_vocab) if t != tok.eot]
+    options = decoding.DecodingOptions(
+        language="en", sample_len=223, without_timestamps=True,
+        suppress_blank=False, suppress_tokens=",".join(banned))
+    res = decoding.decode(params, dims, tok, jnp.asarray(mel), options)
+    sample_begin = len(tok.sot_sequence_including_notimestamps)
+    for r in res:
+        assert r.tokens == []
+    assert res[0].n_steps == sample_begin  # prompt steps + the eot step
 
 
 def test_detect_language_runs(setup):

@@ -1,0 +1,79 @@
+"""2-process multi-host sweep: `infer_ali --multihost` on a local jax.distributed
+CPU cluster must reproduce the single-process metrics exactly.
+
+Each process aligns its round-robin shard of the scp on its own local device
+mesh; tp/fp/fn counters are all-reduced at the end (SURVEY.md §2c). Per-utterance
+results are batch-composition-independent (masked fixed shapes), so the combined
+counters must equal a single-process run over the full corpus bit-for-bit.
+"""
+
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+from whisper_char_alignment_tpu.data.synthetic import make_timit_corpus
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _cli_argv(scp, out_dir, extra=()):
+    return [sys.executable, "-m", "whisper_char_alignment_tpu.cli.infer_ali",
+            "--dataset", "TIMIT", "--scp", scp, "--output_dir", out_dir,
+            "--aggr", "topk", "--topk", "3", "--aligned_unit_type", "char",
+            "--strict", "--tolerance", "0.05", "--medfilt_width", "3",
+            "--batch_size", "2", "--test_model", *extra]
+
+
+def _subproc_env():
+    env = dict(os.environ)
+    env["WCA_PLATFORM"] = "cpu"
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
+    return env
+
+
+def _read_metrics(out_dir):
+    jsons = [f for f in os.listdir(out_dir) if f.endswith(".json")]
+    assert len(jsons) == 1, jsons
+    with open(os.path.join(out_dir, jsons[0])) as f:
+        blob = json.load(f)
+    return {k: blob[k] for k in ("precision", "recall", "f1", "r_value")}
+
+
+def test_two_process_sweep_matches_single_process(tmp_path):
+    scp = make_timit_corpus(str(tmp_path / "corpus"), n_utts=6,
+                            seconds=(0.8, 1.4), words_per_utt=(3, 5), seed=0)
+    env = _subproc_env()
+
+    single_dir = str(tmp_path / "single")
+    os.makedirs(single_dir)
+    r = subprocess.run(_cli_argv(scp, single_dir), env=env, timeout=600,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    multi_dir = str(tmp_path / "multi")
+    os.makedirs(multi_dir)
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        extra = ["--multihost", "--coordinator_address", f"localhost:{port}",
+                 "--num_processes", "2", "--process_id", str(pid)]
+        procs.append(subprocess.Popen(
+            _cli_argv(scp, multi_dir, extra), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+
+    # only process 0 dumps the results JSON, holding the all-reduced counters
+    assert _read_metrics(multi_dir) == _read_metrics(single_dir)

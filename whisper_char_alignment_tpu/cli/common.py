@@ -24,6 +24,15 @@ from ..models import convert, whisper as wmodel
 from ..text.tokenizer import WhisperTokenizer, get_test_tokenizer, get_tokenizer
 
 
+def apply_platform_env() -> None:
+    """Honor WCA_PLATFORM=cpu|tpu before first device use. Needed because the
+    axon TPU plugin ignores the JAX_PLATFORMS env var, so subprocess-driven
+    tests (e.g. the 2-process multihost test) cannot force CPU via env alone."""
+    platform = os.environ.get("WCA_PLATFORM")
+    if platform:
+        jax.config.update("jax_platforms", platform)
+
+
 def add_reference_flags(parser: argparse.ArgumentParser) -> None:
     """Every flag of the reference CLIs with identical defaults
     (reference infer_ali.py:151-173)."""
@@ -70,6 +79,15 @@ def add_tpu_flags(parser: argparse.ArgumentParser) -> None:
                         help="print per-stage wall-time summary at the end")
     parser.add_argument("--trace_dir", type=str, default=None,
                         help="write a jax.profiler device trace here")
+    # multi-host dataset sweep (SURVEY.md §2c): each process aligns its
+    # round-robin shard of the scp; metric counters are all-reduced at the end
+    parser.add_argument("--multihost", action="store_true",
+                        help="initialize jax.distributed and shard the scp "
+                             "across processes")
+    parser.add_argument("--coordinator_address", type=str, default=None,
+                        help="host:port of process 0 (jax.distributed)")
+    parser.add_argument("--num_processes", type=int, default=None)
+    parser.add_argument("--process_id", type=int, default=None)
 
 
 def load_model_and_tokenizer(args) -> Tuple[dict, ModelDims, WhisperTokenizer]:

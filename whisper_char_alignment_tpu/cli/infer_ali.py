@@ -18,11 +18,18 @@ import jax.numpy as jnp
 from ..align.metrics import eval_n1, eval_n1_strict, get_seg_metrics
 from ..data.dataset import DATASETS
 from ..runner import AlignmentPipeline
+from ..parallel import distributed
 from ..parallel.mesh import make_mesh
 from . import common
 
 
 def infer_dataset(args) -> dict:
+    multihost = getattr(args, "multihost", False)
+    if multihost:
+        # must run before any other JAX device use in this process
+        distributed.initialize(args.coordinator_address, args.num_processes,
+                               args.process_id)
+
     params, dims, tok = common.load_model_and_tokenizer(args)
     cfg = common.config_from_args(args)
     mesh = make_mesh(args.data_parallel or None) if args.data_parallel >= 0 else None
@@ -31,6 +38,9 @@ def infer_dataset(args) -> dict:
                              compute_dtype=dtype)
 
     dataset = DATASETS[args.dataset](args.scp, n_mels=args.n_mels)
+    if multihost:
+        # each process aligns its round-robin shard of the scp entries
+        dataset.entries = distributed.shard_entries(dataset.entries)
 
     from ..utils.profiling import device_trace
     trace_ctx = device_trace(getattr(args, "trace_dir", None))
@@ -79,14 +89,25 @@ def infer_dataset(args) -> dict:
     if getattr(args, "profile", False):
         pipe.timers.report()
 
+    if multihost:
+        # the reference's host-side accumulators become one cross-process sum
+        summed = distributed.allreduce_counters(dict(
+            corrects=corrects, total_preds=total_preds, total_gts=total_gts))
+        corrects = summed["corrects"]
+        total_preds = summed["total_preds"]
+        total_gts = summed["total_gts"]
+
     precision, recall, f1, r_value, _ = get_seg_metrics(
         corrects, corrects, total_preds, total_gts)
     results = dict(precision=precision, recall=recall, f1=f1, r_value=r_value)
     print(results)
-    out = common.dump_results(args, results)
-    if args.save_prediction:
-        import joblib
-        joblib.dump(all_predictions, out.replace(".json", "-predictions.pkl"))
+    import jax
+    if not multihost or jax.process_index() == 0:
+        out = common.dump_results(args, results)
+        if args.save_prediction:
+            import joblib
+            pkl = out.replace(".json", "-predictions.pkl")
+            joblib.dump(all_predictions, pkl)  # process 0's shard only
     return results
 
 
@@ -104,6 +125,7 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    common.apply_platform_env()
     args = parse_args(argv)
     print(args)
     return infer_dataset(args)

@@ -191,6 +191,11 @@ class AlignConfig:
     # opt-in decode speedup: int8-quantized cross-attention K/V (halves the
     # decode loop's HBM stream; small transcript-accuracy risk)
     decode_kv_int8: bool = False
+    # isolation mode (SURVEY.md §7 step 4): align the ground-truth transcript
+    # instead of the decoded one, decoupling alignment quality from transcript
+    # parity (also what bench.py uses so random-weight garbage transcripts
+    # don't degenerate the alignment workload)
+    use_gt_transcript: bool = False
 
     @classmethod
     def recommended(cls, **overrides) -> "AlignConfig":

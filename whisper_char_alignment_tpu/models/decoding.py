@@ -58,6 +58,9 @@ class DecodingResult:
     no_speech_prob: float
     temperature: float
     compression_ratio: float
+    # observability (no reference analog): while_loop iterations actually
+    # executed for the whole batch — early exit on all-finished is visible here
+    n_steps: int = 0
 
 
 def _get_suppress_tokens(tokenizer, options: DecodingOptions) -> Tuple[int, ...]:
@@ -184,7 +187,7 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
     # handled inside the loop by starting at i=1 after seeding tokens0
     i, tokens, cache, finished, sum_lp, has_ts, last_ts_tok, ns_prob = (
         jax.lax.while_loop(cond, body, state))
-    return tokens, sum_lp, ns_prob
+    return tokens, sum_lp, ns_prob, i - 1  # i-1 = body iterations executed
 
 
 def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
@@ -241,7 +244,7 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
     if options.max_initial_timestamp is not None and not options.without_timestamps:
         max_initial_ts_index = round(options.max_initial_timestamp / 0.02)
 
-    tokens, sum_lp, ns_prob = _decode_loop(
+    tokens, sum_lp, ns_prob, n_steps = _decode_loop(
         params, dims, jnp.asarray(mel), jnp.asarray(prompt_arr),
         jnp.asarray(suppress_mask), jnp.asarray(blank_mask),
         sample_begin=sample_begin, max_steps=sample_len,
@@ -254,6 +257,7 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
     tokens = np.asarray(tokens)
     sum_lp = np.asarray(sum_lp)
     ns_prob = np.asarray(ns_prob)
+    n_steps = int(n_steps)
     results = []
     for k in range(tokens.shape[0]):
         lang = (detected_langs[k] if detected_langs is not None
@@ -270,7 +274,7 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         results.append(DecodingResult(
             language=lang, tokens=seq, text=text, avg_logprob=float(avg_lp),
             no_speech_prob=float(ns_prob[k]), temperature=options.temperature,
-            compression_ratio=ratio))
+            compression_ratio=ratio, n_steps=n_steps))
     return results[0] if single else results
 
 

@@ -17,7 +17,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def make_mesh(n_data: Optional[int] = None) -> Mesh:
-    devices = jax.devices()
+    # under a multi-process (jax.distributed) run, each process builds a mesh
+    # over its OWN devices: data parallelism across processes happens by scp
+    # sharding (cli/infer_ali --multihost), not by a global mesh
+    devices = (jax.local_devices() if jax.process_count() > 1
+               else jax.devices())
     n = n_data or len(devices)
     return Mesh(np.array(devices[:n]), ("data",))
 

@@ -151,7 +151,8 @@ class AlignmentPipeline:
         prepared = []
         for u, transcription in zip(utts, transcripts):
             text_norm = retokenize.remove_punctuation(u.text)
-            tr_norm = retokenize.remove_punctuation(transcription)
+            tr_norm = (text_norm if cfg.use_gt_transcript
+                       else retokenize.remove_punctuation(transcription))
             if len(tr_norm) == 0:  # reference guard (intended semantics of line 65)
                 tr_norm = " "
             text_tokens = retokenize.encode(tr_norm, tok, cfg.aligned_unit_type)
