@@ -33,13 +33,8 @@ def test_all_skipped_batch():
 
 def test_empty_transcription_yields_empty_alignment(monkeypatch):
     pipe = _pipe()
-    orig = AlignmentPipeline.transcribe_batch
-
-    def fake(self, utts):
-        _, mel = orig(self, utts)
-        return ["" for _ in utts], mel  # empty transcription -> ' ' guard
-
-    monkeypatch.setattr(AlignmentPipeline, "transcribe_batch", fake)
+    # empty transcription -> ' ' guard
+    pipe.transcribe_override = lambda utts: ["" for _ in utts]
     rng = np.random.default_rng(0)
     utts = [Utterance(audio=rng.normal(0, .1, 8000).astype(np.float32),
                       duration=8000, text="a b", starts=[0.0], ends=[0.3],

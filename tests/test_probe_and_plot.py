@@ -69,13 +69,13 @@ def test_infer_cli_plot_flag(tmp_path, monkeypatch):
     out_dir = str(tmp_path / "results")
     from whisper_char_alignment_tpu.runner import AlignmentPipeline
 
-    orig = AlignmentPipeline.transcribe_batch
+    orig_init = AlignmentPipeline.__init__
 
-    def fake_transcribe(self, utts):
-        _, mel = orig(self, utts)
-        return ["hello world" for _ in utts], mel
+    def patched_init(self, *a, **k):
+        orig_init(self, *a, **k)
+        self.transcribe_override = lambda utts: ["hello world" for _ in utts]
 
-    monkeypatch.setattr(AlignmentPipeline, "transcribe_batch", fake_transcribe)
+    monkeypatch.setattr(AlignmentPipeline, "__init__", patched_init)
     from whisper_char_alignment_tpu.cli import infer_ali
     infer_ali.main([
         "--dataset", "TIMIT", "--scp", scp, "--output_dir", out_dir,

@@ -39,15 +39,20 @@ def get_attentions(params, dims: ModelDims, mel: jax.Array, tokens: jax.Array,
                    token_len: jax.Array, frame_len: jax.Array,
                    medfilt_width: int = 7, qk_scale=1.0,
                    compute_dtype=jnp.float32, attn_dtype=jnp.float32,
-                   return_logits: bool = True):
+                   return_logits: bool = True, xa: jax.Array = None):
     """Teacher-forced forward returning processed cross-attention maps.
 
     mel (B, n_mels, 2*n_audio_ctx); tokens (B, T) padded with eot;
     token_len (B,) true token counts; frame_len (B,) true encoder frames
     (duration // 320, reference infer_ali.py:78).
     Returns (attn (L, B, H, T, F) post-softmax/masked, logits (B, T, vocab)).
+
+    Pass ``xa`` (B, n_audio_ctx, d) to reuse encoder states computed by the
+    transcription pass instead of re-running the 24-layer encoder (``mel`` is
+    then ignored and may be None).
     """
-    xa = wmodel.encode_audio(params, dims, mel, compute_dtype=compute_dtype)
+    if xa is None:
+        xa = wmodel.encode_audio(params, dims, mel, compute_dtype=compute_dtype)
     logits, attn = wmodel.decode_text(
         params, dims, tokens, xa, return_qk=True, compute_dtype=compute_dtype,
         medfilt_width=medfilt_width, frame_len=frame_len, token_len=token_len,
@@ -328,7 +333,7 @@ def _znorm_mean_heads(sel_attn: jax.Array, token_len: jax.Array, sot_len: int):
 def default_find_alignment_batch(params, dims: ModelDims, mel, tokens,
                                  token_len, frame_len, alignment_heads, eot: int,
                                  medfilt_width=7, qk_scale=1.0, sot_len=3,
-                                 compute_dtype=jnp.float32):
+                                 compute_dtype=jnp.float32, xa=None):
     """Whisper's built-in timing path, batched: only the hand-picked alignment
     heads, z-normalized per token, averaged, DTW'd; also returns per-token text
     probabilities from the teacher-forced logits (reference timing.py:116-186).
@@ -337,7 +342,7 @@ def default_find_alignment_batch(params, dims: ModelDims, mel, tokens,
     """
     attn, logits = get_attentions(params, dims, mel, tokens, token_len, frame_len,
                                   medfilt_width=medfilt_width, qk_scale=qk_scale,
-                                  compute_dtype=compute_dtype)
+                                  compute_dtype=compute_dtype, xa=xa)
     heads = jnp.asarray(alignment_heads, jnp.int32)  # (n_sel, 2)
     sel = attn[heads[:, 0], :, heads[:, 1]]  # (n_sel, B, T, F)
     sel = jnp.transpose(sel, (1, 0, 2, 3)).astype(jnp.float32)  # (B, n_sel, T, F)

@@ -72,7 +72,7 @@ def infer_dataset(args) -> dict:
         utt = dataset[i]
         if len(utt.text.split()) < 18:
             continue
-        transcripts, mel = pipe.transcribe_batch([utt])
+        transcripts, mel, xa = pipe.transcribe_batch([utt])
         transcription = retokenize.remove_punctuation(transcripts[0])
         if len(transcription) == 0:
             transcription = " "
@@ -90,8 +90,9 @@ def infer_dataset(args) -> dict:
         tokens_arr = np.full((1, len(tokens)), tok.eot, np.int32)
         tokens_arr[0] = tokens
         attn, _ = timing.get_attentions(
-            params, dims, mel[:1], jnp.asarray(tokens_arr), token_len,
-            frame_len, medfilt_width=args.medfilt_width, qk_scale=1.0)
+            params, dims, None, jnp.asarray(tokens_arr), token_len,
+            frame_len, medfilt_width=args.medfilt_width, qk_scale=1.0,
+            xa=xa[:1])  # reuse the transcription pass's encoder states
 
         # saliency ranking of ALL heads (reference probe_oracle.py:83)
         scores_blh = np.asarray(timing.head_scores(attn, frame_len))[0]

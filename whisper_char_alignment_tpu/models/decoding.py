@@ -94,13 +94,14 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
     vocab_ids = jnp.arange(n_vocab)
 
     xa = wmodel.encode_audio(params, dims, mel, compute_dtype=compute_dtype)
+    xa_kv = xa
     if kv_frames is not None and kv_frames < xa.shape[1]:
         # opt-in: attend only to the first kv_frames encoder positions. The
         # decode loop re-reads all cross K/V every step (~295 MB/utt at medium,
         # the decode bottleneck); short utterances fit in a small bucket. NOT
         # bit-identical to the reference, which attends over the padded silence.
-        xa = xa[:, :kv_frames]
-    cross_kv = wmodel.precompute_cross_kv(params, dims, xa,
+        xa_kv = xa[:, :kv_frames]
+    cross_kv = wmodel.precompute_cross_kv(params, dims, xa_kv,
                                           compute_dtype=compute_dtype,
                                           quantize=kv_int8)
     cache = wmodel.init_kv_cache(dims, b, total, dtype=compute_dtype)
@@ -187,17 +188,50 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
     # handled inside the loop by starting at i=1 after seeding tokens0
     i, tokens, cache, finished, sum_lp, has_ts, last_ts_tok, ns_prob = (
         jax.lax.while_loop(cond, body, state))
-    return tokens, sum_lp, ns_prob, i - 1  # i-1 = body iterations executed
+    # xa (unsliced) rides along so callers can reuse the encoder states for the
+    # teacher-forced QK capture without re-running the 24-layer encoder
+    return tokens, sum_lp, ns_prob, i - 1, xa
+
+
+class DecodeFuture:
+    """Deferred decode results: device arrays with async host copies in flight.
+
+    Lets the caller dispatch the next batch's device work before paying the
+    host sync for this batch's transcripts (the runner's software pipeline).
+    """
+
+    def __init__(self, arrays, finalize):
+        self._arrays = arrays
+        for a in arrays:
+            try:
+                a.copy_to_host_async()
+            except Exception:
+                pass  # backends without async copy still work via np.asarray
+        self._finalize = finalize
+        self._results = None
+
+    def result(self):
+        if self._results is None:
+            self._results = self._finalize(*[np.asarray(a)
+                                             for a in self._arrays])
+            self._arrays = None
+        return self._results
 
 
 def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
            options: Optional[DecodingOptions] = None,
            compute_dtype=jnp.float32,
            kv_frames: Optional[int] = None,
-           kv_int8: bool = False) -> List[DecodingResult]:
+           kv_int8: bool = False,
+           return_xa: bool = False,
+           async_results: bool = False):
     """Transcribe a batch of mels. mel: (B, n_mels, 2*n_audio_ctx) or single
     (n_mels, frames). Returns one DecodingResult per utterance (a single result
-    for unbatched input, like the published API)."""
+    for unbatched input, like the published API). With ``return_xa=True``
+    returns ``(results, xa)`` where xa are the (device) encoder states, for
+    reuse by the alignment capture pass. With ``async_results=True`` the
+    results slot holds a :class:`DecodeFuture` (call ``.result()``) and no host
+    sync happens in this call."""
     options = options or DecodingOptions()
     single = mel.ndim == 2
     if single:
@@ -244,7 +278,7 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
     if options.max_initial_timestamp is not None and not options.without_timestamps:
         max_initial_ts_index = round(options.max_initial_timestamp / 0.02)
 
-    tokens, sum_lp, ns_prob, n_steps = _decode_loop(
+    tokens_d, sum_lp_d, ns_prob_d, n_steps_d, xa = _decode_loop(
         params, dims, jnp.asarray(mel), jnp.asarray(prompt_arr),
         jnp.asarray(suppress_mask), jnp.asarray(blank_mask),
         sample_begin=sample_begin, max_steps=sample_len,
@@ -254,28 +288,34 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         use_timestamps=not options.without_timestamps,
         compute_dtype=compute_dtype, kv_frames=kv_frames, kv_int8=kv_int8)
 
-    tokens = np.asarray(tokens)
-    sum_lp = np.asarray(sum_lp)
-    ns_prob = np.asarray(ns_prob)
-    n_steps = int(n_steps)
-    results = []
-    for k in range(tokens.shape[0]):
-        lang = (detected_langs[k] if detected_langs is not None
-                else options.language or (tokenizer.language or "en"))
-        seq = tokens[k, sample_begin:].tolist()
-        if tokenizer.eot in seq:
-            seq = seq[:seq.index(tokenizer.eot)]
-        text = tokenizer.decode(seq).strip()
-        avg_lp = sum_lp[k] / (len(seq) + 1)
-        try:
-            ratio = len(text.encode()) / max(len(zlib.compress(text.encode())), 1)
-        except Exception:
-            ratio = np.nan
-        results.append(DecodingResult(
-            language=lang, tokens=seq, text=text, avg_logprob=float(avg_lp),
-            no_speech_prob=float(ns_prob[k]), temperature=options.temperature,
-            compression_ratio=ratio, n_steps=n_steps))
-    return results[0] if single else results
+    def finalize(tokens, sum_lp, ns_prob, n_steps):
+        n_steps = int(n_steps)
+        results = []
+        for k in range(tokens.shape[0]):
+            lang = (detected_langs[k] if detected_langs is not None
+                    else options.language or (tokenizer.language or "en"))
+            seq = tokens[k, sample_begin:].tolist()
+            if tokenizer.eot in seq:
+                seq = seq[:seq.index(tokenizer.eot)]
+            text = tokenizer.decode(seq).strip()
+            avg_lp = sum_lp[k] / (len(seq) + 1)
+            try:
+                ratio = len(text.encode()) / max(
+                    len(zlib.compress(text.encode())), 1)
+            except Exception:
+                ratio = np.nan
+            results.append(DecodingResult(
+                language=lang, tokens=seq, text=text, avg_logprob=float(avg_lp),
+                no_speech_prob=float(ns_prob[k]), temperature=options.temperature,
+                compression_ratio=ratio, n_steps=n_steps))
+        return results[0] if single else results
+
+    if async_results:
+        out = DecodeFuture((tokens_d, sum_lp_d, ns_prob_d, n_steps_d), finalize)
+    else:
+        out = finalize(np.asarray(tokens_d), np.asarray(sum_lp_d),
+                       np.asarray(ns_prob_d), np.asarray(n_steps_d))
+    return (out, xa) if return_xa else out
 
 
 def detect_language(params, dims: ModelDims, tokenizer, mel: jax.Array,

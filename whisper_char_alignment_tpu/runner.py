@@ -48,15 +48,18 @@ class UttAlignment:
 @functools.partial(jax.jit, static_argnames=(
     "dims", "medfilt_width", "aggregation", "topk", "sot_len", "compute_dtype",
     "return_matrix", "w_colnorm", "w_rownorm", "w_coverage"))
-def _align_step(params, dims: ModelDims, mel, tokens, token_len, frame_len,
+def _align_step(params, dims: ModelDims, xa, tokens, token_len, frame_len,
                 *, medfilt_width: int, qk_scale, aggregation: str, topk: int,
                 w_colnorm, w_rownorm, w_coverage, sot_len: int,
                 compute_dtype=jnp.float32, return_matrix: bool = False):
-    """Fused capture + head-select + aggregate + DTW for one padded batch."""
+    """Fused capture + head-select + aggregate + DTW for one padded batch.
+
+    ``xa`` are the encoder states from the transcription pass — the 24-layer
+    encoder runs once per batch, not twice (decode + capture)."""
     attn, _ = timing.get_attentions(
-        params, dims, mel, tokens, token_len, frame_len,
+        params, dims, None, tokens, token_len, frame_len,
         medfilt_width=medfilt_width, qk_scale=qk_scale,
-        compute_dtype=compute_dtype, return_logits=False)
+        compute_dtype=compute_dtype, return_logits=False, xa=xa)
     jump_frames, matrix, scores = timing.force_align_batch(
         attn, token_len, frame_len, sot_len, aggregation, topk,
         w_colnorm, w_rownorm, w_coverage)
@@ -68,11 +71,26 @@ def _align_step(params, dims: ModelDims, mel, tokens, token_len, frame_len,
 def _mel_step(audio, dims: ModelDims, compute_dtype=jnp.float32):
     import os
 
+    if audio.dtype == jnp.int16:
+        # int16 wire format (bit-exact for 16-bit PCM sources): the host sends
+        # half the bytes over the axon tunnel and the scale fuses into the mel
+        audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
     if os.environ.get("WCA_MEL_IMPL") == "pallas":
         from .ops.mel_pallas import log_mel_pallas
 
         return log_mel_pallas(audio, n_mels=dims.n_mels).astype(compute_dtype)
     return log_mel_spectrogram(audio, n_mels=dims.n_mels).astype(compute_dtype)
+
+
+def _wire_audio(audio: np.ndarray) -> np.ndarray:
+    """Halve the host->device bytes when lossless: if every sample is exactly
+    representable as int16/32768 (true for 16-bit PCM sources, i.e. all the
+    reference corpora), send int16; otherwise send float32 unchanged."""
+    scaled = audio * 32768.0
+    as_i16 = scaled.astype(np.int16)
+    if np.array_equal(as_i16, scaled):
+        return as_i16
+    return audio
 
 
 class AlignmentPipeline:
@@ -98,6 +116,9 @@ class AlignmentPipeline:
         self.options = decoding.DecodingOptions(language=tokenizer.language or "en")
         self.alignment_heads = get_alignment_heads(cfg.model, dims)
         self.timers = StageTimers()
+        # test/isolation hook: a callable (utts -> list[str]) that supplies
+        # transcripts instead of the decode output (decode still runs)
+        self.transcribe_override = None
 
     # -- helpers -------------------------------------------------------------
 
@@ -115,17 +136,18 @@ class AlignmentPipeline:
 
     # -- stages ---------------------------------------------------------------
 
-    def transcribe_batch(self, utts: Sequence[Utterance]):
-        """Returns (transcripts for each utt, padded mel batch (B_pad, n_mels, F))."""
+    def _dispatch_transcribe(self, utts: Sequence[Utterance]) -> dict:
+        """Stage 1 dispatch: upload audio, queue mel + greedy decode on device.
+        No host sync — transcripts arrive via the returned DecodeFuture."""
         b_pad = self._pad_batch(len(utts))
         # window follows the model: 2 * n_audio_ctx encoder-input mel frames
         n_samples = 2 * self.dims.n_audio_ctx * constants.HOP_LENGTH
         audio = np.zeros((b_pad, n_samples), np.float32)
         for i, u in enumerate(utts):
             audio[i] = np.asarray(pad_or_trim(u.audio, n_samples))
-        with self.timers.stage("mel", units=len(utts)):
-            mel = _mel_step(self._shard(jnp.asarray(audio)), self.dims,
-                            compute_dtype=self.compute_dtype)
+        with self.timers.stage("mel dispatch", units=len(utts)):
+            mel = _mel_step(self._shard(jnp.asarray(_wire_audio(audio))),
+                            self.dims, compute_dtype=self.compute_dtype)
         kv_frames = None
         if self.cfg.decode_frame_bucket > 0:
             max_fl = max(max(u.duration // constants.AUDIO_SAMPLES_PER_TOKEN, 1)
@@ -133,19 +155,41 @@ class AlignmentPipeline:
             kv_frames = min(
                 self.dims.n_audio_ctx,
                 mesh_lib.pad_to_multiple(int(max_fl), self.cfg.decode_frame_bucket))
-        with self.timers.stage("decode", units=len(utts)):
-            results = decoding.decode(self.params, self.dims, self.tokenizer,
-                                      mel, self.options,
-                                      compute_dtype=self.compute_dtype,
-                                      kv_frames=kv_frames,
-                                      kv_int8=self.cfg.decode_kv_int8)
-        return [r.text for r in results[:len(utts)]], mel
+        with self.timers.stage("decode dispatch", units=len(utts)):
+            future, xa = decoding.decode(self.params, self.dims, self.tokenizer,
+                                         mel, self.options,
+                                         compute_dtype=self.compute_dtype,
+                                         kv_frames=kv_frames,
+                                         kv_int8=self.cfg.decode_kv_int8,
+                                         return_xa=True, async_results=True)
+        return dict(utts=utts, future=future, mel=mel, xa=xa)
+
+    def transcribe_batch(self, utts: Sequence[Utterance]):
+        """Synchronous wrapper: (transcripts, mel batch, encoder states)."""
+        p = self._dispatch_transcribe(utts)
+        results = p["future"].result()
+        return [r.text for r in results[:len(utts)]], p["mel"], p["xa"]
 
     def align_batch(self, utts: Sequence[Utterance],
                     return_matrix: bool = False) -> List[UttAlignment]:
+        """Synchronous one-batch path (dispatch + collect back to back)."""
+        pending = self._dispatch_align(self._dispatch_transcribe(utts),
+                                       return_matrix=return_matrix)
+        return self._collect_align(pending)
+
+    def _dispatch_align(self, tp: dict, return_matrix: bool = False) -> dict:
+        """Stage 2 dispatch: sync this batch's transcripts (its only host wait),
+        re-tokenize on host, queue the capture+align step on device."""
         cfg = self.cfg
         tok = self.tokenizer
-        transcripts, mel = self.transcribe_batch(utts)
+        utts = tp["utts"]
+        xa = tp["xa"]
+        if self.transcribe_override is not None:
+            transcripts = self.transcribe_override(utts)
+        else:
+            with self.timers.stage("transcripts sync", units=len(utts)):
+                results = tp["future"].result()
+            transcripts = [r.text for r in results[:len(utts)]]
 
         # host: text normalization + re-tokenization (reference infer_ali.py:63-76)
         prepared = []
@@ -167,11 +211,7 @@ class AlignmentPipeline:
                              int(max_frames), skip))
 
         live = [p for p in prepared if not p[6]]
-        out: List[UttAlignment] = []
-        jump_map = {}
-        sel_map = {}
-        probs_map = {}
-        matrix_np = None
+        jump_dev = matrix_dev = sel_dev = probs_dev = None
         if live:
             b_pad = self._pad_batch(len(live))
             t_max = max(len(p[4]) for p in live)
@@ -180,49 +220,74 @@ class AlignmentPipeline:
             tokens_arr = np.full((b_pad, t_bucket), tok.eot, np.int32)
             token_len = np.ones((b_pad,), np.int32)
             frame_len = np.ones((b_pad,), np.int32)
-            # mel rows follow the original utts order; gather the live rows
+            # encoder-state rows follow the original utts order; gather live rows
             utt_index = {u.fid: j for j, u in enumerate(utts)}
-            mel_idx = np.zeros((b_pad,), np.int32)
+            xa_idx = np.zeros((b_pad,), np.int32)
             for i, p in enumerate(live):
                 tokens_arr[i, :len(p[4])] = p[4]
                 token_len[i] = len(p[4])
                 # clip to the model window (relevant only for sub-30s test dims;
                 # real dims skip overlong inputs via MAX_FRAMES above)
                 frame_len[i] = min(max(p[5], 1), self.dims.n_audio_ctx)
-                mel_idx[i] = utt_index[p[0].fid]
-            mel_live = jnp.take(mel, jnp.asarray(mel_idx), axis=0)
-            token_probs_np = None
-            align_timer = self.timers.stage("capture+align", units=len(live))
-            align_timer.__enter__()
-            if cfg.default_whisper_timing:
-                jump_frames, token_probs, matrix = \
-                    timing.default_find_alignment_batch(
-                        self.params, self.dims, self._shard(mel_live),
+                xa_idx[i] = utt_index[p[0].fid]
+            xa_live = jnp.take(xa, jnp.asarray(xa_idx), axis=0)
+            with self.timers.stage("align dispatch", units=len(live)):
+                if cfg.default_whisper_timing:
+                    jump_dev, probs_dev, matrix_dev = \
+                        timing.default_find_alignment_batch(
+                            self.params, self.dims, None,
+                            self._shard(jnp.asarray(tokens_arr)),
+                            self._shard(jnp.asarray(token_len)),
+                            self._shard(jnp.asarray(frame_len)),
+                            self.alignment_heads, eot=tok.eot,
+                            medfilt_width=cfg.medfilt_width,
+                            qk_scale=cfg.qk_scale, sot_len=self.sot_len,
+                            compute_dtype=self.compute_dtype,
+                            xa=self._shard(xa_live))
+                    if not return_matrix:
+                        matrix_dev = None
+                else:
+                    jump_dev, matrix_dev, sel_dev = _align_step(
+                        self.params, self.dims, self._shard(xa_live),
                         self._shard(jnp.asarray(tokens_arr)),
                         self._shard(jnp.asarray(token_len)),
                         self._shard(jnp.asarray(frame_len)),
-                        self.alignment_heads, eot=tok.eot,
                         medfilt_width=cfg.medfilt_width, qk_scale=cfg.qk_scale,
-                        sot_len=self.sot_len, compute_dtype=self.compute_dtype)
-                token_probs_np = np.asarray(token_probs)
-                sel = None
-                if not return_matrix:
-                    matrix = None
-            else:
-                jump_frames, matrix, sel = _align_step(
-                    self.params, self.dims, self._shard(mel_live),
-                    self._shard(jnp.asarray(tokens_arr)),
-                    self._shard(jnp.asarray(token_len)),
-                    self._shard(jnp.asarray(frame_len)),
-                    medfilt_width=cfg.medfilt_width, qk_scale=cfg.qk_scale,
-                    aggregation=cfg.aggr, topk=cfg.topk, w_colnorm=cfg.w_colnorm,
-                    w_rownorm=cfg.w_rownorm, w_coverage=cfg.w_coverage,
-                    sot_len=self.sot_len, compute_dtype=self.compute_dtype,
-                    return_matrix=return_matrix)
-            jump_frames = np.asarray(jump_frames)
-            align_timer.__exit__(None, None, None)
-            if return_matrix and matrix is not None:
-                matrix_np = np.asarray(matrix)
+                        aggregation=cfg.aggr, topk=cfg.topk,
+                        w_colnorm=cfg.w_colnorm, w_rownorm=cfg.w_rownorm,
+                        w_coverage=cfg.w_coverage, sot_len=self.sot_len,
+                        compute_dtype=self.compute_dtype,
+                        return_matrix=return_matrix)
+            for arr in (jump_dev, matrix_dev, probs_dev,
+                        *(sel_dev or ())):
+                if arr is not None:
+                    try:
+                        arr.copy_to_host_async()
+                    except Exception:
+                        pass
+        return dict(utts=utts, prepared=prepared, live=live,
+                    jump_dev=jump_dev, matrix_dev=matrix_dev, sel_dev=sel_dev,
+                    probs_dev=probs_dev, return_matrix=return_matrix)
+
+    def _collect_align(self, ap: dict) -> List[UttAlignment]:
+        """Stage 3: materialize device outputs and do the word bookkeeping."""
+        cfg = self.cfg
+        tok = self.tokenizer
+        prepared, live = ap["prepared"], ap["live"]
+        return_matrix = ap["return_matrix"]
+        out: List[UttAlignment] = []
+        jump_map = {}
+        sel_map = {}
+        probs_map = {}
+        matrix_np = None
+        if live:
+            with self.timers.stage("collect sync", units=len(live)):
+                jump_frames = np.asarray(ap["jump_dev"])
+            token_probs_np = (None if ap["probs_dev"] is None
+                              else np.asarray(ap["probs_dev"]))
+            if return_matrix and ap["matrix_dev"] is not None:
+                matrix_np = np.asarray(ap["matrix_dev"])
+            sel = ap["sel_dev"]
             if sel is not None:
                 sel = (np.asarray(sel[0]), np.asarray(sel[1]))
             for i, p in enumerate(live):
@@ -279,7 +344,12 @@ class AlignmentPipeline:
         return out
 
     def run_dataset(self, dataset, progress: bool = True):
-        """Iterate a dataset in batches; yields UttAlignment per utterance."""
+        """Iterate a dataset in batches; yields UttAlignment per utterance.
+
+        Software-pipelined: while batch k's capture+align executes on device,
+        batch k+1's audio upload / mel / decode are already queued and batch
+        k-1's host bookkeeping runs — the device never waits on host work
+        between batches."""
         it = batch_iter(dataset, self.cfg.batch_size)
         if progress:
             try:
@@ -288,5 +358,21 @@ class AlignmentPipeline:
                 it = tqdm(it, total=total)
             except Exception:
                 pass
+        rm = self.cfg.plot
+        transcribed = None  # batch with decode in flight
+        aligned = None  # batch with capture+align in flight
         for batch in it:
-            yield from self.align_batch(batch, return_matrix=self.cfg.plot)
+            t_next = self._dispatch_transcribe(batch)
+            if transcribed is not None:
+                a_next = self._dispatch_align(transcribed, return_matrix=rm)
+                if aligned is not None:
+                    yield from self._collect_align(aligned)
+                aligned = a_next
+            transcribed = t_next
+        if transcribed is not None:
+            a_next = self._dispatch_align(transcribed, return_matrix=rm)
+            if aligned is not None:
+                yield from self._collect_align(aligned)
+            yield from self._collect_align(a_next)
+        elif aligned is not None:
+            yield from self._collect_align(aligned)
