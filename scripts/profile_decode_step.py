@@ -1,0 +1,165 @@
+#!/usr/bin/env python
+"""Localize decode-loop cost: time 32-step while_loops with parts of the layer
+disabled (cross-attn / self-attn / MLP / logits), at Whisper-medium B=32.
+
+The HBM floor says ~250 ms for 32 steps (151 GB cross-KV + 19 GB weights at
+819 GB/s); measured is ~1070 ms — this finds the gap."""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_wca"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from whisper_char_alignment_tpu.config import MODEL_DIMS
+from whisper_char_alignment_tpu.models import whisper as wmodel
+
+B = int(os.environ.get("B", "32"))
+STEPS = int(os.environ.get("STEPS", "32"))
+dims = MODEL_DIMS["medium"]
+
+
+def timed(name, fn, iters=3):
+    np.asarray(jnp.sum(fn()))
+    ts = []
+    for _ in range(iters):
+        t0 = time.time()
+        np.asarray(jnp.sum(fn()))
+        ts.append(time.time() - t0)
+    print(f"{name:>38}: min {min(ts)*1000:8.1f} ms", flush=True)
+
+
+def make_loop(cross=True, self_attn=True, mlp=True, logits=True,
+              dtype=jnp.bfloat16):
+    """A stripped copy of the decode loop with stages toggleable."""
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(params, cross_kv, cache0):
+        dp = params["decoder"]
+        cross_ks, cross_vs = cross_kv
+        hd = dims.n_text_head_dim
+        scale = hd ** -0.25
+        max_len = cache0["k"].shape[-1]
+
+        def step_layers(x, cache, pos):
+            pos_mask = jnp.where(
+                jnp.arange(max_len)[None, None, None, :] <= pos, 0.0,
+                -jnp.inf).astype(jnp.float32)
+
+            def layer(carry, inp):
+                x, li = carry
+                bp, ck, cv = inp
+                if self_attn:
+                    h = wmodel._layer_norm(bp["attn_ln"], x)
+                    q = wmodel._split_heads(
+                        wmodel._linear(bp["attn"]["q"], h), dims.n_text_head) * scale
+                    k_new = wmodel._split_heads(
+                        wmodel._linear(bp["attn"]["k"], h), dims.n_text_head)
+                    v_new = wmodel._split_heads(
+                        wmodel._linear(bp["attn"]["v"], h), dims.n_text_head)
+                    k_all = jax.lax.dynamic_update_slice_in_dim(
+                        cache["k"][li], k_new.transpose(0, 1, 3, 2).astype(
+                            cache["k"].dtype), pos, axis=3)
+                    v_all = jax.lax.dynamic_update_slice_in_dim(
+                        cache["v"][li], v_new.transpose(0, 1, 3, 2).astype(
+                            cache["v"].dtype), pos, axis=3)
+                    qk = jnp.einsum("bhtd,bhds->bhts", q,
+                                    k_all.astype(dtype) * scale,
+                                    preferred_element_type=jnp.float32) + pos_mask
+                    w = jax.nn.softmax(qk, axis=-1).astype(dtype)
+                    a = wmodel._merge_heads(jnp.einsum(
+                        "bhts,bhds->bhtd", w, v_all.astype(dtype),
+                        preferred_element_type=jnp.float32).astype(dtype))
+                    x = x + wmodel._linear(bp["attn"]["out"], a)
+                if cross:
+                    hc = wmodel._layer_norm(bp["cross_attn_ln"], x)
+                    qc = wmodel._split_heads(
+                        wmodel._linear(bp["cross_attn"]["q"], hc),
+                        dims.n_text_head) * scale
+                    qkc = jnp.einsum("bhtd,bhdf->bhtf", qc,
+                                     ck.astype(dtype) * scale,
+                                     preferred_element_type=jnp.float32)
+                    wc = jax.nn.softmax(qkc, axis=-1).astype(dtype)
+                    oc = jnp.einsum("bhtf,bhdf->bhtd", wc, cv.astype(dtype),
+                                    preferred_element_type=jnp.float32
+                                    ).astype(dtype)
+                    x = x + wmodel._linear(bp["cross_attn"]["out"],
+                                           wmodel._merge_heads(oc))
+                if mlp:
+                    h2 = wmodel._layer_norm(bp["mlp_ln"], x)
+                    h2 = wmodel._linear(
+                        bp["mlp"]["fc2"],
+                        jax.nn.gelu(wmodel._linear(bp["mlp"]["fc1"], h2),
+                                    approximate=False))
+                    x = x + h2
+                return (x, li + 1), None
+
+            (x, _), _ = jax.lax.scan(layer, (x, 0),
+                                     (dp["blocks"], cross_ks, cross_vs))
+            return x
+
+        def body(carry):
+            i, tok, cache, acc = carry
+            x = (dp["tok_emb"][tok] + dp["pos_emb"][i])[:, None, :].astype(dtype)
+            x = step_layers(x, cache, i)
+            x = wmodel._layer_norm(dp["ln"], x)
+            if logits:
+                lg = jnp.dot(x[:, 0].astype(jnp.float32),
+                             dp["tok_emb"].T.astype(jnp.float32))
+                tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
+                acc = acc + lg.mean()
+            else:
+                tok = (tok + 1) % 100
+                acc = acc + x.mean().astype(jnp.float32)
+            return i + 1, tok, cache, acc
+
+        def cond(carry):
+            return carry[0] < STEPS
+
+        _, _, _, acc = jax.lax.while_loop(
+            cond, body, (jnp.int32(0), jnp.zeros((B,), jnp.int32), cache0,
+                         jnp.float32(0.0)))
+        return acc
+
+    return run
+
+
+def main():
+    print(f"devices: {jax.devices()} B={B} steps={STEPS}", flush=True)
+    params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
+                          wmodel.init_params(jax.random.PRNGKey(0), dims))
+    rng = np.random.default_rng(0)
+    xa = jnp.asarray(rng.normal(0, 1, (B, dims.n_audio_ctx, dims.n_audio_state)
+                                ).astype(np.float32)).astype(jnp.bfloat16)
+    cross_kv = wmodel.precompute_cross_kv(params, dims, xa,
+                                          compute_dtype=jnp.bfloat16)
+    cache = wmodel.init_kv_cache(dims, B, STEPS + 4, dtype=jnp.bfloat16)
+
+    timed("full loop", lambda: make_loop()(params, cross_kv, cache))
+    timed("no cross-attn",
+          lambda: make_loop(cross=False)(params, cross_kv, cache))
+    timed("no self-attn",
+          lambda: make_loop(self_attn=False)(params, cross_kv, cache))
+    timed("no mlp", lambda: make_loop(mlp=False)(params, cross_kv, cache))
+    timed("no logits/argmax",
+          lambda: make_loop(logits=False)(params, cross_kv, cache))
+    timed("cross only", lambda: make_loop(
+        self_attn=False, mlp=False, logits=False)(params, cross_kv, cache))
+    timed("empty-ish (emb+ln only)", lambda: make_loop(
+        cross=False, self_attn=False, mlp=False, logits=False)(
+        params, cross_kv, cache))
+
+
+if __name__ == "__main__":
+    main()
