@@ -20,11 +20,12 @@ def _reference(q, k, v, k_scale):
 
 
 def _quant(x):
+    # x (B, H, hd, F): per-frame-column scale over the hd axis -> (B, H, 1, F)
     amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=2, keepdims=True)
     scale = jnp.where(amax == 0, 1.0, amax / 127.0)
     q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127
                  ).astype(jnp.int8)
-    return q, scale.transpose(0, 1, 3, 2)  # (B, H, 1, F)
+    return q, scale
 
 
 @pytest.mark.parametrize("frames", [96, 250])
@@ -51,8 +52,8 @@ def test_int8_kernel_matches_dequantized_reference():
     k_scale = hd ** -0.25
     # reference math on the DEQUANTIZED tensors — the kernel must match the
     # XLA int8 path bit-for-bit in exact arithmetic, not approximate fp noise
-    k_dq = k8.astype(jnp.float32) * ks.transpose(0, 1, 3, 2)
-    v_dq = v8.astype(jnp.float32) * vs.transpose(0, 1, 3, 2)
+    k_dq = k8.astype(jnp.float32) * ks
+    v_dq = v8.astype(jnp.float32) * vs
     want = np.asarray(_reference(q, k_dq, v_dq, k_scale))
     got = np.asarray(cross_attn_step_int8(q, k8, ks, v8, vs, k_scale=k_scale,
                                           interpret=True))

@@ -112,36 +112,40 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
     tokens0 = jax.lax.dynamic_update_slice(tokens0, prompt2d, (0, 0))
 
     def apply_filters(logits, i, tokens, has_ts, last_ts_tok):
-        """i = current position being *predicted* (the new token's index)."""
+        """i = current position being *predicted* (the new token's index).
+
+        All rule masks are OR-combined into ONE boolean select over the (B, V)
+        logits (plus the unavoidable second pass after the log-softmax): the
+        decode loop runs this every step, so each extra full-vocab elementwise
+        pass costs HBM traffic."""
         cur_len = i  # number of tokens consumed so far
         sampled = cur_len - sample_begin  # how many sampled tokens exist
-        logits = logits + suppress_mask[None]
         first = sampled == 0
-        logits = jnp.where(first, logits + blank_mask[None], logits)
+        add_mask = suppress_mask + jnp.where(first, blank_mask, 0.0)
+        logits = logits + add_mask[None]
         if not use_timestamps:
             return logits
-        # --- ApplyTimestampRules ---
-        logits = logits.at[:, no_timestamps].set(_NEG_INF)
+        # --- ApplyTimestampRules (one fused kill mask) ---
         last_tok = tokens[:, jnp.maximum(cur_len - 1, 0)]
         penult_tok = tokens[:, jnp.maximum(cur_len - 2, 0)]
         last_was = (sampled >= 1) & (last_tok >= ts_begin)
         penult_was = (sampled < 2) | (penult_tok >= ts_begin)
         is_ts_col = (vocab_ids >= ts_begin)[None]
         is_text_col = (vocab_ids < eot)[None]
-        kill_ts = (last_was & penult_was)[:, None] & is_ts_col
-        kill_text = (last_was & ~penult_was)[:, None] & is_text_col
-        logits = jnp.where(kill_ts | kill_text, _NEG_INF, logits)
+        kill = (vocab_ids == no_timestamps)[None]
+        kill = kill | ((last_was & penult_was)[:, None] & is_ts_col)
+        kill = kill | ((last_was & ~penult_was)[:, None] & is_text_col)
         # monotonic timestamps: forbid [ts_begin, ts_last)
         ts_last = jnp.where(last_was & ~penult_was, last_ts_tok, last_ts_tok + 1)
-        kill_mono = (has_ts[:, None]
-                     & (vocab_ids[None] >= ts_begin)
-                     & (vocab_ids[None] < ts_last[:, None]))
-        logits = jnp.where(kill_mono, _NEG_INF, logits)
+        kill = kill | (has_ts[:, None] & is_ts_col
+                       & (vocab_ids[None] < ts_last[:, None]))
         # first sampled token must be a timestamp, capped at max_initial_timestamp
-        kill_first = jnp.zeros((1, n_vocab), bool) | (vocab_ids < ts_begin)[None]
+        kill_first = ~is_ts_col
         if max_initial_ts_index is not None:
-            kill_first = kill_first | (vocab_ids > ts_begin + max_initial_ts_index)[None]
-        logits = jnp.where(first & kill_first, _NEG_INF, logits)
+            kill_first = kill_first | (
+                vocab_ids > ts_begin + max_initial_ts_index)[None]
+        kill = kill | (first & kill_first)
+        logits = jnp.where(kill, _NEG_INF, logits)
         # prefer timestamps when their total probability dominates any text token
         logprobs = jax.nn.log_softmax(logits, axis=-1)
         ts_lp = jax.nn.logsumexp(logprobs[:, ts_begin:], axis=-1)
@@ -159,9 +163,12 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
         logits, cache = wmodel.decode_step(params, dims, tok_in, i - 1, cache,
                                            cross_kv, compute_dtype=compute_dtype)
         # no-speech probability: softmax at the position right after sot
-        # (sot is prompt[0], consumed at i == 1)
-        ns_prob = jnp.where(i == 1, jax.nn.softmax(logits, axis=-1)[:, no_speech],
-                            ns_prob)
+        # (sot is prompt[0], consumed at i == 1). lax.cond so the full-vocab
+        # softmax pass only executes on that one step, not every iteration
+        ns_prob = jax.lax.cond(
+            i == 1,
+            lambda lg: jax.nn.softmax(lg, axis=-1)[:, no_speech],
+            lambda lg: ns_prob, logits)
         is_prompt = i < sample_begin
         filtered = apply_filters(logits, i, tokens, has_ts, last_ts_tok)
         next_sampled = jnp.argmax(filtered, axis=-1).astype(jnp.int32)

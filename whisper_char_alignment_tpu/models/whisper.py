@@ -203,16 +203,48 @@ def _conv1d(p, x, stride):
     return y + p["b"].astype(x.dtype)[None, :, None]
 
 
-def _use_flash_default() -> bool:
-    """Opt-in (WCA_FLASH_ATTN=1): measured on v5e, the stock flash kernel is
-    ~15% faster than the XLA attention per isolated layer but slower when run
-    inside the 24-layer scan, so the XLA path stays the default."""
+def _use_fused_cross() -> bool:
+    """Fused int8 decode cross-attention kernel (env WCA_CROSS_ATTN):
+    auto = on for accelerators, off on CPU (Pallas needs interpret there and
+    the XLA dequant path is fine for tests)."""
     import os
 
-    mode = os.environ.get("WCA_FLASH_ATTN", "off")
+    mode = os.environ.get("WCA_CROSS_ATTN", "auto")
     if mode == "auto":
-        return jax.default_backend() not in ("cpu",)
-    return mode not in ("0", "off", "false", "auto")
+        return jax.default_backend() != "cpu"
+    return mode not in ("0", "off", "false", "xla")
+
+
+def _encoder_attn_mode() -> str:
+    """Encoder attention implementation (env WCA_ENC_ATTN):
+    - "fused": shape-tuned Pallas kernel (ops/encoder_attn_pallas.py) — scores
+      stay in VMEM; default on accelerators.
+    - "xla": plain einsum + f32 softmax (materializes the (T, T) logits in
+      HBM); default on CPU, and the parity oracle.
+    - "stock": jax's generic flash kernel; measured SLOWER than XLA at these
+      shapes on v5e (kept for comparison; legacy WCA_FLASH_ATTN=1)."""
+    import os
+
+    mode = os.environ.get("WCA_ENC_ATTN", "auto")
+    if mode == "auto" and os.environ.get("WCA_FLASH_ATTN", "off") not in (
+            "0", "off", "false", "auto"):
+        return "stock"
+    if mode == "auto":
+        return "xla" if jax.default_backend() == "cpu" else "fused"
+    return mode
+
+
+def _fused_self_attention(p, x, n_head, n_valid):
+    """Encoder self-attention via the shape-tuned Pallas kernel."""
+    from ..ops.encoder_attn_pallas import encoder_self_attention
+
+    d_head = x.shape[-1] // n_head
+    scale = d_head ** -0.25
+    q = _split_heads(_linear(p["q"], x), n_head) * scale
+    k = _split_heads(_linear(p["k"], x), n_head) * scale
+    v = _split_heads(_linear(p["v"], x), n_head)
+    o = encoder_self_attention(q, k, v, n_valid=n_valid)
+    return _linear(p["out"], _merge_heads(o.astype(x.dtype)))
 
 
 def _flash_self_attention(p, x, n_head, seg_ids):
@@ -230,13 +262,13 @@ def _flash_self_attention(p, x, n_head, seg_ids):
     return _linear(p["out"], _merge_heads(o.astype(x.dtype)))
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype", "use_flash"))
+@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype", "attn_mode"))
 def encode_audio(params: Params, dims: ModelDims, mel: jax.Array,
                  compute_dtype=jnp.float32,
-                 use_flash: Optional[bool] = None) -> jax.Array:
+                 attn_mode: Optional[str] = None) -> jax.Array:
     """AudioEncoder: mel (B, n_mels, 2 * n_audio_ctx) -> (B, n_audio_ctx, d)."""
-    if use_flash is None:
-        use_flash = _use_flash_default()
+    if attn_mode is None:
+        attn_mode = _encoder_attn_mode()
     ep = params["encoder"]
     x = mel.astype(compute_dtype)
     x = jax.nn.gelu(_conv1d(ep["conv1"], x, 1), approximate=False)
@@ -245,17 +277,21 @@ def encode_audio(params: Params, dims: ModelDims, mel: jax.Array,
     x = x + ep["pos_emb"].astype(compute_dtype)
 
     t = x.shape[1]
-    t_pad = ((t + 511) // 512) * 512 if use_flash else t
-    if use_flash and t_pad != t:
+    t_pad = ((t + 511) // 512) * 512 if attn_mode == "stock" else t
+    if t_pad != t:
         x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
     seg_ids = (jnp.arange(t_pad)[None, :] >= t).astype(jnp.int32)
     seg_ids = jnp.broadcast_to(seg_ids, (x.shape[0], t_pad))
 
     def step(x, bp):
-        if use_flash:
-            a = _flash_self_attention(bp["attn"],
-                                      _layer_norm(bp["attn_ln"], x),
-                                      dims.n_audio_head, seg_ids)
+        if attn_mode in ("stock", "fused"):
+            h_in = _layer_norm(bp["attn_ln"], x)
+            if attn_mode == "stock":
+                a = _flash_self_attention(bp["attn"], h_in,
+                                          dims.n_audio_head, seg_ids)
+            else:
+                a = _fused_self_attention(bp["attn"], h_in,
+                                          dims.n_audio_head, n_valid=t)
             x = x + a
             h = _layer_norm(bp["mlp_ln"], x)
             h = _linear(bp["mlp"]["fc2"],
@@ -266,7 +302,7 @@ def encode_audio(params: Params, dims: ModelDims, mel: jax.Array,
         return y, None
 
     x, _ = jax.lax.scan(step, x, ep["blocks"])
-    if use_flash and t_pad != t:
+    if t_pad != t:
         x = x[:, :t]
     return _layer_norm(ep["ln_post"], x)
 
@@ -446,24 +482,35 @@ def decode_step(params: Params, dims: ModelDims, tokens: jax.Array, pos: jax.Arr
                                     ).astype(compute_dtype))
         x = x + _linear(bp["attn"]["out"], a)
 
-        # cross-attention against the transposed (B, H, hd, F) K/V; int8 K/V
-        # dequantizes on read (the convert fuses into the operand load)
-        def dequant(c):
-            if isinstance(c, tuple):
-                q8, s = c
-                return q8.astype(compute_dtype) * s.astype(compute_dtype)
-            return c.astype(compute_dtype)
-
-        ck_d = dequant(ck)
-        cv_d = dequant(cv)
         hc = _layer_norm(bp["cross_attn_ln"], x)
         qc = _split_heads(_linear(bp["cross_attn"]["q"], hc),
                           dims.n_text_head) * scale  # (B, H, 1, hd)
-        qkc = jnp.einsum("bhtd,bhdf->bhtf", qc, ck_d * scale,
-                         preferred_element_type=jnp.float32)
-        wc = jax.nn.softmax(qkc, axis=-1).astype(compute_dtype)
-        oc = jnp.einsum("bhtf,bhdf->bhtd", wc, cv_d,
-                        preferred_element_type=jnp.float32).astype(compute_dtype)
+        if isinstance(ck, tuple) and _use_fused_cross():
+            # int8 K/V: fused Pallas kernel reads the int8 tensors directly
+            # (half the HBM stream) and dequantizes in VMEM — the XLA dequant
+            # below materializes a full-precision copy instead
+            from ..ops.cross_attn_pallas import cross_attn_step_int8
+
+            k8, k_s = ck
+            v8, v_s = cv
+            oc = cross_attn_step_int8(qc, k8, k_s, v8, v_s,
+                                      k_scale=float(scale)
+                                      ).astype(compute_dtype)
+        else:
+            def dequant(c):
+                if isinstance(c, tuple):
+                    q8, s = c
+                    return q8.astype(compute_dtype) * s.astype(compute_dtype)
+                return c.astype(compute_dtype)
+
+            ck_d = dequant(ck)
+            cv_d = dequant(cv)
+            qkc = jnp.einsum("bhtd,bhdf->bhtf", qc, ck_d * scale,
+                             preferred_element_type=jnp.float32)
+            wc = jax.nn.softmax(qkc, axis=-1).astype(compute_dtype)
+            oc = jnp.einsum("bhtf,bhdf->bhtd", wc, cv_d,
+                            preferred_element_type=jnp.float32
+                            ).astype(compute_dtype)
         x = x + _linear(bp["cross_attn"]["out"], _merge_heads(oc))
         h2 = _layer_norm(bp["mlp_ln"], x)
         h2 = _linear(bp["mlp"]["fc2"],
