@@ -65,6 +65,9 @@ TINY = os.environ.get("WCA_BENCH_TINY") == "1"
 N_UTTS = int(os.environ.get("WCA_BENCH_UTTS", "16" if TINY else "96"))
 BATCH = int(os.environ.get("WCA_BENCH_BATCH", "4" if TINY else "32"))
 DECODE_LEN = int(os.environ.get("WCA_BENCH_DECODE_LEN", "8" if TINY else "32"))
+# opt-in decode frame bucketing (NOT reference-exact: attends over the true
+# audio length rounded up, not the padded 30 s window) — secondary perf mode
+BUCKET = int(os.environ.get("WCA_BENCH_BUCKET", "0"))
 # measured single-core torch reference (scripts/measure_cpu_baseline.py) and
 # the conservative 16-core perfect-scaling model of a multi-core reference box
 BASELINE_1CORE = 0.0250
@@ -147,7 +150,8 @@ def main():
     # the alignment stage a realistic char-token workload while the decode
     # stage still runs (and is timed) at full cost
     cfg = AlignConfig.recommended(model=model_name, batch_size=BATCH,
-                                  use_gt_transcript=True)
+                                  use_gt_transcript=True,
+                                  decode_frame_bucket=BUCKET)
     pipeline = AlignmentPipeline(params, dims, tok, cfg,
                                  compute_dtype=jnp.bfloat16)
     pipeline.options = decoding.DecodingOptions(language="en",
