@@ -146,19 +146,21 @@ def main():
                                           compute_dtype=jnp.bfloat16)
     cache = wmodel.init_kv_cache(dims, B, STEPS + 4, dtype=jnp.bfloat16)
 
-    timed("full loop", lambda: make_loop()(params, cross_kv, cache))
-    timed("no cross-attn",
-          lambda: make_loop(cross=False)(params, cross_kv, cache))
-    timed("no self-attn",
-          lambda: make_loop(self_attn=False)(params, cross_kv, cache))
-    timed("no mlp", lambda: make_loop(mlp=False)(params, cross_kv, cache))
-    timed("no logits/argmax",
-          lambda: make_loop(logits=False)(params, cross_kv, cache))
-    timed("cross only", lambda: make_loop(
-        self_attn=False, mlp=False, logits=False)(params, cross_kv, cache))
-    timed("empty-ish (emb+ln only)", lambda: make_loop(
-        cross=False, self_attn=False, mlp=False, logits=False)(
-        params, cross_kv, cache))
+    # build each jitted loop ONCE outside the timed lambda — constructing a
+    # fresh jax.jit per call would re-trace the 24-layer loop inside the
+    # timed region and inflate every number by a constant tracing cost
+    variants = [
+        ("full loop", make_loop()),
+        ("no cross-attn", make_loop(cross=False)),
+        ("no self-attn", make_loop(self_attn=False)),
+        ("no mlp", make_loop(mlp=False)),
+        ("no logits/argmax", make_loop(logits=False)),
+        ("cross only", make_loop(self_attn=False, mlp=False, logits=False)),
+        ("empty-ish (emb+ln only)", make_loop(cross=False, self_attn=False,
+                                              mlp=False, logits=False)),
+    ]
+    for name, fn in variants:
+        timed(name, lambda f=fn: f(params, cross_kv, cache))
 
 
 if __name__ == "__main__":

@@ -92,10 +92,12 @@ def main():
         params, dims, tok, mel, options, compute_dtype=jnp.bfloat16)[0]
           .avg_logprob, sync=False)
 
-    # encoder alone and decode-loop alone
-    enc = jax.jit(lambda m: wmodel.encode_audio(params, dims, m,
-                                                compute_dtype=jnp.bfloat16))
-    xa = timed("encoder alone", lambda: enc(mel))
+    # encoder alone and decode-loop alone. Params are ARGUMENTS, not closure
+    # captures — closing a jit over the 1.5 GB pytree embeds it as HLO
+    # literals and breaks the remote compiler (CLAUDE.md gotcha)
+    enc = jax.jit(lambda p, m: wmodel.encode_audio(p, dims, m,
+                                                   compute_dtype=jnp.bfloat16))
+    xa = timed("encoder alone", lambda: enc(params, mel))
 
     rng = np.random.default_rng(0)
     tokens = jnp.asarray(rng.integers(0, 200, (B, 96)).astype(np.int32))
@@ -103,7 +105,7 @@ def main():
     frame_len = jnp.full((B,), 300, jnp.int32)
 
     @jax.jit
-    def cap_align(mel):
+    def cap_align(params, mel):
         attn, _ = timing.get_attentions(params, dims, mel, tokens, token_len,
                                         frame_len, medfilt_width=3,
                                         qk_scale=1.0,
@@ -112,7 +114,7 @@ def main():
         jf, _, _ = timing.force_align_batch(attn, token_len, frame_len, 3,
                                             "topk", 10)
         return jf
-    timed("capture+align", lambda: cap_align(mel))
+    timed("capture+align", lambda: cap_align(params, mel))
 
     # host: retokenize a batch of ~8-word texts
     texts = [u.text for u in utts]

@@ -120,6 +120,14 @@ def config_from_args(args) -> AlignConfig:
     return AlignConfig(**kwargs)
 
 
+def results_basename(args) -> str:
+    """Timestamped output path stem under ``args.output_dir`` (no extension)."""
+    filename = datetime.datetime.fromtimestamp(time.time()).strftime(
+        "%Y-%m-%d-%H:%M:%S")
+    os.makedirs(args.output_dir, exist_ok=True)
+    return os.path.join(args.output_dir, filename)
+
+
 def dump_results(args, results: dict) -> str:
     """Timestamped provenance JSON: config union metrics
     (reference infer_ali.py:139-146)."""

@@ -104,10 +104,16 @@ def infer_dataset(args) -> dict:
     import jax
     if not multihost or jax.process_index() == 0:
         out = common.dump_results(args, results)
-        if args.save_prediction:
+        if args.save_prediction and not multihost:
             import joblib
-            pkl = out.replace(".json", "-predictions.pkl")
-            joblib.dump(all_predictions, pkl)  # process 0's shard only
+            joblib.dump(all_predictions, out.replace(".json", "-predictions.pkl"))
+    if multihost and args.save_prediction:
+        # every process saves ITS scp shard (suffix -pN); re-scoring a single
+        # shard with eval_ali gives that shard's metrics, not the corpus's
+        import joblib
+        base = common.results_basename(args)
+        joblib.dump(all_predictions,
+                    f"{base}-predictions-p{jax.process_index()}.pkl")
     return results
 
 

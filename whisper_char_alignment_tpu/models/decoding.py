@@ -87,7 +87,9 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
                  max_initial_ts_index: Optional[int],
                  use_timestamps: bool, compute_dtype=jnp.float32,
                  kv_frames: Optional[int] = None, kv_int8: bool = False):
-    """Returns (tokens (B, L), sum_logprobs (B,), no_speech_probs (B,))."""
+    """Returns (tokens (B, total), sum_logprobs (B,), no_speech_probs (B,),
+    n_steps (scalar: body iterations executed), xa (B, n_audio_ctx, d)).
+    xa is the UNSLICED encoder states even when kv_frames trims the K/V."""
     b = mel.shape[0]
     n_vocab = dims.n_vocab
     total = sample_begin + max_steps

@@ -211,7 +211,10 @@ def _use_fused_cross() -> bool:
 
     mode = os.environ.get("WCA_CROSS_ATTN", "auto")
     if mode == "auto":
-        return jax.default_backend() != "cpu"
+        # pallas_call has no GSPMD partitioning rule: only default it on when
+        # there is a single device (multi-chip data parallelism keeps the XLA
+        # path, which partitions cleanly; force with WCA_CROSS_ATTN=fused)
+        return jax.default_backend() != "cpu" and jax.device_count() == 1
     return mode not in ("0", "off", "false", "xla")
 
 
@@ -230,7 +233,12 @@ def _encoder_attn_mode() -> str:
             "0", "off", "false", "auto"):
         return "stock"
     if mode == "auto":
-        return "xla" if jax.default_backend() == "cpu" else "fused"
+        # pallas_call has no GSPMD partitioning rule: default to the fused
+        # kernel only on a single accelerator; multi-chip data parallelism
+        # keeps the XLA path (partitions cleanly). Force with WCA_ENC_ATTN.
+        if jax.default_backend() == "cpu" or jax.device_count() > 1:
+            return "xla"
+        return "fused"
     return mode
 
 

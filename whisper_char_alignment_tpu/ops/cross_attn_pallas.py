@@ -92,7 +92,6 @@ def cross_attn_step(q, k, v, *, k_scale: float, interpret: bool = False):
     kernel = functools.partial(_body, n_heads=n_heads, head_dim=head_dim,
                                n_frames=n_frames, k_scale=k_scale,
                                quantized=False)
-    dummy_scale = jnp.zeros((b, n_heads, 1, 1), jnp.float32)
     out = pl.pallas_call(
         lambda q_ref, k_ref, v_ref, o_ref: kernel(
             q_ref, k_ref, None, v_ref, None, o_ref),
@@ -111,5 +110,4 @@ def cross_attn_step(q, k, v, *, k_scale: float, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((b, n_heads, 1, head_dim), jnp.float32),
         interpret=interpret,
     )(q, k, v)
-    del dummy_scale
     return out

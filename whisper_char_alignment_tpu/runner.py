@@ -87,6 +87,11 @@ def _wire_audio(audio: np.ndarray) -> np.ndarray:
     representable as int16/32768 (true for 16-bit PCM sources, i.e. all the
     reference corpora), send int16; otherwise send float32 unchanged."""
     scaled = audio * 32768.0
+    # range/finite check BEFORE the cast: int16-casting NaN/out-of-range floats
+    # is undefined (numpy warns, values are platform-dependent); the comparison
+    # is also False for NaN so float WAVs fall through to the f32 path
+    if not np.all((scaled >= -32768.0) & (scaled < 32768.0)):
+        return audio
     as_i16 = scaled.astype(np.int16)
     if np.array_equal(as_i16, scaled):
         return as_i16
