@@ -67,7 +67,8 @@ def test_two_process_sweep_matches_single_process(tmp_path):
     procs = []
     for pid in range(2):
         extra = ["--multihost", "--coordinator_address", f"localhost:{port}",
-                 "--num_processes", "2", "--process_id", str(pid)]
+                 "--num_processes", "2", "--process_id", str(pid),
+                 "--save_prediction"]
         procs.append(subprocess.Popen(
             _cli_argv(scp, multi_dir, extra), env=env,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
@@ -77,3 +78,14 @@ def test_two_process_sweep_matches_single_process(tmp_path):
 
     # only process 0 dumps the results JSON, holding the all-reduced counters
     assert _read_metrics(multi_dir) == _read_metrics(single_dir)
+    # every process saves its scp shard; together they cover the corpus
+    import joblib
+    shards = sorted(f for f in os.listdir(multi_dir)
+                    if f.endswith((".pkl",)) and "-p" in f)
+    assert len(shards) == 2, os.listdir(multi_dir)
+    fids = set()
+    for f in shards:
+        data = joblib.load(os.path.join(multi_dir, f))
+        rows = data.values() if isinstance(data, dict) else data
+        fids |= {r["fids"] for r in rows if r}
+    assert len(fids) == 6, fids
