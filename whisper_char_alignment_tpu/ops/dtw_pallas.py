@@ -23,7 +23,15 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_SUB = 8  # utterances per kernel instance (sublanes)
+# utterances per kernel instance: they ride the VPU sublanes, so wider = more
+# data-parallel lanes per diagonal step (a (32, N1) f32 op is 4 sublane tiles
+# issued by ONE instruction stream vs 4 sequential 8-wide grid groups).
+# Capped at 32 and rounded to the 8-sublane tile; small batches stay narrow.
+_MAX_SUB = 32
+
+
+def _sub_for(b: int) -> int:
+    return min(_MAX_SUB, ((b + 7) // 8) * 8)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -51,15 +59,15 @@ def _dtw_kernel(xs_ref, trace_ref, prev_ref, prev2_ref, m_max_ref=None):
     # trace_ref: (1, K, SUB, N1) int32 out; prev/prev2: (SUB, N1) f32 scratch
     k_block = xs_ref.shape[1]
     d0 = pl.program_id(1) * k_block
-    n1 = prev_ref.shape[1]
+    sub, n1 = prev_ref.shape
     inf = jnp.float32(jnp.inf)
-    lane = jax.lax.broadcasted_iota(jnp.int32, (_SUB, n1), 1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, n1), 1)
 
     @pl.when(d0 == 0)
     def _init():
         # diagonal 0 of the cost grid: cost[0,0] = 0, rest +inf
         prev2_ref[:] = jnp.where(lane == 0, 0.0, inf)
-        prev_ref[:] = jnp.full((_SUB, n1), inf)
+        prev_ref[:] = jnp.full((sub, n1), inf)
 
     def shift(v, fill):
         return jnp.where(lane == 0, fill, pltpu.roll(v, 1, axis=1))
@@ -99,7 +107,8 @@ def dtw_trace_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
     The M bound enters through a scalar passed per kernel call.
     """
     b, n, m = x.shape
-    b_pad = _round_up(b, _SUB)
+    sub = _sub_for(b)
+    b_pad = _round_up(b, sub)
     if b_pad != b:
         x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
     xs = _skew_batch(x)  # (B_pad, D, N1)
@@ -107,9 +116,9 @@ def dtw_trace_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
     d_pad = _round_up(d, _DIAG_BLOCK)
     if d_pad != d:
         xs = jnp.pad(xs, ((0, 0), (0, d_pad - d), (0, 0)))
-    groups = b_pad // _SUB
+    groups = b_pad // sub
     # group layout: (G, D, SUB, N1) so a block's last two dims are (SUB, N1)
-    xs_g = jnp.transpose(xs.reshape(groups, _SUB, d_pad, n1), (0, 2, 1, 3))
+    xs_g = jnp.transpose(xs.reshape(groups, sub, d_pad, n1), (0, 2, 1, 3))
     m_bound = jnp.full((1,), m, jnp.int32)
     k = _DIAG_BLOCK
 
@@ -120,18 +129,18 @@ def dtw_trace_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
         num_scalar_prefetch=1,
         grid=(groups, d_pad // k),
         in_specs=[
-            pl.BlockSpec((1, k, _SUB, n1), lambda b_, d_, m_: (b_, d_, 0, 0)),
+            pl.BlockSpec((1, k, sub, n1), lambda b_, d_, m_: (b_, d_, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, k, _SUB, n1), lambda b_, d_, m_: (b_, d_, 0, 0)),
+        out_specs=pl.BlockSpec((1, k, sub, n1), lambda b_, d_, m_: (b_, d_, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((_SUB, n1), jnp.float32),
-            pltpu.VMEM((_SUB, n1), jnp.float32),
+            pltpu.VMEM((sub, n1), jnp.float32),
+            pltpu.VMEM((sub, n1), jnp.float32),
         ],
     )
     out = pl.pallas_call(
         kernel_with_m,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((groups, d_pad, _SUB, n1), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((groups, d_pad, sub, n1), jnp.int32),
         interpret=interpret,
     )(m_bound, xs_g)
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b_pad, d_pad, n1)
