@@ -87,12 +87,14 @@ def _wire_audio(audio: np.ndarray) -> np.ndarray:
     representable as int16/32768 (true for 16-bit PCM sources, i.e. all the
     reference corpora), send int16; otherwise send float32 unchanged."""
     scaled = audio * 32768.0
-    # range/finite check BEFORE the cast: int16-casting NaN/out-of-range floats
-    # is undefined (numpy warns, values are platform-dependent); the comparison
-    # is also False for NaN so float WAVs fall through to the f32 path
-    if not np.all((scaled >= -32768.0) & (scaled < 32768.0)):
-        return audio
-    as_i16 = scaled.astype(np.int16)
+    # NaN/out-of-range floats make the int16 cast produce arbitrary values and
+    # a numpy warning — but the equality below is then False (NaN never
+    # compares equal; a wrapped value differs from its out-of-range source),
+    # so such audio falls through to the f32 path. errstate just silences the
+    # warning: a separate range pre-check costs two extra 61 MB host passes
+    # per batch on this 1-core host (measured ~250 ms).
+    with np.errstate(invalid="ignore"):
+        as_i16 = scaled.astype(np.int16)
     if np.array_equal(as_i16, scaled):
         return as_i16
     return audio
