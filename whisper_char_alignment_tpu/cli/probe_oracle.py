@@ -142,6 +142,10 @@ def infer_dataset(args) -> dict:
 
     precision, recall, f1, r_value, _ = get_seg_metrics(
         corrects, corrects, total_preds, total_gts)
+    # hit_rate divides by the FULL dataset size, including the <18-word and
+    # over-long utterances skipped above — this looks like a bug but is the
+    # reference's exact behavior (`if_include_best/len(loader)`,
+    # probe_oracle.py:129 divides by the loader length, not n_seen)
     results = dict(precision=precision, recall=recall, f1=f1, r_value=r_value,
                    hit_rate=if_include_best / max(len(dataset), 1))
     print(results)
