@@ -122,3 +122,40 @@ def test_alignment_outputs_are_coherent(corpus):
         assert (np.diff(r.start_times) >= 0).all()
         assert (r.end_times >= r.start_times).all()
         assert r.end_times.max() <= 64 / 50 + 1e-6  # within the audio window
+
+
+def test_sort_by_duration_same_results_different_order(tmp_path):
+    """--sort_by_duration batches length-sorted utterances: per-fid boundaries
+    must be identical to the unsorted run; only the yield order changes."""
+    import jax
+
+    from whisper_char_alignment_tpu.config import AlignConfig, tiny_test_dims
+    from whisper_char_alignment_tpu.data.synthetic import make_timit_corpus
+    from whisper_char_alignment_tpu.models import whisper as wmodel
+    from whisper_char_alignment_tpu.runner import AlignmentPipeline
+    from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+
+    scp = make_timit_corpus(str(tmp_path), n_utts=6, seconds=(0.3, 1.6),
+                            words_per_utt=(3, 5), seed=3)
+    ds = TIMIT(scp)
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=96, n_text_ctx=64,
+                          state=16, head=2, layers=2)
+    params = wmodel.init_params(jax.random.PRNGKey(2), dims)
+
+    def run(sort):
+        cfg = AlignConfig.recommended(topk=2, batch_size=2,
+                                      use_gt_transcript=True,
+                                      sort_by_duration=sort)
+        pipe = AlignmentPipeline(params, dims, tok, cfg)
+        return list(pipe.run_dataset(ds, progress=False))
+
+    plain = {r.fid: r for r in run(False)}
+    ordered = run(True)  # file-size order == duration order for PCM16
+    fids_sorted = [r.fid for r in ordered]
+    assert fids_sorted != list(plain)  # order actually changed
+    assert set(fids_sorted) == set(plain)
+    for r in ordered:
+        np.testing.assert_array_equal(r.start_times, plain[r.fid].start_times)
+        np.testing.assert_array_equal(r.end_times, plain[r.fid].end_times)
+        assert r.words == plain[r.fid].words

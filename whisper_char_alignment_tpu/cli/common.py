@@ -72,6 +72,10 @@ def add_tpu_flags(parser: argparse.ArgumentParser) -> None:
                         help="bucket decode cross-attention K/V to the batch's "
                              "true frames rounded up to this multiple (0 = full "
                              "30s window, reference-exact)")
+    parser.add_argument("--sort_by_duration", action="store_true",
+                        help="batch length-sorted utterances (file-size proxy) "
+                             "so short utterances don't pay the longest "
+                             "transcript's decode steps; changes output order")
     parser.add_argument("--decode_kv_int8", action="store_true",
                         help="int8-quantize decode cross-attention K/V (halves "
                              "the decode HBM stream; small accuracy risk)")

@@ -191,6 +191,11 @@ class AlignConfig:
     # opt-in decode speedup: int8-quantized cross-attention K/V (halves the
     # decode loop's HBM stream; small transcript-accuracy risk)
     decode_kv_int8: bool = False
+    # opt-in: iterate the scp sorted by WAV size (a duration proxy) so batches
+    # are length-homogeneous — the decode loop runs until a batch's LONGEST
+    # transcript finishes, so mixed-length batches make short utterances pay
+    # the longest one's steps. Changes output order, not per-utterance results.
+    sort_by_duration: bool = False
     # isolation mode (SURVEY.md §7 step 4): align the ground-truth transcript
     # instead of the decoded one, decoupling alignment quality from transcript
     # parity (also what bench.py uses so random-weight garbage transcripts

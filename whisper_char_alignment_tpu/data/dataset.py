@@ -128,11 +128,13 @@ class LibriSpeech:
 DATASETS = {"TIMIT": TIMIT, "LibriSpeech": LibriSpeech}
 
 
-def iter_utterances(dataset, prefetch: int = 8) -> Iterator[Utterance]:
+def iter_utterances(dataset, prefetch: int = 8,
+                    order: Optional[List[int]] = None) -> Iterator[Utterance]:
     """Iterate a dataset with a background prefetch thread (WAV decode + label
-    parse overlap with device compute)."""
+    parse overlap with device compute). ``order`` optionally permutes indices."""
+    indices = order if order is not None else range(len(dataset))
     if prefetch <= 0:
-        for i in range(len(dataset)):
+        for i in indices:
             yield dataset[i]
         return
 
@@ -141,7 +143,7 @@ def iter_utterances(dataset, prefetch: int = 8) -> Iterator[Utterance]:
 
     def worker():
         try:
-            for i in range(len(dataset)):
+            for i in indices:
                 q.put(dataset[i])
         finally:
             q.put(stop)
@@ -155,11 +157,32 @@ def iter_utterances(dataset, prefetch: int = 8) -> Iterator[Utterance]:
         yield item
 
 
-def batch_iter(dataset, batch_size: int, prefetch: int = 8
+def duration_order(dataset) -> Optional[List[int]]:
+    """Indices sorted by WAV file size (a decode-free duration proxy).
+
+    Length-sorted batches cut real-weight decode cost: the loop runs until the
+    LONGEST transcript in a batch emits eot, so mixing 2 s and 30 s utterances
+    makes every short one pay the long one's steps. Metrics are
+    order-insensitive; output order changes (hence opt-in via
+    --sort_by_duration)."""
+    entries = getattr(dataset, "entries", None)
+    if not entries:
+        return None
+    sizes = []
+    for i, (_, path) in enumerate(entries):
+        try:
+            sizes.append((os.path.getsize(path), i))
+        except OSError:
+            sizes.append((0, i))
+    return [i for _, i in sorted(sizes)]
+
+
+def batch_iter(dataset, batch_size: int, prefetch: int = 8,
+               order: Optional[List[int]] = None
                ) -> Iterator[List[Utterance]]:
-    """Yield lists of up to ``batch_size`` utterances."""
+    """Yield lists of up to ``batch_size`` utterances (optionally reordered)."""
     batch: List[Utterance] = []
-    for utt in iter_utterances(dataset, prefetch):
+    for utt in iter_utterances(dataset, prefetch, order=order):
         batch.append(utt)
         if len(batch) == batch_size:
             yield batch

@@ -357,7 +357,12 @@ class AlignmentPipeline:
         batch k+1's audio upload / mel / decode are already queued and batch
         k-1's host bookkeeping runs — the device never waits on host work
         between batches."""
-        it = batch_iter(dataset, self.cfg.batch_size)
+        order = None
+        if self.cfg.sort_by_duration:
+            from .data.dataset import duration_order
+
+            order = duration_order(dataset)
+        it = batch_iter(dataset, self.cfg.batch_size, order=order)
         if progress:
             try:
                 from tqdm import tqdm
