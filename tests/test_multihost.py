@@ -89,3 +89,51 @@ def test_two_process_sweep_matches_single_process(tmp_path):
         rows = data.values() if isinstance(data, dict) else data
         fids |= {r["fids"] for r in rows if r}
     assert len(fids) == 6, fids
+
+
+def _probe_argv(scp, out_dir, extra=()):
+    return [sys.executable, "-m", "whisper_char_alignment_tpu.cli.probe_oracle",
+            "--dataset", "TIMIT", "--scp", scp, "--output_dir", out_dir,
+            "--aligned_unit_type", "char", "--strict", "--tolerance", "0.05",
+            "--medfilt_width", "3", "--hit_within", "2", "--test_model",
+            *extra]
+
+
+def _read_probe_metrics(out_dir):
+    jsons = [f for f in os.listdir(out_dir) if f.endswith(".json")]
+    assert len(jsons) == 1, jsons
+    with open(os.path.join(out_dir, jsons[0])) as f:
+        blob = json.load(f)
+    return {k: blob[k] for k in ("precision", "recall", "f1", "r_value",
+                                 "hit_rate")}
+
+
+def test_two_process_probe_oracle_matches_single_process(tmp_path):
+    """probe_oracle --multihost: sharded sweep reproduces the single-process
+    metrics, including the reference-faithful full-corpus hit_rate denominator."""
+    from tests.test_probe_and_plot import make_long_corpus
+
+    scp = make_long_corpus(str(tmp_path / "corpus"), n_utts=4)
+    env = _subproc_env()
+
+    single_dir = str(tmp_path / "single")
+    os.makedirs(single_dir)
+    r = subprocess.run(_probe_argv(scp, single_dir), env=env, timeout=600,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    multi_dir = str(tmp_path / "multi")
+    os.makedirs(multi_dir)
+    port = _free_port()
+    procs = []
+    for pid in range(2):
+        extra = ["--multihost", "--coordinator_address", f"localhost:{port}",
+                 "--num_processes", "2", "--process_id", str(pid)]
+        procs.append(subprocess.Popen(
+            _probe_argv(scp, multi_dir, extra), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+    outs = [p.communicate(timeout=600) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+
+    assert _read_probe_metrics(multi_dir) == _read_probe_metrics(single_dir)

@@ -12,6 +12,7 @@ from tests.test_pipeline_e2e import make_timit_fixture
 def make_long_corpus(root, n_utts=2):
     """Utterances with >= 18 ground-truth words (probe_oracle's filter)."""
     from whisper_char_alignment_tpu.audio import wav
+    os.makedirs(root, exist_ok=True)
     sr = 16000
     rng = np.random.default_rng(1)
     scp_lines = []

@@ -29,6 +29,7 @@ from ..align import timing
 from ..align.metrics import eval_n1, eval_n1_strict, get_seg_metrics
 from ..constants import AUDIO_SAMPLES_PER_TOKEN, MAX_FRAMES, MAX_LENGTH
 from ..data.dataset import DATASETS
+from ..parallel import distributed
 from ..runner import AlignmentPipeline
 from . import common
 
@@ -46,12 +47,23 @@ def _per_head_jump_frames(attn, token_len, frame_len, sot_len: int):
 
 
 def infer_dataset(args) -> dict:
+    multihost = getattr(args, "multihost", False)
+    if multihost:
+        # must run before any other JAX device use in this process
+        distributed.initialize(args.coordinator_address, args.num_processes,
+                               args.process_id)
+
     params, dims, tok = common.load_model_and_tokenizer(args)
     cfg = common.config_from_args(args)
     cfg.batch_size = 1  # the probe is per-utterance; avoid padding to a full batch
     pipe = AlignmentPipeline(params, dims, tok, cfg, compute_dtype=(
         jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32))
     dataset = DATASETS[args.dataset](args.scp, n_mels=args.n_mels)
+    # the reference-faithful hit_rate denominator is the FULL corpus size (see
+    # below), so record it before sharding
+    global_len = len(dataset)
+    if multihost:
+        dataset.entries = distributed.shard_entries(dataset.entries)
 
     from ..text import retokenize
 
@@ -140,6 +152,15 @@ def infer_dataset(args) -> dict:
             total_gts += tp + fn
             total_preds += tp + fp
 
+    if multihost:
+        summed = distributed.allreduce_counters(dict(
+            corrects=corrects, total_preds=total_preds, total_gts=total_gts,
+            if_include_best=if_include_best))
+        corrects = summed["corrects"]
+        total_preds = summed["total_preds"]
+        total_gts = summed["total_gts"]
+        if_include_best = summed["if_include_best"]
+
     precision, recall, f1, r_value, _ = get_seg_metrics(
         corrects, corrects, total_preds, total_gts)
     # hit_rate divides by the FULL dataset size, including the <18-word and
@@ -147,9 +168,11 @@ def infer_dataset(args) -> dict:
     # reference's exact behavior (`if_include_best/len(loader)`,
     # probe_oracle.py:129 divides by the loader length, not n_seen)
     results = dict(precision=precision, recall=recall, f1=f1, r_value=r_value,
-                   hit_rate=if_include_best / max(len(dataset), 1))
+                   hit_rate=if_include_best / max(global_len, 1))
     print(results)
-    common.dump_results(args, results)
+    import jax as _jax
+    if not multihost or _jax.process_index() == 0:
+        common.dump_results(args, results)
     return results
 
 
@@ -165,6 +188,7 @@ def parse_args(argv=None):
 
 
 def main(argv=None):
+    common.apply_platform_env()
     args = parse_args(argv)
     print(args)
     return infer_dataset(args)
