@@ -64,13 +64,15 @@ def test_filterbank_slaney_breakpoint():
     assert np.allclose(d, d[0], rtol=1e-6)
 
 
-@pytest.mark.parametrize("seconds", [0.37, 1.0, 3.3])
-def test_log_mel_parity_vs_torch(seconds):
+@pytest.mark.parametrize("seconds,n_mels", [(0.37, 80), (1.0, 80), (3.3, 80),
+                                            (1.0, 128)])
+def test_log_mel_parity_vs_torch(seconds, n_mels):
+    # n_mels=128 is the large-v3 frontend (MODEL_DIMS["large-v3"].n_mels)
     rng = np.random.default_rng(0)
     audio = mel_mod.pad_or_trim(_rand_audio(rng, seconds))
-    expect = _torch_log_mel(np.asarray(audio))
-    got = np.asarray(mel_mod.log_mel_spectrogram(audio))
-    assert got.shape == (80, constants.N_FRAMES)
+    expect = _torch_log_mel(np.asarray(audio), n_mels=n_mels)
+    got = np.asarray(mel_mod.log_mel_spectrogram(audio, n_mels=n_mels))
+    assert got.shape == (n_mels, constants.N_FRAMES)
     np.testing.assert_allclose(got, expect, atol=2e-4)
 
 

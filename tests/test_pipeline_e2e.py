@@ -159,3 +159,27 @@ def test_sort_by_duration_same_results_different_order(tmp_path):
         np.testing.assert_array_equal(r.start_times, plain[r.fid].start_times)
         np.testing.assert_array_equal(r.end_times, plain[r.fid].end_times)
         assert r.words == plain[r.fid].words
+
+
+def test_pipeline_with_128_mel_model(tmp_path):
+    """large-v3-style 128-mel frontend end-to-end through the pipeline."""
+    import jax
+    from whisper_char_alignment_tpu.config import AlignConfig, tiny_test_dims
+    from whisper_char_alignment_tpu.data.synthetic import make_timit_corpus
+    from whisper_char_alignment_tpu.models import whisper as wmodel
+    from whisper_char_alignment_tpu.runner import AlignmentPipeline
+    from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+
+    scp = make_timit_corpus(str(tmp_path), n_utts=2, seconds=0.6,
+                            words_per_utt=(3, 4), seed=4)
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=32, n_text_ctx=32,
+                          state=16, head=2, layers=2, n_mels=128)
+    params = wmodel.init_params(jax.random.PRNGKey(5), dims)
+    cfg = AlignConfig.recommended(topk=2, batch_size=2, n_mels=128,
+                                  use_gt_transcript=True)
+    pipe = AlignmentPipeline(params, dims, tok, cfg)
+    res = list(pipe.run_dataset(TIMIT(scp), progress=False))
+    assert len(res) == 2
+    for r in res:
+        assert not r.skipped and len(r.start_times) == len(r.words) - 1
