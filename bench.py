@@ -122,13 +122,12 @@ def recompute_one_on_cpu(pipeline, batch, cfg, tok):
 
 
 def main():
+    tok = get_test_tokenizer()
     if TINY:
-        tok = get_test_tokenizer()
         dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=128,
                               n_text_ctx=96, state=32, head=4, layers=2)
         model_name = "tiny-test"
     else:
-        tok = get_test_tokenizer()
         dims = MODEL_DIMS["medium"]
         # the toy tokenizer's vocab is smaller than the published 51865; decode
         # runs over the model's full vocab with the toy specials in range
@@ -167,14 +166,15 @@ def main():
     log(f"correctness: {n_ok}/{len(warm)} alignments pass interval checks")
     # the recompute path uses a different jit signature (return_matrix=True);
     # run it before the timed pass so its compile stays out of the timing
-    fid = recompute_one_on_cpu(pipeline, list(batch_iter(dataset, BATCH))[0],
-                               cfg, tok)
+    first_batch = next(iter(batch_iter(dataset, BATCH, prefetch=0)))
+    fid = recompute_one_on_cpu(pipeline, first_batch, cfg, tok)
     log(f"correctness: device DTW == NumPy oracle recompute for {fid}")
 
     # two timed passes, best wall: the axon tunnel's throughput fluctuates
     # (upload stage measured 0.3-1.6 s/batch across identical runs); min-wall
     # is the standard noise-robust estimator for a deterministic workload
     best_wall = None
+    best_timers = None
     for _ in range(int(os.environ.get("WCA_BENCH_PASSES", "2"))):
         pipeline.timers = type(pipeline.timers)()  # reset stage timers
         t0 = time.time()
@@ -184,7 +184,9 @@ def main():
         log(f"pass: {wall:.2f}s")
         if best_wall is None or wall < best_wall:
             best_wall = wall
+            best_timers = pipeline.timers  # stage split of the REPORTED pass
     wall = best_wall
+    pipeline.timers = best_timers
 
     n_aligned = sum(1 for a in results if not a.skipped)
     throughput = n_aligned / wall
@@ -199,7 +201,9 @@ def main():
         "metric": f"e2e_pipeline_utts_per_sec_per_chip_whisper_{model_name}",
         "value": round(throughput, 3),
         "unit": "utts/sec",
-        "vs_baseline": round(throughput / BASELINE, 1),
+        # the measured baseline is Whisper-medium-shaped; a tiny-dims ratio
+        # would compare different workloads
+        "vs_baseline": None if TINY else round(throughput / BASELINE, 1),
     }))
 
 

@@ -124,22 +124,21 @@ def config_from_args(args) -> AlignConfig:
     return AlignConfig(**kwargs)
 
 
-def results_basename(args) -> str:
-    """Timestamped output path stem under ``args.output_dir`` (no extension)."""
-    filename = datetime.datetime.fromtimestamp(time.time()).strftime(
-        "%Y-%m-%d-%H:%M:%S")
+def results_basename(args, ts: float = None) -> str:
+    """Timestamped output path stem under ``args.output_dir`` (no extension).
+    Pass ``ts`` to pin the stem (multihost runs broadcast process 0's time so
+    every process's files share one stem)."""
+    filename = datetime.datetime.fromtimestamp(
+        time.time() if ts is None else ts).strftime("%Y-%m-%d-%H:%M:%S")
     os.makedirs(args.output_dir, exist_ok=True)
     return os.path.join(args.output_dir, filename)
 
 
-def dump_results(args, results: dict) -> str:
+def dump_results(args, results: dict, stem: str = None) -> str:
     """Timestamped provenance JSON: config union metrics
     (reference infer_ali.py:139-146)."""
-    ts = time.time()
-    filename = datetime.datetime.fromtimestamp(ts).strftime("%Y-%m-%d-%H:%M:%S")
     merged = {**{k: v for k, v in vars(args).items()}, **results}
-    os.makedirs(args.output_dir, exist_ok=True)
-    out = os.path.join(args.output_dir, f"{filename}.json")
+    out = (stem or results_basename(args)) + ".json"
     with open(out, "w") as f:
         json.dump(merged, f)
     return out

@@ -102,18 +102,24 @@ def infer_dataset(args) -> dict:
     results = dict(precision=precision, recall=recall, f1=f1, r_value=r_value)
     print(results)
     import jax
-    if not multihost or jax.process_index() == 0:
+    import time as _time
+    if multihost:
+        # one stem for the metrics JSON and every process's prediction shard
+        stem = common.results_basename(
+            args, ts=distributed.broadcast_scalar(_time.time()))
+        if jax.process_index() == 0:
+            common.dump_results(args, results, stem=stem)
+        if args.save_prediction:
+            # every process saves ITS scp shard (suffix -pN); re-scoring one
+            # shard with eval_ali gives that shard's metrics, not the corpus's
+            import joblib
+            joblib.dump(all_predictions,
+                        f"{stem}-predictions-p{jax.process_index()}.pkl")
+    else:
         out = common.dump_results(args, results)
-        if args.save_prediction and not multihost:
+        if args.save_prediction:
             import joblib
             joblib.dump(all_predictions, out.replace(".json", "-predictions.pkl"))
-    if multihost and args.save_prediction:
-        # every process saves ITS scp shard (suffix -pN); re-scoring a single
-        # shard with eval_ali gives that shard's metrics, not the corpus's
-        import joblib
-        base = common.results_basename(args)
-        joblib.dump(all_predictions,
-                    f"{base}-predictions-p{jax.process_index()}.pkl")
     return results
 
 

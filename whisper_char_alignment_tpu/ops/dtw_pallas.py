@@ -31,7 +31,13 @@ _MAX_SUB = 32
 
 
 def _sub_for(b: int) -> int:
-    return min(_MAX_SUB, ((b + 7) // 8) * 8)
+    # largest width in {32, 16, 8} that divides the 8-rounded batch: b=33
+    # pads to 40 and runs 8-wide (5 groups) rather than padding to 64 rows
+    b8 = ((b + 7) // 8) * 8
+    for width in (_MAX_SUB, 16, 8):
+        if b8 % width == 0:
+            return width
+    return 8
 
 
 def _round_up(x: int, m: int) -> int:

@@ -40,11 +40,27 @@ def allreduce_counters(counters: Dict[str, float]) -> Dict[str, float]:
     """Sum scalar metric counters (tp/fp/fn/...) across hosts via a psum on the
     global device mesh; identity on single-host."""
     import jax
+    # explicit import: jax.experimental has no lazy `multihost_utils` attr on
+    # current jax — relying on jax-internal side-effect imports is fragile
+    from jax.experimental import multihost_utils
     import jax.numpy as jnp
 
     if jax.process_count() == 1:
         return dict(counters)
     keys = sorted(counters)
     local = jnp.asarray([float(counters[k]) for k in keys], jnp.float32)
-    summed = jax.experimental.multihost_utils.process_allgather(local).sum(0)
+    summed = multihost_utils.process_allgather(local).sum(0)
     return {k: float(v) for k, v in zip(keys, np.asarray(summed))}
+
+
+def broadcast_scalar(value: float) -> float:
+    """Process 0's value on every process (identity single-host); used to agree
+    on one output-file timestamp across a multihost run."""
+    import jax
+    from jax.experimental import multihost_utils
+    import jax.numpy as jnp
+
+    if jax.process_count() == 1:
+        return float(value)
+    out = multihost_utils.broadcast_one_to_all(jnp.float64(value))
+    return float(out)
