@@ -67,14 +67,20 @@ def _align_step(params, dims: ModelDims, xa, tokens, token_len, frame_len,
     return jump_frames, (matrix if return_matrix else None), sel
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype"))
-def _mel_step(audio, dims: ModelDims, compute_dtype=jnp.float32):
+@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype",
+                                             "total_samples"))
+def _mel_step(audio, dims: ModelDims, compute_dtype=jnp.float32,
+              total_samples: int = None):
     import os
 
     if audio.dtype == jnp.int16:
         # int16 wire format (bit-exact for 16-bit PCM sources): the host sends
         # half the bytes over the axon tunnel and the scale fuses into the mel
         audio = audio.astype(jnp.float32) * (1.0 / 32768.0)
+    if total_samples is not None and audio.shape[-1] < total_samples:
+        # the host uploads only the true audio (bucketed); the 30 s window's
+        # zero padding happens here on device — bit-exact with host padding
+        audio = jnp.pad(audio, ((0, 0), (0, total_samples - audio.shape[-1])))
     if os.environ.get("WCA_MEL_IMPL") == "pallas":
         from .ops.mel_pallas import log_mel_pallas
 
@@ -149,12 +155,21 @@ class AlignmentPipeline:
         b_pad = self._pad_batch(len(utts))
         # window follows the model: 2 * n_audio_ctx encoder-input mel frames
         n_samples = 2 * self.dims.n_audio_ctx * constants.HOP_LENGTH
-        audio = np.zeros((b_pad, n_samples), np.float32)
+        # upload only the batch's true audio length, bucketed to 5 s steps to
+        # bound jit signatures (<= 6); the rest of the 30 s window is zero —
+        # padded on device in _mel_step, so the wire carries ~4x fewer bytes
+        # for TIMIT-length utterances over the ~75 MB/s tunnel
+        sample_bucket = 5 * constants.SAMPLE_RATE
+        max_live = max(min(u.audio.size, n_samples) for u in utts)
+        wire_samples = min(n_samples,
+                           mesh_lib.pad_to_multiple(max_live, sample_bucket))
+        audio = np.zeros((b_pad, wire_samples), np.float32)
         for i, u in enumerate(utts):
-            audio[i] = np.asarray(pad_or_trim(u.audio, n_samples))
+            audio[i] = np.asarray(pad_or_trim(u.audio, wire_samples))
         with self.timers.stage("mel dispatch", units=len(utts)):
             mel = _mel_step(self._shard(jnp.asarray(_wire_audio(audio))),
-                            self.dims, compute_dtype=self.compute_dtype)
+                            self.dims, compute_dtype=self.compute_dtype,
+                            total_samples=n_samples)
         kv_frames = None
         if self.cfg.decode_frame_bucket > 0:
             max_fl = max(max(u.duration // constants.AUDIO_SAMPLES_PER_TOKEN, 1)
