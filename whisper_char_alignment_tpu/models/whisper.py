@@ -218,6 +218,17 @@ def _use_fused_cross() -> bool:
     return mode not in ("0", "off", "false", "xla")
 
 
+def _use_fused_qkpost() -> bool:
+    """Fused capture-postprocess kernel (env WCA_QKPOST): auto = on for a
+    single accelerator (same GSPMD caveat as the other Pallas defaults)."""
+    import os
+
+    mode = os.environ.get("WCA_QKPOST", "auto")
+    if mode == "auto":
+        return jax.default_backend() != "cpu" and jax.device_count() == 1
+    return mode not in ("0", "off", "false", "xla")
+
+
 def _encoder_attn_mode() -> str:
     """Encoder attention implementation (env WCA_ENC_ATTN):
     - "fused": shape-tuned Pallas kernel (ops/encoder_attn_pallas.py) — scores
@@ -365,11 +376,20 @@ def decode_text(params: Params, dims: ModelDims, tokens: jax.Array, xa: jax.Arra
     mask = _causal_mask(t)
     xa = xa.astype(compute_dtype)
 
+    use_fused_post = _use_fused_qkpost()
+
     def step(x, bp):
         y, qk = _residual_block(bp, x, xa, dims.n_text_head, mask, return_qk)
         if qk is not None and medfilt_width is not None:
-            qk = qk_to_attention(qk, frame_len, token_len, medfilt_width, qk_scale,
-                                 attn_dtype)
+            if use_fused_post:
+                from ..ops.qkpost_pallas import qk_postprocess_fused
+
+                qk = qk_postprocess_fused(qk, frame_len, token_len,
+                                          medfilt_width, qk_scale,
+                                          attn_dtype=attn_dtype)
+            else:
+                qk = qk_to_attention(qk, frame_len, token_len, medfilt_width,
+                                     qk_scale, attn_dtype)
         return y, qk
 
     x, qks = jax.lax.scan(step, x, dp["blocks"])
