@@ -63,7 +63,10 @@ from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
 
 TINY = os.environ.get("WCA_BENCH_TINY") == "1"
 N_UTTS = int(os.environ.get("WCA_BENCH_UTTS", "16" if TINY else "96"))
-BATCH = int(os.environ.get("WCA_BENCH_BATCH", "4" if TINY else "32"))
+# B=16 measured fastest (33.1 utts/s vs 28.1 at B=32, 31.1 at B=8, 28.5 at
+# B=48): per-utt device work is batch-linear in the dominant stages, so finer
+# batches overlap better in the 3-stage software pipeline
+BATCH = int(os.environ.get("WCA_BENCH_BATCH", "4" if TINY else "16"))
 DECODE_LEN = int(os.environ.get("WCA_BENCH_DECODE_LEN", "8" if TINY else "32"))
 # opt-in decode frame bucketing (NOT reference-exact: attends over the true
 # audio length rounded up, not the padded 30 s window) — secondary perf mode
