@@ -21,7 +21,7 @@ a 16-core reference with PERFECT linear scaling (16 x 0.0250 = 0.40 utts/sec);
 the measured single-core ratio is also printed to stderr. Override with
 WCA_BENCH_BASELINE=<utts/sec>.
 
-Knobs (env): WCA_BENCH_UTTS (96), WCA_BENCH_BATCH (32), WCA_BENCH_DECODE_LEN
+Knobs (env): WCA_BENCH_UTTS (96), WCA_BENCH_BATCH (16), WCA_BENCH_DECODE_LEN
 (32 — a real-transcript-length proxy: with random weights eot never fires, so
 the published sample_len=224 default would measure 7x the decode steps a real
 checkpoint pays; set 224 to measure the full-length decode cost),

@@ -60,3 +60,14 @@ def test_fused_qkpost_dtw_jumps_identical():
             ma = -a[i].mean(axis=0)[:n, :m]
             mb = -b_[i].mean(axis=0)[:n, :m]
             np.testing.assert_array_equal(dtw_np(ma)[1], dtw_np(mb)[1])
+
+
+def test_fused_qkpost_long_transcript_blocked_grid():
+    """T=224 (the published sample_len bucket) exercises the T-gridded path
+    (T_blk=112, 2 blocks) that keeps VMEM bounded for long transcripts."""
+    qk, fl, tl = _rand_case(11, b=2, h=1, t=224, f=256)
+    for width in (3, 7):
+        want = np.asarray(qk_to_attention(qk, fl, tl, width, qk_scale=1.0))
+        got = np.asarray(qk_postprocess_fused(qk, fl, tl, width, qk_scale=1.0,
+                                              interpret=True))
+        np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)

@@ -204,29 +204,32 @@ def _conv1d(p, x, stride):
 
 
 def _use_fused_cross() -> bool:
-    """Fused int8 decode cross-attention kernel (env WCA_CROSS_ATTN):
-    auto = on for accelerators, off on CPU (Pallas needs interpret there and
-    the XLA dequant path is fine for tests)."""
+    """Fused int8 decode cross-attention kernel (WCA_CROSS_ATTN; measured
+    slower than the bf16 XLA stream on v5e — see docs/DESIGN.md)."""
+    return _pallas_kernel_enabled("WCA_CROSS_ATTN")
+
+
+def _pallas_kernel_enabled(env_var: str) -> bool:
+    """Shared guard for the opt-in/auto Pallas kernel flags (WCA_QKPOST,
+    WCA_CROSS_ATTN, and the 'fused' arm of WCA_ENC_ATTN).
+
+    auto = on only for a SINGLE accelerator: pallas_call has no GSPMD
+    partitioning rule, so multi-chip data-parallel runs keep the XLA paths
+    (which partition cleanly) unless a kernel is forced on.
+
+    Trace-time caveat: the env var is read when the surrounding jit traces and
+    is NOT part of the jit cache key — set it before the first call with a
+    given shape; flipping it afterwards silently reuses the cached trace."""
     import os
 
-    mode = os.environ.get("WCA_CROSS_ATTN", "auto")
+    mode = os.environ.get(env_var, "auto")
     if mode == "auto":
-        # pallas_call has no GSPMD partitioning rule: only default it on when
-        # there is a single device (multi-chip data parallelism keeps the XLA
-        # path, which partitions cleanly; force with WCA_CROSS_ATTN=fused)
         return jax.default_backend() != "cpu" and jax.device_count() == 1
     return mode not in ("0", "off", "false", "xla")
 
 
 def _use_fused_qkpost() -> bool:
-    """Fused capture-postprocess kernel (env WCA_QKPOST): auto = on for a
-    single accelerator (same GSPMD caveat as the other Pallas defaults)."""
-    import os
-
-    mode = os.environ.get("WCA_QKPOST", "auto")
-    if mode == "auto":
-        return jax.default_backend() != "cpu" and jax.device_count() == 1
-    return mode not in ("0", "off", "false", "xla")
+    return _pallas_kernel_enabled("WCA_QKPOST")
 
 
 def _encoder_attn_mode() -> str:
@@ -244,12 +247,7 @@ def _encoder_attn_mode() -> str:
             "0", "off", "false", "auto"):
         return "stock"
     if mode == "auto":
-        # pallas_call has no GSPMD partitioning rule: default to the fused
-        # kernel only on a single accelerator; multi-chip data parallelism
-        # keeps the XLA path (partitions cleanly). Force with WCA_ENC_ATTN.
-        if jax.default_backend() == "cpu" or jax.device_count() > 1:
-            return "xla"
-        return "fused"
+        return "fused" if _pallas_kernel_enabled("WCA_ENC_ATTN") else "xla"
     return mode
 
 

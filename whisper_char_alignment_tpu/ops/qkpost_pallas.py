@@ -32,14 +32,17 @@ from jax.experimental.pallas import tpu as pltpu
 from .medfilt import _median_of
 
 
-def _kernel(fl_ref, tl_ref, scale_ref, qk_ref, out_ref, *, width, t, f):
+def _kernel(fl_ref, tl_ref, scale_ref, qk_ref, out_ref, *, width, tblk, f):
     b = pl.program_id(0)
     m = fl_ref[b] - 1  # last valid frame column for this item
     tl = tl_ref[b]
     qk_scale = scale_ref[0]
-    x = qk_ref[0, 0].astype(jnp.float32)  # (T, F)
-    col = jax.lax.broadcasted_iota(jnp.int32, (t, f), 1)
-    row = jax.lax.broadcasted_iota(jnp.int32, (t, f), 0)
+    x = qk_ref[0, 0].astype(jnp.float32)  # (T_blk, F)
+    col = jax.lax.broadcasted_iota(jnp.int32, (tblk, f), 1)
+    # global token-row index (the T axis is gridded so VMEM stays bounded for
+    # long transcripts; every op here is row-independent)
+    row = (jax.lax.broadcasted_iota(jnp.int32, (tblk, f), 0)
+           + pl.program_id(2) * tblk)
     pad = width // 2
 
     # base medfilt pass: width shifted views with FULL-edge reflect (identical
@@ -86,14 +89,23 @@ def qk_postprocess_fused(qk, frame_len, token_len, width: int,
     """qk (B, H, T, F) [+ mask already applied]; returns attn (B, H, T, F).
     ``qk_scale`` may be a traced scalar (rides the scalar-prefetch lane)."""
     b, h, t, f = qk.shape
-    kernel = functools.partial(_kernel, width=width, t=t, f=f)
+    # block the token axis so VMEM stays bounded for long transcripts (each
+    # (T_blk, F) f32 panel is ~width+3 live temporaries); rows are independent
+    tblk = t
+    if t > 128:
+        for cand in (128, 112, 96, 80, 64, 48, 32, 16, 8):
+            if t % cand == 0:
+                tblk = cand
+                break
+    kernel = functools.partial(_kernel, width=width, tblk=tblk, f=f)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
-        grid=(b, h),
+        grid=(b, h, t // tblk),
         in_specs=[
-            pl.BlockSpec((1, 1, t, f), lambda i, j, *_: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, tblk, f), lambda i, j, k, *_: (i, j, k, 0)),
         ],
-        out_specs=pl.BlockSpec((1, 1, t, f), lambda i, j, *_: (i, j, 0, 0)),
+        out_specs=pl.BlockSpec((1, 1, tblk, f),
+                               lambda i, j, k, *_: (i, j, k, 0)),
     )
     scale_arr = jnp.asarray(qk_scale, jnp.float32).reshape(1)
     return pl.pallas_call(
