@@ -57,3 +57,30 @@ def test_load_model_requires_checkpoint(monkeypatch):
     monkeypatch.delenv("WCA_CHECKPOINT", raising=False)
     with pytest.raises(FileNotFoundError):
         api.load_model("medium")
+
+
+def test_align_long_chunks_and_offsets():
+    """align_long splits >window audio into 30s-equivalent windows, aligns each
+    and offsets boundaries by the window start (extension: the reference skips
+    such utterances, infer_ali.py:78-81)."""
+    import numpy as np
+    from whisper_char_alignment_tpu import api
+
+    model = api.test_model()
+    window_s = 2 * model.dims.n_audio_ctx * 160 / 16000  # tiny model's window
+    rng = np.random.default_rng(0)
+    audio = rng.normal(0, 0.1, int(16000 * window_s * 2.5)).astype(np.float32)
+    # GT transcripts per chunk via the override (random weights give garbage)
+    res = api.align_long(model, audio, use_gt_transcript=False)
+    assert res.words[-1] == "<|endoftext|>"
+    assert len(res.start_times) == len(res.end_times) == len(res.words) - 1
+    if len(res.end_times):
+        # within-chunk times are <= the window and chunk offsets increase by
+        # exactly one window, so the merged boundaries are globally monotone
+        assert (np.diff(np.asarray(res.start_times)) >= -1e-9).all()
+        assert max(res.end_times) <= window_s * 3 + 1e-6
+
+    # short audio delegates to the single-utterance path
+    short = rng.normal(0, 0.1, 4000).astype(np.float32)
+    r2 = api.align_long(model, short)
+    assert isinstance(r2.fid, str)

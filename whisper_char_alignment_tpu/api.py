@@ -86,3 +86,78 @@ def align(model: Model, audio: Union[str, np.ndarray],
     utt = Utterance(audio=data.astype(np.float32), duration=data.size, text="",
                     starts=[], ends=[], fid=fid)
     return pipe.align_batch([utt], return_matrix=True)[0]
+
+
+def align_long(model: Model, audio: Union[str, np.ndarray],
+               batch_size: int = 8, compute_dtype=jnp.float32,
+               **align_kwargs) -> UttAlignment:
+    """Align audio of ANY length by fixed 30 s windows (an extension — the
+    reference simply skips utterances over 30 s, infer_ali.py:78-81).
+
+    Each window is transcribed and aligned independently (the model's context
+    is architecturally 30 s); word boundaries are offset by the window start
+    and concatenated. Words spanning a window boundary are split between the
+    adjacent windows — for reference-exact behavior on <=30 s inputs use
+    :func:`align`, which this delegates to when the audio fits one window.
+    """
+    if isinstance(audio, str):
+        data, sr = wav.load(audio)
+        assert sr == constants.SAMPLE_RATE, f"expected 16 kHz audio, got {sr}"
+        data = data.reshape(-1) if data.shape[0] == 1 else data.mean(0)
+        fid = os.path.splitext(os.path.basename(audio))[0]
+    else:
+        data = np.asarray(audio, np.float32).reshape(-1)
+        fid = "utterance"
+    window = constants.N_SAMPLES
+    if data.size <= window:
+        return align(model, data, compute_dtype=compute_dtype, **align_kwargs)
+
+    # model dims may use a shorter window (tiny test models)
+    window = 2 * model.dims.n_audio_ctx * constants.HOP_LENGTH
+    chunks = [data[i:i + window] for i in range(0, data.size, window)]
+    utts = [Utterance(audio=np.ascontiguousarray(c, np.float32),
+                      duration=c.size, text="", starts=[], ends=[],
+                      fid=f"{fid}#{k}") for k, c in enumerate(chunks)]
+    cfg = AlignConfig(batch_size=min(batch_size, len(utts)), model=model.name,
+                      aligned_unit_type=align_kwargs.pop("aligned_unit_type",
+                                                         "char"),
+                      aggr=align_kwargs.pop("aggregation", "topk"),
+                      topk=align_kwargs.pop("topk", 10),
+                      medfilt_width=align_kwargs.pop("medfilt_width", 3),
+                      qk_scale=align_kwargs.pop("qk_scale", 1.0),
+                      **align_kwargs)
+    pipe = AlignmentPipeline(model.params, model.dims, model.tokenizer, cfg,
+                             compute_dtype=compute_dtype)
+    by_chunk = {int(r.fid.rsplit("#", 1)[1]): r
+                for r in pipe.run_dataset(_ListDataset(utts), progress=False)}
+    words: list = []
+    starts: list = []
+    ends: list = []
+    texts: list = []
+    chunk_seconds = window / constants.SAMPLE_RATE
+    for k in sorted(by_chunk):
+        res = by_chunk[k]
+        base = k * chunk_seconds
+        if res.words:
+            words.extend(res.words[:-1])  # drop each chunk's eot group
+            starts.extend(float(s) + base for s in res.start_times)
+            ends.extend(float(e) + base for e in res.end_times)
+        texts.append(res.transcription)
+    return UttAlignment(
+        fid=fid, words=words + ["<|endoftext|>"],
+        start_times=np.asarray(starts), end_times=np.asarray(ends),
+        transcription=" ".join(t for t in texts if t), text="",
+        starts=[], ends=[])
+
+
+class _ListDataset:
+    """Minimal dataset over in-memory utterances (for align_long)."""
+
+    def __init__(self, utts):
+        self._utts = list(utts)
+
+    def __len__(self):
+        return len(self._utts)
+
+    def __getitem__(self, i):
+        return self._utts[i]
