@@ -153,7 +153,9 @@ def main():
     # stage still runs (and is timed) at full cost
     cfg = AlignConfig.recommended(model=model_name, batch_size=BATCH,
                                   use_gt_transcript=True,
-                                  decode_frame_bucket=BUCKET)
+                                  decode_frame_bucket=BUCKET,
+                                  reuse_cross_kv=os.environ.get(
+                                      "WCA_BENCH_REUSE_KV", "1") == "1")
     pipeline = AlignmentPipeline(params, dims, tok, cfg,
                                  compute_dtype=jnp.bfloat16)
     pipeline.options = decoding.DecodingOptions(language="en",

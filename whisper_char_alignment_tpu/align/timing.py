@@ -39,7 +39,8 @@ def get_attentions(params, dims: ModelDims, mel: jax.Array, tokens: jax.Array,
                    token_len: jax.Array, frame_len: jax.Array,
                    medfilt_width: int = 7, qk_scale=1.0,
                    compute_dtype=jnp.float32, attn_dtype=jnp.float32,
-                   return_logits: bool = True, xa: jax.Array = None):
+                   return_logits: bool = True, xa: jax.Array = None,
+                   cross_kv=None):
     """Teacher-forced forward returning processed cross-attention maps.
 
     mel (B, n_mels, 2*n_audio_ctx); tokens (B, T) padded with eot;
@@ -49,14 +50,17 @@ def get_attentions(params, dims: ModelDims, mel: jax.Array, tokens: jax.Array,
 
     Pass ``xa`` (B, n_audio_ctx, d) to reuse encoder states computed by the
     transcription pass instead of re-running the 24-layer encoder (``mel`` is
-    then ignored and may be None).
+    then ignored and may be None); additionally pass ``cross_kv`` (the decode
+    loop's un-quantized full-frame K/V stacks) to also skip the per-layer
+    cross K/V projections.
     """
-    if xa is None:
+    if xa is None and cross_kv is None:
         xa = wmodel.encode_audio(params, dims, mel, compute_dtype=compute_dtype)
     logits, attn = wmodel.decode_text(
         params, dims, tokens, xa, return_qk=True, compute_dtype=compute_dtype,
         medfilt_width=medfilt_width, frame_len=frame_len, token_len=token_len,
-        qk_scale=qk_scale, attn_dtype=attn_dtype, return_logits=return_logits)
+        qk_scale=qk_scale, attn_dtype=attn_dtype, return_logits=return_logits,
+        cross_kv=cross_kv)
     return attn, logits
 
 
@@ -333,7 +337,8 @@ def _znorm_mean_heads(sel_attn: jax.Array, token_len: jax.Array, sot_len: int):
 def default_find_alignment_batch(params, dims: ModelDims, mel, tokens,
                                  token_len, frame_len, alignment_heads, eot: int,
                                  medfilt_width=7, qk_scale=1.0, sot_len=3,
-                                 compute_dtype=jnp.float32, xa=None):
+                                 compute_dtype=jnp.float32, xa=None,
+                                 cross_kv=None):
     """Whisper's built-in timing path, batched: only the hand-picked alignment
     heads, z-normalized per token, averaged, DTW'd; also returns per-token text
     probabilities from the teacher-forced logits (reference timing.py:116-186).
@@ -342,7 +347,8 @@ def default_find_alignment_batch(params, dims: ModelDims, mel, tokens,
     """
     attn, logits = get_attentions(params, dims, mel, tokens, token_len, frame_len,
                                   medfilt_width=medfilt_width, qk_scale=qk_scale,
-                                  compute_dtype=compute_dtype, xa=xa)
+                                  compute_dtype=compute_dtype, xa=xa,
+                                  cross_kv=cross_kv)
     heads = jnp.asarray(alignment_heads, jnp.int32)  # (n_sel, 2)
     sel = attn[heads[:, 0], :, heads[:, 1]]  # (n_sel, B, T, F)
     sel = jnp.transpose(sel, (1, 0, 2, 3)).astype(jnp.float32)  # (B, n_sel, T, F)

@@ -191,6 +191,12 @@ class AlignConfig:
     # opt-in decode speedup: int8-quantized cross-attention K/V (halves the
     # decode loop's HBM stream; small transcript-accuracy risk)
     decode_kv_int8: bool = False
+    # reuse the decode loop's per-layer cross K/V in the teacher-forced capture
+    # pass (skips 2 x n_layers K/V projections over the 1500 encoder frames,
+    # ~4.8 TFLOP at medium B=32). Same math in the same dtype, parity-preserving;
+    # automatically disabled when decode_frame_bucket/decode_kv_int8 change the
+    # stored K/V, or when a batch's skip-guards reorder the live rows.
+    reuse_cross_kv: bool = True
     # opt-in: iterate the scp sorted by WAV size (a duration proxy) so batches
     # are length-homogeneous — the decode loop runs until a batch's LONGEST
     # transcript finishes, so mixed-length batches make short utterances pay

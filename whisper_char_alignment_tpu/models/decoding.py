@@ -88,8 +88,11 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
                  use_timestamps: bool, compute_dtype=jnp.float32,
                  kv_frames: Optional[int] = None, kv_int8: bool = False):
     """Returns (tokens (B, total), sum_logprobs (B,), no_speech_probs (B,),
-    n_steps (scalar: body iterations executed), xa (B, n_audio_ctx, d)).
-    xa is the UNSLICED encoder states even when kv_frames trims the K/V."""
+    n_steps (scalar: body iterations executed), xa (B, n_audio_ctx, d),
+    cross_kv). xa is the UNSLICED encoder states even when kv_frames trims the
+    K/V; cross_kv is the per-layer cross K/V exactly as the loop used it
+    (sliced/quantized under kv_frames/kv_int8 — reusable by the teacher-forced
+    capture pass only in the parity-true full-frame f32/bf16 configuration)."""
     b = mel.shape[0]
     n_vocab = dims.n_vocab
     total = sample_begin + max_steps
@@ -148,10 +151,12 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
                 vocab_ids > ts_begin + max_initial_ts_index)[None]
         kill = kill | (first & kill_first)
         logits = jnp.where(kill, _NEG_INF, logits)
-        # prefer timestamps when their total probability dominates any text token
-        logprobs = jax.nn.log_softmax(logits, axis=-1)
-        ts_lp = jax.nn.logsumexp(logprobs[:, ts_begin:], axis=-1)
-        max_text_lp = logprobs[:, :ts_begin].max(axis=-1)
+        # prefer timestamps when their total probability dominates any text
+        # token. The published rule compares log_softmax values, but the shared
+        # normalizer cancels in the comparison, so raw-logit reductions give the
+        # same decision without materializing a (B, V) log_softmax each step.
+        ts_lp = jax.scipy.special.logsumexp(logits[:, ts_begin:], axis=-1)
+        max_text_lp = logits[:, :ts_begin].max(axis=-1)
         kill_text_all = (ts_lp > max_text_lp)[:, None] & (vocab_ids < ts_begin)[None]
         return jnp.where(kill_text_all, _NEG_INF, logits)
 
@@ -174,9 +179,10 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
         is_prompt = i < sample_begin
         filtered = apply_filters(logits, i, tokens, has_ts, last_ts_tok)
         next_sampled = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
-        logprobs = jax.nn.log_softmax(filtered, axis=-1)
-        chosen_lp = jnp.take_along_axis(logprobs, next_sampled[:, None],
-                                        axis=-1)[:, 0]
+        # greedy picks the max, so its log-softmax value is max - logsumexp:
+        # two row reductions instead of materializing (B, V) logprobs + gather
+        max_lp = filtered.max(axis=-1)
+        chosen_lp = max_lp - jax.scipy.special.logsumexp(filtered, axis=-1)
         prompt_tok = tokens[:, jnp.minimum(i, total - 1)]
         next_tok = jnp.where(is_prompt, prompt_tok,
                              jnp.where(finished, eot, next_sampled))
@@ -197,9 +203,10 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
     # handled inside the loop by starting at i=1 after seeding tokens0
     i, tokens, cache, finished, sum_lp, has_ts, last_ts_tok, ns_prob = (
         jax.lax.while_loop(cond, body, state))
-    # xa (unsliced) rides along so callers can reuse the encoder states for the
-    # teacher-forced QK capture without re-running the 24-layer encoder
-    return tokens, sum_lp, ns_prob, i - 1, xa
+    # xa (unsliced) and cross_kv ride along so callers can reuse the encoder
+    # states AND the per-layer cross K/V projections for the teacher-forced QK
+    # capture without recomputing either
+    return tokens, sum_lp, ns_prob, i - 1, xa, cross_kv
 
 
 class DecodeFuture:
@@ -233,14 +240,18 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
            kv_frames: Optional[int] = None,
            kv_int8: bool = False,
            return_xa: bool = False,
+           return_cross_kv: bool = False,
            async_results: bool = False):
     """Transcribe a batch of mels. mel: (B, n_mels, 2*n_audio_ctx) or single
     (n_mels, frames). Returns one DecodingResult per utterance (a single result
     for unbatched input, like the published API). With ``return_xa=True``
     returns ``(results, xa)`` where xa are the (device) encoder states, for
-    reuse by the alignment capture pass. With ``async_results=True`` the
-    results slot holds a :class:`DecodeFuture` (call ``.result()``) and no host
-    sync happens in this call."""
+    reuse by the alignment capture pass; ``return_cross_kv=True`` additionally
+    appends the loop's cross-attention K/V stacks (``(results, xa, cross_kv)``)
+    so the capture pass can skip the K/V projections too — only reusable in the
+    parity-true configuration (no kv_frames slicing, no int8). With
+    ``async_results=True`` the results slot holds a :class:`DecodeFuture`
+    (call ``.result()``) and no host sync happens in this call."""
     options = options or DecodingOptions()
     single = mel.ndim == 2
     if single:
@@ -287,7 +298,7 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
     if options.max_initial_timestamp is not None and not options.without_timestamps:
         max_initial_ts_index = round(options.max_initial_timestamp / 0.02)
 
-    tokens_d, sum_lp_d, ns_prob_d, n_steps_d, xa = _decode_loop(
+    tokens_d, sum_lp_d, ns_prob_d, n_steps_d, xa, cross_kv = _decode_loop(
         params, dims, jnp.asarray(mel), jnp.asarray(prompt_arr),
         jnp.asarray(suppress_mask), jnp.asarray(blank_mask),
         sample_begin=sample_begin, max_steps=sample_len,
@@ -324,6 +335,8 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
     else:
         out = finalize(np.asarray(tokens_d), np.asarray(sum_lp_d),
                        np.asarray(ns_prob_d), np.asarray(n_steps_d))
+    if return_cross_kv:
+        return out, xa, cross_kv
     return (out, xa) if return_xa else out
 
 

@@ -177,16 +177,40 @@ def _qkv_attention(p, x, xa, n_head, mask=None, return_qk=False):
     return out, (qk if return_qk else None)
 
 
-def _residual_block(bp, x, xa, n_head, mask, return_qk):
+def _cross_attention_kv(p, x, ck, cv, n_head, return_qk):
+    """Cross-attention against PRECOMPUTED K/V in the (B, H, hd, F) decode-loop
+    layout (:func:`precompute_cross_kv`) — same math as :func:`_qkv_attention`
+    with ``xa``, minus the two K/V projections. Both contractions run over the
+    head_dim axis directly in the stored layout, so no transpose of the ~GB-scale
+    K/V tensors is materialized."""
+    d_head = x.shape[-1] // n_head
+    scale = d_head ** -0.25
+    q = _split_heads(_linear(p["q"], x), n_head) * scale
+    qk = jnp.einsum("bhtd,bhdf->bhtf", q, ck.astype(x.dtype) * scale,
+                    preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(qk.astype(jnp.float32), axis=-1).astype(x.dtype)
+    out = _merge_heads(jnp.einsum("bhtf,bhdf->bhtd", w, cv.astype(x.dtype),
+                                  preferred_element_type=jnp.float32
+                                  ).astype(x.dtype))
+    out = _linear(p["out"], out)
+    return out, (qk if return_qk else None)
+
+
+def _residual_block(bp, x, xa, n_head, mask, return_qk, cross_kv=None):
     """One decoder/encoder block. Returns (x, cross_qk or None)."""
     a, _ = _qkv_attention(bp["attn"], _layer_norm(bp["attn_ln"], x), None,
                           n_head, mask=mask)
     x = x + a
     qk = None
     if "cross_attn" in bp:
-        c, qk = _qkv_attention(
-            bp["cross_attn"], _layer_norm(bp["cross_attn_ln"], x), xa, n_head,
-            return_qk=return_qk)
+        if cross_kv is not None:
+            c, qk = _cross_attention_kv(
+                bp["cross_attn"], _layer_norm(bp["cross_attn_ln"], x),
+                cross_kv[0], cross_kv[1], n_head, return_qk=return_qk)
+        else:
+            c, qk = _qkv_attention(
+                bp["cross_attn"], _layer_norm(bp["cross_attn_ln"], x), xa,
+                n_head, return_qk=return_qk)
         x = x + c
     h = _layer_norm(bp["mlp_ln"], x)
     h = _linear(bp["mlp"]["fc2"], jax.nn.gelu(_linear(bp["mlp"]["fc1"], h),
@@ -357,7 +381,7 @@ def decode_text(params: Params, dims: ModelDims, tokens: jax.Array, xa: jax.Arra
                 frame_len: Optional[jax.Array] = None,
                 token_len: Optional[jax.Array] = None,
                 qk_scale=1.0, attn_dtype=jnp.float32,
-                return_logits: bool = True):
+                return_logits: bool = True, cross_kv=None):
     """TextDecoder teacher-forced over the full token sequence.
 
     tokens (B, T) int32, xa (B, F, d) encoder output.
@@ -367,17 +391,30 @@ def decode_text(params: Params, dims: ModelDims, tokens: jax.Array, xa: jax.Arra
     layer scan* (mask -> median filter -> scaled softmax -> pad-row zeroing via
     :func:`qk_to_attention`), so the raw f32 QK stack is never materialized across
     layers — the scan output is the alignment-ready attention stack.
+
+    ``cross_kv``: optional precomputed per-layer cross K/V stacks
+    ``((L, B, H, hd, F), (L, B, H, hd, F))`` from :func:`precompute_cross_kv`
+    (un-quantized). The transcription pass already paid the 2x24 K/V projections
+    over the 1500 encoder frames (~4.8 TFLOP at medium B=32); reusing them here
+    skips that work, and ``xa`` is then only used as a fallback (may be None).
     """
     dp = params["decoder"]
     t = tokens.shape[-1]
     x = (dp["tok_emb"][tokens] + dp["pos_emb"][:t]).astype(compute_dtype)
     mask = _causal_mask(t)
-    xa = xa.astype(compute_dtype)
+    if xa is not None:
+        xa = xa.astype(compute_dtype)
 
     use_fused_post = _use_fused_qkpost()
 
-    def step(x, bp):
-        y, qk = _residual_block(bp, x, xa, dims.n_text_head, mask, return_qk)
+    def step(x, inp):
+        if cross_kv is None:
+            bp, layer_kv = inp, None
+        else:
+            bp, ck, cv = inp
+            layer_kv = (ck, cv)
+        y, qk = _residual_block(bp, x, xa, dims.n_text_head, mask, return_qk,
+                                cross_kv=layer_kv)
         if qk is not None and medfilt_width is not None:
             if use_fused_post:
                 from ..ops.qkpost_pallas import qk_postprocess_fused
@@ -390,7 +427,9 @@ def decode_text(params: Params, dims: ModelDims, tokens: jax.Array, xa: jax.Arra
                                      qk_scale, attn_dtype)
         return y, qk
 
-    x, qks = jax.lax.scan(step, x, dp["blocks"])
+    xs = (dp["blocks"] if cross_kv is None
+          else (dp["blocks"], cross_kv[0], cross_kv[1]))
+    x, qks = jax.lax.scan(step, x, xs)
     x = _layer_norm(dp["ln"], x)
     if not return_logits:
         # alignment-only callers skip the (B, T, vocab) projection entirely

@@ -51,15 +51,19 @@ class UttAlignment:
 def _align_step(params, dims: ModelDims, xa, tokens, token_len, frame_len,
                 *, medfilt_width: int, qk_scale, aggregation: str, topk: int,
                 w_colnorm, w_rownorm, w_coverage, sot_len: int,
-                compute_dtype=jnp.float32, return_matrix: bool = False):
+                compute_dtype=jnp.float32, return_matrix: bool = False,
+                cross_kv=None):
     """Fused capture + head-select + aggregate + DTW for one padded batch.
 
     ``xa`` are the encoder states from the transcription pass — the 24-layer
-    encoder runs once per batch, not twice (decode + capture)."""
+    encoder runs once per batch, not twice (decode + capture); ``cross_kv``
+    (when reusable) are the decode loop's K/V stacks, skipping the per-layer
+    cross projections too."""
     attn, _ = timing.get_attentions(
         params, dims, None, tokens, token_len, frame_len,
         medfilt_width=medfilt_width, qk_scale=qk_scale,
-        compute_dtype=compute_dtype, return_logits=False, xa=xa)
+        compute_dtype=compute_dtype, return_logits=False, xa=xa,
+        cross_kv=cross_kv)
     jump_frames, matrix, scores = timing.force_align_batch(
         attn, token_len, frame_len, sot_len, aggregation, topk,
         w_colnorm, w_rownorm, w_coverage)
@@ -177,14 +181,26 @@ class AlignmentPipeline:
             kv_frames = min(
                 self.dims.n_audio_ctx,
                 mesh_lib.pad_to_multiple(int(max_fl), self.cfg.decode_frame_bucket))
+        # cross-K/V reuse: only in the parity-true configuration (full-frame,
+        # un-quantized) and single-mesh (the (L, B, ...) stacks don't follow the
+        # batch-axis sharding helper)
+        reuse_kv = (self.cfg.reuse_cross_kv and kv_frames is None
+                    and not self.cfg.decode_kv_int8 and self.mesh is None)
         with self.timers.stage("decode dispatch", units=len(utts)):
-            future, xa = decoding.decode(self.params, self.dims, self.tokenizer,
-                                         mel, self.options,
-                                         compute_dtype=self.compute_dtype,
-                                         kv_frames=kv_frames,
-                                         kv_int8=self.cfg.decode_kv_int8,
-                                         return_xa=True, async_results=True)
-        return dict(utts=utts, future=future, mel=mel, xa=xa)
+            if reuse_kv:
+                future, xa, cross_kv = decoding.decode(
+                    self.params, self.dims, self.tokenizer, mel, self.options,
+                    compute_dtype=self.compute_dtype,
+                    return_cross_kv=True, async_results=True)
+            else:
+                future, xa = decoding.decode(
+                    self.params, self.dims, self.tokenizer, mel, self.options,
+                    compute_dtype=self.compute_dtype, kv_frames=kv_frames,
+                    kv_int8=self.cfg.decode_kv_int8,
+                    return_xa=True, async_results=True)
+                cross_kv = None
+        return dict(utts=utts, future=future, mel=mel, xa=xa,
+                    cross_kv=cross_kv)
 
     def transcribe_batch(self, utts: Sequence[Utterance]):
         """Synchronous wrapper: (transcripts, mel batch, encoder states)."""
@@ -252,8 +268,20 @@ class AlignmentPipeline:
                 # real dims skip overlong inputs via MAX_FRAMES above)
                 frame_len[i] = min(max(p[5], 1), self.dims.n_audio_ctx)
                 xa_idx[i] = utt_index[p[0].fid]
-            xa_live = jnp.take(xa, jnp.asarray(xa_idx), axis=0)
+            # cross-K/V reuse needs the live rows in decode order (skip-guards
+            # reorder them; gathering the multi-GB (L, B, ...) stacks would cost
+            # more than recomputing). Rows >= len(live) are pad rows whose
+            # outputs are discarded, so their K/V content is irrelevant.
+            cross_kv = tp.get("cross_kv")
+            if cross_kv is not None and not (
+                    xa.shape[0] == b_pad
+                    and np.array_equal(xa_idx[:len(live)],
+                                       np.arange(len(live)))):
+                cross_kv = None
+            xa_live = (None if cross_kv is not None
+                       else jnp.take(xa, jnp.asarray(xa_idx), axis=0))
             with self.timers.stage("align dispatch", units=len(live)):
+                xa_in = None if xa_live is None else self._shard(xa_live)
                 if cfg.default_whisper_timing:
                     jump_dev, probs_dev, matrix_dev = \
                         timing.default_find_alignment_batch(
@@ -265,12 +293,12 @@ class AlignmentPipeline:
                             medfilt_width=cfg.medfilt_width,
                             qk_scale=cfg.qk_scale, sot_len=self.sot_len,
                             compute_dtype=self.compute_dtype,
-                            xa=self._shard(xa_live))
+                            xa=xa_in, cross_kv=cross_kv)
                     if not return_matrix:
                         matrix_dev = None
                 else:
                     jump_dev, matrix_dev, sel_dev = _align_step(
-                        self.params, self.dims, self._shard(xa_live),
+                        self.params, self.dims, xa_in,
                         self._shard(jnp.asarray(tokens_arr)),
                         self._shard(jnp.asarray(token_len)),
                         self._shard(jnp.asarray(frame_len)),
@@ -279,7 +307,7 @@ class AlignmentPipeline:
                         w_colnorm=cfg.w_colnorm, w_rownorm=cfg.w_rownorm,
                         w_coverage=cfg.w_coverage, sot_len=self.sot_len,
                         compute_dtype=self.compute_dtype,
-                        return_matrix=return_matrix)
+                        return_matrix=return_matrix, cross_kv=cross_kv)
             for arr in (jump_dev, matrix_dev, probs_dev,
                         *(sel_dev or ())):
                 if arr is not None:
