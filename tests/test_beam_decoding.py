@@ -1,0 +1,252 @@
+"""Beam-search and temperature-sampling decode parity.
+
+The jitted beam loop (models/beam.py) must reproduce a naive Python
+implementation of the published BeamSearchDecoder — dict-of-sequences
+candidate merging, per-step finished banking capped at round(beam*patience),
+finalize top-up with unfinished beams, maximum-likelihood ranking — running on
+the same model with a full re-forward each step. Sampling is checked
+structurally (rules respected, logprob bookkeeping, determinism under a fixed
+rng, best_of ranking)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_char_alignment_tpu.config import tiny_test_dims
+from whisper_char_alignment_tpu.models import beam, decoding, whisper as wmodel
+from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=24, n_text_ctx=24,
+                          state=16, head=2, layers=2)
+    params = wmodel.init_params(jax.random.PRNGKey(3), dims)
+    rng = np.random.default_rng(0)
+    mel = rng.normal(0, 1, (2, dims.n_mels, 2 * dims.n_audio_ctx)).astype(
+        np.float32)
+    return tok, dims, params, mel
+
+
+def _log_softmax(x):
+    m = np.max(x[np.isfinite(x)])
+    e = np.exp(x - m)
+    return (x - m) - np.log(e.sum())
+
+
+def _forward_last(params, dims, tok, mel_1, tokens):
+    buf = list(tokens) + [tok.eot] * (dims.n_text_ctx - len(tokens))
+    logits, _ = wmodel.forward(params, dims, jnp.asarray(mel_1)[None],
+                               jnp.asarray([buf], jnp.int32), return_qk=False)
+    return np.asarray(logits)[0, len(tokens) - 1].astype(np.float64)
+
+
+def _apply_rules(logits, tokens, tok, options, sample_begin):
+    """Published logit filters, naive per-row (mirrors test_decoding's oracle)."""
+    use_ts = not options.without_timestamps
+    suppress = decoding._get_suppress_tokens(tok, options)
+    blank_ids = tok.encode(" ") + [tok.eot]
+    ts_begin = tok.timestamp_begin
+    logits = logits.copy()
+    logits[list(suppress)] = -np.inf
+    if len(tokens) == sample_begin:
+        logits[blank_ids] = -np.inf
+    if use_ts:
+        logits[tok.no_timestamps] = -np.inf
+        seq = tokens[sample_begin:]
+        last_was = len(seq) >= 1 and seq[-1] >= ts_begin
+        penult_was = len(seq) < 2 or seq[-2] >= ts_begin
+        if last_was:
+            if penult_was:
+                logits[ts_begin:] = -np.inf
+            else:
+                logits[:tok.eot] = -np.inf
+        ts = [t for t in seq if t >= ts_begin]
+        if ts:
+            last = ts[-1] if (last_was and not penult_was) else ts[-1] + 1
+            logits[ts_begin:last] = -np.inf
+        if len(tokens) == sample_begin:
+            logits[:ts_begin] = -np.inf
+            if options.max_initial_timestamp is not None:
+                cap = round(options.max_initial_timestamp / 0.02)
+                logits[ts_begin + cap + 1:] = -np.inf
+        lp = _log_softmax(logits)
+        if np.logaddexp.reduce(lp[ts_begin:]) > lp[:ts_begin].max():
+            logits[:ts_begin] = -np.inf
+    return logits
+
+
+def naive_beam_decode(params, dims, tok, mel_1, options, sample_len):
+    """Published BeamSearchDecoder + MaximumLikelihoodRanker, one audio."""
+    g = options.beam_size
+    patience = options.patience if options.patience is not None else 1.0
+    max_candidates = max(1, round(g * patience))
+    use_ts = not options.without_timestamps
+    prompt = list(tok.sot_sequence if use_ts
+                  else tok.sot_sequence_including_notimestamps)
+    sample_begin = len(prompt)
+    beams = [list(prompt) for _ in range(g)]
+    sum_lp = [0.0] * g
+    finished = {}
+    for _ in range(sample_len):
+        scores, sources = {}, {}
+        for j in range(g):
+            logits = _forward_last(params, dims, tok, mel_1, beams[j])
+            logits = _apply_rules(logits, beams[j], tok, options, sample_begin)
+            lp = _log_softmax(logits)
+            topk = np.argsort(-lp, kind="stable")[:g + 1]
+            for t in topk:
+                seq = tuple(beams[j] + [int(t)])
+                scores[seq] = sum_lp[j] + lp[t]
+                sources[seq] = j
+        next_beams, next_lps, newly = [], [], {}
+        for seq in sorted(scores, key=scores.get, reverse=True):
+            if seq[-1] == tok.eot:
+                newly[seq] = scores[seq]
+            else:
+                next_beams.append(list(seq))
+                next_lps.append(scores[seq])
+                if len(next_beams) == g:
+                    break
+        for seq in sorted(newly, key=newly.get, reverse=True):
+            if len(finished) >= max_candidates:
+                break
+            finished[seq] = newly[seq]
+        beams, sum_lp = next_beams, next_lps
+        if len(finished) >= max_candidates:
+            break
+    if len(finished) < g:  # published finalize: top up with unfinished beams
+        for j in list(np.argsort(sum_lp))[::-1]:
+            seq = tuple(beams[j] + [tok.eot])
+            finished[seq] = sum_lp[j]
+            if len(finished) >= g:
+                break
+    cands, lps = [], []
+    for seq, lp in finished.items():
+        s = list(seq)[sample_begin:]
+        if tok.eot in s:
+            s = s[:s.index(tok.eot)]
+        cands.append(s)
+        lps.append(lp)
+    sel = beam.ml_rank(cands, lps, options.length_penalty)
+    return cands[sel], lps[sel]
+
+
+@pytest.mark.parametrize("beam_size,without_timestamps,patience,alpha", [
+    (2, False, None, None),
+    (3, False, None, 0.5),
+    (2, True, None, None),
+    (3, False, 1.5, None),
+])
+def test_beam_matches_naive_oracle(setup, beam_size, without_timestamps,
+                                   patience, alpha):
+    tok, dims, params, mel = setup
+    sample_len = 8
+    options = decoding.DecodingOptions(
+        language="en", beam_size=beam_size, patience=patience,
+        length_penalty=alpha, without_timestamps=without_timestamps,
+        sample_len=sample_len)
+    results = decoding.decode(params, dims, tok, jnp.asarray(mel), options)
+    for k in range(mel.shape[0]):
+        expect_tokens, expect_lp = naive_beam_decode(
+            params, dims, tok, mel[k], options, sample_len)
+        assert results[k].tokens == expect_tokens, (
+            f"item {k}: {results[k].tokens} vs {expect_tokens}")
+        np.testing.assert_allclose(
+            results[k].avg_logprob, expect_lp / (len(expect_tokens) + 1),
+            rtol=1e-4, atol=1e-4)
+
+
+def test_beam_greedy_equivalence_at_beam1(setup):
+    """beam_size=1 must reproduce greedy decoding token-for-token (a beam of
+    one always extends with the argmax)."""
+    tok, dims, params, mel = setup
+    opts_b = decoding.DecodingOptions(language="en", beam_size=1, sample_len=8)
+    opts_g = decoding.DecodingOptions(language="en", sample_len=8)
+    rb = decoding.decode(params, dims, tok, jnp.asarray(mel), opts_b)
+    rg = decoding.decode(params, dims, tok, jnp.asarray(mel), opts_g)
+    for b_, g_ in zip(rb, rg):
+        assert b_.tokens == g_.tokens
+
+
+def test_sampling_rules_and_determinism(setup):
+    tok, dims, params, mel = setup
+    opts = decoding.DecodingOptions(language="en", temperature=0.8,
+                                    sample_len=8)
+    r1 = decoding.decode(params, dims, tok, jnp.asarray(mel), opts,
+                         rng=jax.random.PRNGKey(5))
+    r2 = decoding.decode(params, dims, tok, jnp.asarray(mel), opts,
+                         rng=jax.random.PRNGKey(5))
+    assert [r.tokens for r in r1] == [r.tokens for r in r2]
+    suppress = set(decoding._get_suppress_tokens(tok, opts))
+    for r in r1:
+        assert not (set(r.tokens) & suppress)
+        if r.tokens:  # first sampled token must obey the timestamp rule
+            assert r.tokens[0] >= tok.timestamp_begin
+        # sum_logprobs bookkeeping: recompute from the published definition.
+        # The eot term only exists when the row actually sampled eot (shorter
+        # than sample_len); a row that ran to sample_len was never charged it.
+        prompt = list(tok.sot_sequence)
+        seq = list(r.tokens)
+        if len(seq) < 8:
+            seq = seq + [tok.eot]
+        total_lp = 0.0
+        toks = list(prompt)
+        for t in seq:
+            logits = _forward_last(params, dims, tok, jnp.asarray(mel[0])
+                                   if r is r1[0] else jnp.asarray(mel[1]),
+                                   toks)
+            logits = _apply_rules(logits, toks, tok, opts, len(prompt))
+            total_lp += _log_softmax(logits)[t]
+            toks.append(t)
+        np.testing.assert_allclose(r.avg_logprob,
+                                   total_lp / (len(r.tokens) + 1),
+                                   rtol=1e-3, atol=1e-3)
+
+
+def test_best_of_ranks_by_normalized_logprob(setup):
+    tok, dims, params, mel = setup
+    opts = decoding.DecodingOptions(language="en", temperature=1.0, best_of=4,
+                                    sample_len=6)
+    rng = jax.random.PRNGKey(11)
+    res = decoding.decode(params, dims, tok, jnp.asarray(mel), opts, rng=rng)
+    # re-run the raw loop to see all 4 rows and check the selected one wins
+    prompt = jnp.asarray(list(tok.sot_sequence), jnp.int32)
+    suppress = decoding._get_suppress_tokens(tok, opts)
+    s_mask = np.zeros((dims.n_vocab,), np.float32)
+    s_mask[list(suppress)] = -np.inf
+    b_mask = np.zeros((dims.n_vocab,), np.float32)
+    b_mask[tok.encode(" ") + [tok.eot]] = -np.inf
+    tokens, sum_lp, _, _, _ = beam._sample_loop(
+        params, dims, jnp.asarray(mel), prompt, jnp.asarray(s_mask),
+        jnp.asarray(b_mask), rng, sample_begin=len(tok.sot_sequence),
+        max_steps=6, ts_begin=tok.timestamp_begin, eot=tok.eot,
+        no_timestamps=tok.no_timestamps, no_speech=tok.no_speech,
+        max_initial_ts_index=50, use_timestamps=True, n_group=4,
+        temperature=1.0)
+    groups = beam.group_candidates(np.asarray(tokens), np.asarray(sum_lp),
+                                   n_group=4, sample_begin=len(tok.sot_sequence),
+                                   eot=tok.eot)
+    for a, (cands, lps) in enumerate(groups):
+        sel = beam.ml_rank(cands, lps, None)
+        assert res[a].tokens == cands[sel]
+
+
+def test_option_validation(setup):
+    tok, dims, params, mel = setup
+    m = jnp.asarray(mel)
+    with pytest.raises(ValueError):
+        decoding.decode(params, dims, tok, m, decoding.DecodingOptions(
+            language="en", beam_size=2, best_of=2, temperature=1.0))
+    with pytest.raises(ValueError):
+        decoding.decode(params, dims, tok, m, decoding.DecodingOptions(
+            language="en", best_of=2))  # temperature 0
+    with pytest.raises(ValueError):
+        decoding.decode(params, dims, tok, m, decoding.DecodingOptions(
+            language="en", patience=2.0))  # patience without beam
+    with pytest.raises(ValueError):
+        decoding.decode(params, dims, tok, m, decoding.DecodingOptions(
+            language="en", beam_size=2, length_penalty=2.0))

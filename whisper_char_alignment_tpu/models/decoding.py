@@ -41,8 +41,12 @@ _NEG_INF = float("-inf")
 class DecodingOptions:
     task: str = "transcribe"
     language: Optional[str] = None
-    temperature: float = 0.0  # only 0.0 (greedy) is implemented
+    temperature: float = 0.0  # 0.0 = deterministic (greedy/beam); >0 samples
     sample_len: Optional[int] = None
+    best_of: Optional[int] = None  # independent samples when temperature > 0
+    beam_size: Optional[int] = None  # beam search (temperature must be 0)
+    patience: Optional[float] = None  # beam search: collect round(beam*patience)
+    length_penalty: Optional[float] = None  # None = simple length normalization
     suppress_tokens: Optional[str] = "-1"
     suppress_blank: bool = True
     without_timestamps: bool = False
@@ -75,6 +79,59 @@ def _get_suppress_tokens(tokenizer, options: DecodingOptions) -> Tuple[int, ...]
     if tokenizer.no_speech is not None:
         suppress.append(tokenizer.no_speech)
     return tuple(sorted(set(suppress)))
+
+
+def apply_logit_filters(logits, cur_len, tokens, has_ts, last_ts_tok,
+                        suppress_mask, blank_mask, vocab_ids, *,
+                        sample_begin: int, ts_begin: int, eot: int,
+                        no_timestamps: int,
+                        max_initial_ts_index: Optional[int],
+                        use_timestamps: bool):
+    """The published per-step logit filters (SuppressBlank, SuppressTokens,
+    ApplyTimestampRules) over a (B, V) batch of rows. ``cur_len`` is the
+    position being predicted; ``tokens`` (B, total) holds the consumed prefix.
+    Shared by the greedy loop and the beam/sampling loops (models/beam.py) so
+    every decode mode applies bit-identical rules.
+
+    All rule masks are OR-combined into ONE boolean select over the logits
+    (plus the unavoidable second pass after the timestamp-probability
+    reductions): the decode loop runs this every step, so each extra
+    full-vocab elementwise pass costs HBM traffic."""
+    sampled = cur_len - sample_begin  # how many sampled tokens exist
+    first = sampled == 0
+    add_mask = suppress_mask + jnp.where(first, blank_mask, 0.0)
+    logits = logits + add_mask[None]
+    if not use_timestamps:
+        return logits
+    # --- ApplyTimestampRules (one fused kill mask) ---
+    last_tok = tokens[:, jnp.maximum(cur_len - 1, 0)]
+    penult_tok = tokens[:, jnp.maximum(cur_len - 2, 0)]
+    last_was = (sampled >= 1) & (last_tok >= ts_begin)
+    penult_was = (sampled < 2) | (penult_tok >= ts_begin)
+    is_ts_col = (vocab_ids >= ts_begin)[None]
+    is_text_col = (vocab_ids < eot)[None]
+    kill = (vocab_ids == no_timestamps)[None]
+    kill = kill | ((last_was & penult_was)[:, None] & is_ts_col)
+    kill = kill | ((last_was & ~penult_was)[:, None] & is_text_col)
+    # monotonic timestamps: forbid [ts_begin, ts_last)
+    ts_last = jnp.where(last_was & ~penult_was, last_ts_tok, last_ts_tok + 1)
+    kill = kill | (has_ts[:, None] & is_ts_col
+                   & (vocab_ids[None] < ts_last[:, None]))
+    # first sampled token must be a timestamp, capped at max_initial_timestamp
+    kill_first = ~is_ts_col
+    if max_initial_ts_index is not None:
+        kill_first = kill_first | (
+            vocab_ids > ts_begin + max_initial_ts_index)[None]
+    kill = kill | (first & kill_first)
+    logits = jnp.where(kill, _NEG_INF, logits)
+    # prefer timestamps when their total probability dominates any text
+    # token. The published rule compares log_softmax values, but the shared
+    # normalizer cancels in the comparison, so raw-logit reductions give the
+    # same decision without materializing a (B, V) log_softmax each step.
+    ts_lp = jax.scipy.special.logsumexp(logits[:, ts_begin:], axis=-1)
+    max_text_lp = logits[:, :ts_begin].max(axis=-1)
+    kill_text_all = (ts_lp > max_text_lp)[:, None] & (vocab_ids < ts_begin)[None]
+    return jnp.where(kill_text_all, _NEG_INF, logits)
 
 
 @functools.partial(jax.jit, static_argnames=(
@@ -117,48 +174,13 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
     tokens0 = jax.lax.dynamic_update_slice(tokens0, prompt2d, (0, 0))
 
     def apply_filters(logits, i, tokens, has_ts, last_ts_tok):
-        """i = current position being *predicted* (the new token's index).
-
-        All rule masks are OR-combined into ONE boolean select over the (B, V)
-        logits (plus the unavoidable second pass after the log-softmax): the
-        decode loop runs this every step, so each extra full-vocab elementwise
-        pass costs HBM traffic."""
-        cur_len = i  # number of tokens consumed so far
-        sampled = cur_len - sample_begin  # how many sampled tokens exist
-        first = sampled == 0
-        add_mask = suppress_mask + jnp.where(first, blank_mask, 0.0)
-        logits = logits + add_mask[None]
-        if not use_timestamps:
-            return logits
-        # --- ApplyTimestampRules (one fused kill mask) ---
-        last_tok = tokens[:, jnp.maximum(cur_len - 1, 0)]
-        penult_tok = tokens[:, jnp.maximum(cur_len - 2, 0)]
-        last_was = (sampled >= 1) & (last_tok >= ts_begin)
-        penult_was = (sampled < 2) | (penult_tok >= ts_begin)
-        is_ts_col = (vocab_ids >= ts_begin)[None]
-        is_text_col = (vocab_ids < eot)[None]
-        kill = (vocab_ids == no_timestamps)[None]
-        kill = kill | ((last_was & penult_was)[:, None] & is_ts_col)
-        kill = kill | ((last_was & ~penult_was)[:, None] & is_text_col)
-        # monotonic timestamps: forbid [ts_begin, ts_last)
-        ts_last = jnp.where(last_was & ~penult_was, last_ts_tok, last_ts_tok + 1)
-        kill = kill | (has_ts[:, None] & is_ts_col
-                       & (vocab_ids[None] < ts_last[:, None]))
-        # first sampled token must be a timestamp, capped at max_initial_timestamp
-        kill_first = ~is_ts_col
-        if max_initial_ts_index is not None:
-            kill_first = kill_first | (
-                vocab_ids > ts_begin + max_initial_ts_index)[None]
-        kill = kill | (first & kill_first)
-        logits = jnp.where(kill, _NEG_INF, logits)
-        # prefer timestamps when their total probability dominates any text
-        # token. The published rule compares log_softmax values, but the shared
-        # normalizer cancels in the comparison, so raw-logit reductions give the
-        # same decision without materializing a (B, V) log_softmax each step.
-        ts_lp = jax.scipy.special.logsumexp(logits[:, ts_begin:], axis=-1)
-        max_text_lp = logits[:, :ts_begin].max(axis=-1)
-        kill_text_all = (ts_lp > max_text_lp)[:, None] & (vocab_ids < ts_begin)[None]
-        return jnp.where(kill_text_all, _NEG_INF, logits)
+        """i = current position being *predicted* (the new token's index)."""
+        return apply_logit_filters(
+            logits, i, tokens, has_ts, last_ts_tok, suppress_mask, blank_mask,
+            vocab_ids, sample_begin=sample_begin, ts_begin=ts_begin, eot=eot,
+            no_timestamps=no_timestamps,
+            max_initial_ts_index=max_initial_ts_index,
+            use_timestamps=use_timestamps)
 
     def cond(state):
         i, _, _, finished, _, _, _, _ = state
@@ -241,7 +263,8 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
            kv_int8: bool = False,
            return_xa: bool = False,
            return_cross_kv: bool = False,
-           async_results: bool = False):
+           async_results: bool = False,
+           rng: Optional[jax.Array] = None):
     """Transcribe a batch of mels. mel: (B, n_mels, 2*n_audio_ctx) or single
     (n_mels, frames). Returns one DecodingResult per utterance (a single result
     for unbatched input, like the published API). With ``return_xa=True``
@@ -297,6 +320,39 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
     max_initial_ts_index = None
     if options.max_initial_timestamp is not None and not options.without_timestamps:
         max_initial_ts_index = round(options.max_initial_timestamp / 0.02)
+
+    # published option validation (whisper DecodingTask._verify_options)
+    if options.beam_size is not None and options.best_of is not None:
+        raise ValueError("beam_size and best_of can't be given together")
+    if options.temperature == 0 and options.best_of is not None:
+        raise ValueError(
+            "best_of with greedy sampling (temperature=0) is not compatible")
+    if options.patience is not None and options.beam_size is None:
+        raise ValueError("patience requires beam_size to be given")
+    if options.length_penalty is not None and not (
+            0 <= options.length_penalty <= 1):
+        raise ValueError(
+            "length_penalty (alpha) should be a value between 0 and 1")
+
+    if options.beam_size is not None or options.temperature > 0:
+        # beam search / temperature sampling live in models/beam.py; the greedy
+        # while_loop below stays the lean production path
+        if kv_frames is not None or kv_int8:
+            raise NotImplementedError(
+                "kv_frames / kv_int8 apply to the greedy decode loop only")
+        from . import beam as beam_mod
+
+        langs = (detected_langs if detected_langs is not None
+                 else [options.language or (tokenizer.language or "en")]
+                 * mel.shape[0])
+        return beam_mod.run(
+            params, dims, tokenizer, mel, options, prompt_arr, suppress_mask,
+            blank_mask, sample_begin=sample_begin, sample_len=sample_len,
+            max_initial_ts_index=max_initial_ts_index, langs=langs,
+            compute_dtype=compute_dtype,
+            rng=rng if rng is not None else jax.random.PRNGKey(0),
+            single=single, return_xa=return_xa,
+            return_cross_kv=return_cross_kv, async_results=async_results)
 
     tokens_d, sum_lp_d, ns_prob_d, n_steps_d, xa, cross_kv = _decode_loop(
         params, dims, jnp.asarray(mel), jnp.asarray(prompt_arr),
