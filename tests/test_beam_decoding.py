@@ -250,3 +250,85 @@ def test_option_validation(setup):
     with pytest.raises(ValueError):
         decoding.decode(params, dims, tok, m, decoding.DecodingOptions(
             language="en", beam_size=2, length_penalty=2.0))
+
+
+def naive_initial_tokens(tok, dims, options):
+    """Published _get_initial_tokens: prefix after the sot sequence, 
+    [sot_prev] + prompt before it (with the published trim quirks)."""
+    sot_seq = list(tok.sot_sequence_including_notimestamps
+                   if options.without_timestamps else tok.sot_sequence)
+    sample_len = options.sample_len or dims.n_text_ctx // 2
+    initial = list(sot_seq)
+    if options.prefix is not None:
+        p = (tok.encode(" " + options.prefix.strip())
+             if isinstance(options.prefix, str) else list(options.prefix))
+        initial = initial + p[-(dims.n_text_ctx // 2 - sample_len):]
+    if options.prompt is not None:
+        p = (tok.encode(" " + options.prompt.strip())
+             if isinstance(options.prompt, str) else list(options.prompt))
+        initial = [tok.sot_prev] + p[-(dims.n_text_ctx // 2 - 1):] + initial
+    return initial
+
+
+@pytest.mark.parametrize("use_prompt,use_prefix", [
+    (True, False), (False, True), (True, True)])
+def test_prompt_and_prefix_conditioning(setup, use_prompt, use_prefix):
+    """Greedy decode under prompt/prefix conditioning must equal the naive
+    oracle running from the published initial-token construction, and the
+    no-speech probe must follow the shifted sot position."""
+    tok, dims, params, mel = setup
+    sample_len = 6
+    kw = {}
+    if use_prompt:
+        kw["prompt"] = "alpha beta"
+    if use_prefix:
+        kw["prefix"] = [5, 7]  # token-list form
+    options = decoding.DecodingOptions(language="en", sample_len=sample_len,
+                                       **kw)
+    initial = naive_initial_tokens(tok, dims, options)
+    sample_begin = len(initial)
+    sot_index = initial.index(tok.sot)
+    if use_prompt:
+        assert initial[0] == tok.sot_prev and sot_index > 0
+    if use_prefix:
+        assert initial[sample_begin - 2:sample_begin] == [5, 7]
+
+    results = decoding.decode(params, dims, tok, jnp.asarray(mel), options)
+    for k in range(mel.shape[0]):
+        toks = list(initial)
+        expect = []
+        for _ in range(min(sample_len, dims.n_text_ctx - sample_begin)):
+            logits = _forward_last(params, dims, tok, mel[k], toks)
+            logits = _apply_rules(logits, toks, tok, options, sample_begin)
+            nxt = int(np.argmax(logits))
+            toks.append(nxt)
+            if nxt == tok.eot:
+                break
+        expect = toks[sample_begin:]
+        if tok.eot in expect:
+            expect = expect[:expect.index(tok.eot)]
+        assert results[k].tokens == expect, f"item {k}"
+        # no-speech probe at the shifted sot position
+        buf = initial + [tok.eot] * (dims.n_text_ctx - len(initial))
+        logits_full, _ = wmodel.forward(
+            params, dims, jnp.asarray(mel[k])[None],
+            jnp.asarray([buf], jnp.int32), return_qk=False)
+        ns = jax.nn.softmax(jnp.asarray(logits_full)[0, sot_index],
+                            axis=-1)[tok.no_speech]
+        np.testing.assert_allclose(results[k].no_speech_prob, float(ns),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_prompt_conditioning_beam(setup):
+    """The conditioning prompt threads through the beam loop too."""
+    tok, dims, params, mel = setup
+    options = decoding.DecodingOptions(language="en", sample_len=6,
+                                       beam_size=2, prompt=[9, 11])
+    res = decoding.decode(params, dims, tok, jnp.asarray(mel), options)
+    base = decoding.decode(params, dims, tok, jnp.asarray(mel),
+                           decoding.DecodingOptions(language="en",
+                                                    sample_len=6, beam_size=2))
+    assert all(isinstance(r.tokens, list) for r in res)
+    # conditioning changes the search (random weights: overwhelmingly likely)
+    assert ([r.tokens for r in res] != [r.tokens for r in base]
+            or res[0].avg_logprob != base[0].avg_logprob)

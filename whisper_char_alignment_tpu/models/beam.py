@@ -73,13 +73,13 @@ def ml_rank(cand_tokens: List[List[int]], cand_lp: List[float],
 @functools.partial(jax.jit, static_argnames=(
     "dims", "sample_begin", "max_steps", "ts_begin", "eot", "no_timestamps",
     "no_speech", "max_initial_ts_index", "use_timestamps", "compute_dtype",
-    "beam_size", "max_candidates"))
+    "beam_size", "max_candidates", "sot_index"))
 def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
                *, sample_begin: int, max_steps: int, ts_begin: int, eot: int,
                no_timestamps: int, no_speech: int,
                max_initial_ts_index: Optional[int], use_timestamps: bool,
                compute_dtype=jnp.float32, beam_size: int = 5,
-               max_candidates: int = 5):
+               max_candidates: int = 5, sot_index: int = 0):
     """Returns (tokens (rows, total), sum_lp (rows,), fin_tok (B, MC, total),
     fin_lp (B, MC), fin_cnt (B,), ns_prob (rows,), n_steps, xa).
     rows = B * beam_size; beams of one audio are consecutive rows."""
@@ -121,7 +121,7 @@ def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
                                            cross_kv,
                                            compute_dtype=compute_dtype)
         ns_prob = jax.lax.cond(
-            i == 1,
+            i == sot_index + 1,
             lambda lg: jax.nn.softmax(lg, axis=-1)[:, no_speech],
             lambda lg: ns_prob, logits)
         is_prompt = i < sample_begin
@@ -210,13 +210,13 @@ def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
 @functools.partial(jax.jit, static_argnames=(
     "dims", "sample_begin", "max_steps", "ts_begin", "eot", "no_timestamps",
     "no_speech", "max_initial_ts_index", "use_timestamps", "compute_dtype",
-    "n_group", "temperature"))
+    "n_group", "temperature", "sot_index"))
 def _sample_loop(params, dims: ModelDims, mel, prompt, suppress_mask,
                  blank_mask, rng, *, sample_begin: int, max_steps: int,
                  ts_begin: int, eot: int, no_timestamps: int, no_speech: int,
                  max_initial_ts_index: Optional[int], use_timestamps: bool,
                  compute_dtype=jnp.float32, n_group: int = 1,
-                 temperature: float = 1.0):
+                 temperature: float = 1.0, sot_index: int = 0):
     """Categorical sampling at ``temperature`` with ``n_group`` independent
     rows per audio. Returns (tokens (rows, total), sum_lp, ns_prob, n_steps,
     xa). Cumulative logprobs come from the un-scaled distribution (published
@@ -251,7 +251,7 @@ def _sample_loop(params, dims: ModelDims, mel, prompt, suppress_mask,
                                            cross_kv,
                                            compute_dtype=compute_dtype)
         ns_prob = jax.lax.cond(
-            i == 1,
+            i == sot_index + 1,
             lambda lg: jax.nn.softmax(lg, axis=-1)[:, no_speech],
             lambda lg: ns_prob, logits)
         is_prompt = i < sample_begin
@@ -338,6 +338,7 @@ def group_candidates(tokens, sum_lp, *, n_group: int, sample_begin: int,
 
 def run(params, dims: ModelDims, tokenizer, mel, options, prompt_arr,
         suppress_mask, blank_mask, *, sample_begin: int, sample_len: int,
+        sot_index: int = 0,
         max_initial_ts_index: Optional[int], langs: List[str],
         compute_dtype, rng, single: bool, return_xa: bool,
         return_cross_kv: bool, async_results: bool):
@@ -348,6 +349,7 @@ def run(params, dims: ModelDims, tokenizer, mel, options, prompt_arr,
     from .decoding import DecodeFuture, DecodingResult
 
     common = dict(sample_begin=sample_begin, max_steps=sample_len,
+                  sot_index=sot_index,
                   ts_begin=tokenizer.timestamp_begin, eot=tokenizer.eot,
                   no_timestamps=tokenizer.no_timestamps,
                   no_speech=tokenizer.no_speech,

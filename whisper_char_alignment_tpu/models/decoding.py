@@ -47,6 +47,12 @@ class DecodingOptions:
     beam_size: Optional[int] = None  # beam search (temperature must be 0)
     patience: Optional[float] = None  # beam search: collect round(beam*patience)
     length_penalty: Optional[float] = None  # None = simple length normalization
+    # context conditioning (published _get_initial_tokens): `prompt` becomes a
+    # [sot_prev] + tokens block BEFORE the sot sequence; `prefix` is forced
+    # text AFTER it. Both accept a string (encoded with a leading space) or a
+    # token list; both are forced tokens, not sampled.
+    prompt: Optional[object] = None  # str | List[int]
+    prefix: Optional[object] = None  # str | List[int]
     suppress_tokens: Optional[str] = "-1"
     suppress_blank: bool = True
     without_timestamps: bool = False
@@ -137,13 +143,14 @@ def apply_logit_filters(logits, cur_len, tokens, has_ts, last_ts_tok,
 @functools.partial(jax.jit, static_argnames=(
     "dims", "sample_begin", "max_steps", "ts_begin", "eot", "no_timestamps",
     "no_speech", "max_initial_ts_index", "use_timestamps", "compute_dtype",
-    "kv_frames", "kv_int8"))
+    "kv_frames", "kv_int8", "sot_index"))
 def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
                  *, sample_begin: int, max_steps: int, ts_begin: int, eot: int,
                  no_timestamps: int, no_speech: int,
                  max_initial_ts_index: Optional[int],
                  use_timestamps: bool, compute_dtype=jnp.float32,
-                 kv_frames: Optional[int] = None, kv_int8: bool = False):
+                 kv_frames: Optional[int] = None, kv_int8: bool = False,
+                 sot_index: int = 0):
     """Returns (tokens (B, total), sum_logprobs (B,), no_speech_probs (B,),
     n_steps (scalar: body iterations executed), xa (B, n_audio_ctx, d),
     cross_kv). xa is the UNSLICED encoder states even when kv_frames trims the
@@ -192,10 +199,11 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
         logits, cache = wmodel.decode_step(params, dims, tok_in, i - 1, cache,
                                            cross_kv, compute_dtype=compute_dtype)
         # no-speech probability: softmax at the position right after sot
-        # (sot is prompt[0], consumed at i == 1). lax.cond so the full-vocab
-        # softmax pass only executes on that one step, not every iteration
+        # (consumed at i == sot_index + 1; sot_index > 0 under a conditioning
+        # prompt). lax.cond so the full-vocab softmax pass only executes on
+        # that one step, not every iteration
         ns_prob = jax.lax.cond(
-            i == 1,
+            i == sot_index + 1,
             lambda lg: jax.nn.softmax(lg, axis=-1)[:, no_speech],
             lambda lg: ns_prob, logits)
         is_prompt = i < sample_begin
@@ -290,15 +298,35 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         detected_langs = [c for c, _ in det]
 
     if options.without_timestamps:
-        prompt = list(tokenizer.sot_sequence_including_notimestamps)
+        sot_seq = list(tokenizer.sot_sequence_including_notimestamps)
     else:
-        prompt = list(tokenizer.sot_sequence)
-    sample_begin = len(prompt)
-    prompt_arr = np.asarray(prompt, np.int32)
+        sot_seq = list(tokenizer.sot_sequence)
+    sample_len = options.sample_len or dims.n_text_ctx // 2
+    # published _get_initial_tokens: forced prefix text after the sot sequence,
+    # [sot_prev] + prompt tokens before it
+    initial = list(sot_seq)
+    if options.prefix is not None:
+        prefix_tokens = (tokenizer.encode(" " + options.prefix.strip())
+                         if isinstance(options.prefix, str)
+                         else list(options.prefix))
+        # NB published quirk kept: with the default sample_len the slice is
+        # [-0:], i.e. NO trimming (Python slicing semantics)
+        max_prefix_len = dims.n_text_ctx // 2 - sample_len
+        prefix_tokens = prefix_tokens[-max_prefix_len:]
+        initial = initial + prefix_tokens
+    if options.prompt is not None:
+        prompt_tokens = (tokenizer.encode(" " + options.prompt.strip())
+                         if isinstance(options.prompt, str)
+                         else list(options.prompt))
+        initial = ([tokenizer.sot_prev]
+                   + prompt_tokens[-(dims.n_text_ctx // 2 - 1):] + initial)
+    sample_begin = len(initial)
+    sot_index = initial.index(tokenizer.sot)
+    prompt_arr = np.asarray(initial, np.int32)
     codes = tokenizer.all_language_codes
-    lang_pos = 1  # sot, language, task[, notimestamps]
+    lang_pos = sot_index + 1  # ..., sot, language, task[, notimestamps]
     if (options.language is not None and tokenizer.is_multilingual
-            and sample_begin >= 2 and options.language in codes):
+            and len(sot_seq) >= 2 and options.language in codes):
         # decode in the requested language even if the tokenizer was built with
         # a different default (published decode builds its tokenizer per options)
         prompt_arr = prompt_arr.copy()
@@ -307,7 +335,9 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         prompt_arr = np.tile(prompt_arr[None], (mel.shape[0], 1))
         for i, code in enumerate(detected_langs):
             prompt_arr[i, lang_pos] = tokenizer.sot + 1 + codes.index(code)
-    sample_len = options.sample_len or dims.n_text_ctx // 2
+    # the decoder's learned positions end at n_text_ctx (the published loop
+    # breaks when the sequence outgrows the context)
+    sample_len = max(0, min(sample_len, dims.n_text_ctx - sample_begin))
 
     suppress = _get_suppress_tokens(tokenizer, options)
     suppress_mask = np.zeros((dims.n_vocab,), np.float32)
@@ -348,6 +378,7 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         return beam_mod.run(
             params, dims, tokenizer, mel, options, prompt_arr, suppress_mask,
             blank_mask, sample_begin=sample_begin, sample_len=sample_len,
+            sot_index=sot_index,
             max_initial_ts_index=max_initial_ts_index, langs=langs,
             compute_dtype=compute_dtype,
             rng=rng if rng is not None else jax.random.PRNGKey(0),
@@ -362,7 +393,8 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         no_timestamps=tokenizer.no_timestamps, no_speech=tokenizer.no_speech,
         max_initial_ts_index=max_initial_ts_index,
         use_timestamps=not options.without_timestamps,
-        compute_dtype=compute_dtype, kv_frames=kv_frames, kv_int8=kv_int8)
+        compute_dtype=compute_dtype, kv_frames=kv_frames, kv_int8=kv_int8,
+        sot_index=sot_index)
 
     def finalize(tokens, sum_lp, ns_prob, n_steps):
         n_steps = int(n_steps)
