@@ -1,0 +1,153 @@
+"""Long-form transcribe(): seek-loop behavior, schema, fallback ladder, and
+prompt conditioning plumbing on a tiny random model (window = 2*n_audio_ctx
+mel frames, so multi-window audio stays CPU-fast)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from whisper_char_alignment_tpu import constants, transcribe as T
+from whisper_char_alignment_tpu.audio.mel import log_mel_spectrogram, pad_or_trim
+from whisper_char_alignment_tpu.config import tiny_test_dims
+from whisper_char_alignment_tpu.models import decoding, whisper as wmodel
+from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+
+
+@pytest.fixture(scope="module")
+def setup():
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=24, n_text_ctx=32,
+                          state=16, head=2, layers=2)
+    params = wmodel.init_params(jax.random.PRNGKey(3), dims)
+    return tok, dims, params
+
+
+def _audio(seconds, seed=0):
+    n = int(constants.SAMPLE_RATE * seconds)
+    return np.random.default_rng(seed).normal(0, 0.1, n).astype(np.float32)
+
+
+def test_single_window_matches_direct_decode(setup):
+    """With the fallback gates off, one-window transcribe is exactly a greedy
+    decode of the padded window; the segment tokens concatenate to it."""
+    tok, dims, params = setup
+    window_samples = 2 * dims.n_audio_ctx * constants.HOP_LENGTH
+    audio = _audio(0.8 * window_samples / constants.SAMPLE_RATE)
+    out = T.transcribe(params, dims, tok, audio,
+                       temperature=0.0, compression_ratio_threshold=None,
+                       logprob_threshold=None, no_speech_threshold=None,
+                       language="en", sample_len=8)
+    mel = log_mel_spectrogram(
+        jnp.asarray(pad_or_trim(audio, window_samples)), n_mels=dims.n_mels)
+    ref = decoding.decode(params, dims, tok, mel,
+                          decoding.DecodingOptions(language="en", sample_len=8))
+    # tokens after the last consecutive-timestamp pair are dropped by the
+    # published seek logic (they re-decode in the next window), so the kept
+    # tokens are a prefix of the direct decode
+    cat = [t for s in out["segments"] for t in s["tokens"]]
+    assert cat and ref.tokens[:len(cat)] == cat
+    assert out["language"] == "en"
+    assert out["text"] == tok.decode([t for t in cat if t < tok.eot])
+
+
+def test_multi_window_covers_audio(setup):
+    tok, dims, params = setup
+    window_samples = 2 * dims.n_audio_ctx * constants.HOP_LENGTH
+    seconds = 2.6 * window_samples / constants.SAMPLE_RATE
+    audio = _audio(seconds, seed=1)
+    # without_timestamps: every iteration consumes exactly one window (random
+    # weights emit arbitrary timestamps, which would let a single timestamped
+    # window seek past the whole content)
+    out = T.transcribe(params, dims, tok, audio,
+                       temperature=0.0, compression_ratio_threshold=None,
+                       logprob_threshold=None, no_speech_threshold=None,
+                       language="en", sample_len=8, without_timestamps=True)
+    segs = out["segments"]
+    assert segs, "no segments produced"
+    content_seconds = audio.size / constants.SAMPLE_RATE
+    for k, s in enumerate(segs):
+        assert s["id"] == k
+        for key in ("seek", "start", "end", "text", "tokens", "temperature",
+                    "avg_logprob", "compression_ratio", "no_speech_prob"):
+            assert key in s
+        assert 0.0 <= s["start"] <= s["end"]
+    # seeks non-decreasing; three decode windows for 2.6 windows of content
+    # (a single window may yield several segments when the decode emits
+    # consecutive timestamp pairs — random weights do, published parsing kept)
+    seeks = [s["seek"] for s in segs]
+    assert seeks[0] == 0 and seeks == sorted(seeks)
+    assert sorted(set(seeks)) == [0, 48, 96], seeks
+    frames_per_second = constants.SAMPLE_RATE // constants.HOP_LENGTH
+    assert max(seeks) < content_seconds * frames_per_second
+
+
+def test_fallback_ladder_reaches_last_temperature(setup):
+    """An unsatisfiable compression-ratio gate must walk the ladder to its
+    final temperature (the published decode_with_fallback contract)."""
+    tok, dims, params = setup
+    audio = _audio(0.3, seed=2)
+    out = T.transcribe(params, dims, tok, audio,
+                       temperature=(0.0, 0.7),
+                       compression_ratio_threshold=-1.0,  # always fails
+                       logprob_threshold=None, no_speech_threshold=None,
+                       language="en", sample_len=6)
+    assert all(s["temperature"] == 0.7 for s in out["segments"])
+
+
+def test_prompt_conditioning_plumbing(setup, monkeypatch):
+    """The second window's decode must receive the first window's tokens as
+    its conditioning prompt (and none when conditioning is off); an
+    initial_prompt seeds the first window."""
+    tok, dims, params = setup
+    window_samples = 2 * dims.n_audio_ctx * constants.HOP_LENGTH
+    audio = _audio(2.4 * window_samples / constants.SAMPLE_RATE, seed=3)
+    seen = []
+    real_decode = decoding.decode
+
+    def spy(params_, dims_, tok_, mel_, options=None, **kw):
+        seen.append(options.prompt)
+        return real_decode(params_, dims_, tok_, mel_, options, **kw)
+
+    monkeypatch.setattr(decoding, "decode", spy)
+    common = dict(temperature=0.0, compression_ratio_threshold=None,
+                  logprob_threshold=None, no_speech_threshold=None,
+                  language="en", sample_len=6)
+
+    out = T.transcribe(params, dims, tok, audio, **common)
+    assert seen[0] is None
+    if len(seen) > 1:  # later windows carry the accumulated tokens
+        assert seen[1] is not None and len(seen[1]) > 0
+
+    seen.clear()
+    T.transcribe(params, dims, tok, audio, condition_on_previous_text=False,
+                 **common)
+    assert all(p is None for p in seen)
+
+    seen.clear()
+    T.transcribe(params, dims, tok, audio, initial_prompt="hello", **common)
+    assert seen[0] == tok.encode(" hello")
+    assert out["segments"]
+
+
+def test_no_speech_skip(setup, monkeypatch):
+    """A window whose no_speech_prob crosses the threshold (without a
+    confident logprob) produces no segments and the seek advances past it."""
+    tok, dims, params = setup
+    audio = _audio(0.3, seed=4)
+    real_decode = decoding.decode
+
+    def spy(params_, dims_, tok_, mel_, options=None, **kw):
+        r = real_decode(params_, dims_, tok_, mel_, options, **kw)
+        object.__setattr__ if False else setattr(r, "no_speech_prob", 0.99)
+        setattr(r, "avg_logprob", -5.0)
+        return r
+
+    monkeypatch.setattr(decoding, "decode", spy)
+    out = T.transcribe(params, dims, tok, audio, temperature=0.0,
+                       compression_ratio_threshold=None,
+                       logprob_threshold=-1.0, no_speech_threshold=0.6,
+                       language="en", sample_len=6)
+    assert out["segments"] == []
+    assert out["text"] == ""

@@ -150,6 +150,24 @@ def align_long(model: Model, audio: Union[str, np.ndarray],
         starts=[], ends=[])
 
 
+def transcribe(model: Model, audio: Union[str, np.ndarray], **kwargs) -> dict:
+    """Long-form transcription (the ``whisper.transcribe`` equivalent):
+    30 s seek windows, temperature fallback, no-speech skipping, and
+    condition-on-previous-text via prompt tokens. Returns the published
+    ``{"text", "segments", "language"}`` schema. See
+    :mod:`whisper_char_alignment_tpu.transcribe` for the knobs."""
+    from .transcribe import transcribe as _transcribe
+
+    if isinstance(audio, str):
+        data, sr = wav.load(audio)
+        assert sr == constants.SAMPLE_RATE, f"expected 16 kHz audio, got {sr}"
+        data = data.reshape(-1) if data.shape[0] == 1 else data.mean(0)
+    else:
+        data = np.asarray(audio, np.float32).reshape(-1)
+    return _transcribe(model.params, model.dims, model.tokenizer, data,
+                       **kwargs)
+
+
 class _ListDataset:
     """Minimal dataset over in-memory utterances (for align_long)."""
 

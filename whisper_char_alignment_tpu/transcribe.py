@@ -1,0 +1,251 @@
+"""Long-form transcription: the ``whisper.transcribe`` equivalent.
+
+The reference repo never calls ``whisper.transcribe`` (it drives
+``whisper.decode`` per <=30 s utterance — infer_ali.py:60), but the dependency
+ships it and long-form users rely on it. This module implements the published
+algorithm over this framework's decoder:
+
+- one log-mel of the whole audio with 30 s of zero padding appended (the
+  dynamic-range clip is global, as published);
+- a seek loop over 30 s windows: decode, then advance ``seek`` by the parsed
+  timestamp tokens (consecutive-timestamp pairs split the window into
+  segments; a single trailing timestamp or no timestamps consumes the window);
+- temperature fallback: retry at increasing temperatures when the result's
+  compression ratio or average logprob crosses the thresholds (beam options
+  dropped at t > 0, best_of dropped at t == 0, exactly like the published
+  ``decode_with_fallback``);
+- no-speech skipping: windows with ``no_speech_prob`` above the threshold are
+  skipped unless the logprob says the decoder was confident anyway;
+- ``condition_on_previous_text``: prior output tokens ride into the next
+  window via DecodingOptions.prompt, reset after a high-temperature fallback.
+
+Returns the published schema: ``{"text", "segments": [{id, seek, start, end,
+text, tokens, temperature, avg_logprob, compression_ratio, no_speech_prob}],
+"language"}``.
+
+TPU notes: the seek loop is host-side by nature (each window's decode length
+and seek advance depend on the previous window's output). Every window decode
+is the same jitted program (fixed (n_mels, 2 * n_audio_ctx) shape); the
+full-audio mel is one device launch, padded up to a 30 s multiple so jit
+signatures are bounded. The mel values of the sliced windows are bit-identical
+to per-call whisper windows (zero padding beyond the published 30 s tail only
+touches frames past every window this loop reads).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import constants
+from .audio.mel import log_mel_spectrogram, pad_or_trim
+from .models import decoding
+
+_FRAMES_PER_WINDOW = constants.N_FRAMES  # 3000 mel frames = 30 s
+
+
+def _window_frames(dims) -> int:
+    # test models may use a shorter audio context
+    return 2 * dims.n_audio_ctx
+
+
+def decode_with_fallback(params, dims, tokenizer, mel_segment,
+                         options: decoding.DecodingOptions,
+                         temperatures: Sequence[float],
+                         compression_ratio_threshold: Optional[float],
+                         logprob_threshold: Optional[float],
+                         no_speech_threshold: Optional[float],
+                         compute_dtype=jnp.float32, rng=None):
+    """Published fallback ladder: first temperature whose result passes the
+    compression-ratio and logprob gates wins; a no-speech window never
+    triggers a retry."""
+    result = None
+    for t in temperatures:
+        if t > 0:
+            opts = dataclasses.replace(options, temperature=t,
+                                       beam_size=None, patience=None)
+        else:
+            opts = dataclasses.replace(options, temperature=t, best_of=None)
+        result = decoding.decode(params, dims, tokenizer,
+                                 jnp.asarray(mel_segment), opts,
+                                 compute_dtype=compute_dtype, rng=rng)
+        needs_fallback = False
+        if (compression_ratio_threshold is not None
+                and result.compression_ratio > compression_ratio_threshold):
+            needs_fallback = True  # too repetitive
+        if (logprob_threshold is not None
+                and result.avg_logprob < logprob_threshold):
+            needs_fallback = True  # average log probability too low
+        if (no_speech_threshold is not None
+                and result.no_speech_prob > no_speech_threshold):
+            needs_fallback = False  # silence: skip, don't retry
+        if not needs_fallback:
+            break
+    return result
+
+
+def transcribe(params, dims, tokenizer,
+               audio: Union[np.ndarray, jnp.ndarray],
+               *,
+               temperature: Union[float, Sequence[float]] = (
+                   0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+               compression_ratio_threshold: Optional[float] = 2.4,
+               logprob_threshold: Optional[float] = -1.0,
+               no_speech_threshold: Optional[float] = 0.6,
+               condition_on_previous_text: bool = True,
+               initial_prompt: Optional[str] = None,
+               compute_dtype=jnp.float32,
+               rng=None,
+               verbose: Optional[bool] = None,
+               **decode_options) -> dict:
+    """Transcribe 16 kHz mono ``audio`` of any length.
+
+    ``decode_options`` are DecodingOptions fields (language, beam_size,
+    best_of, patience, length_penalty, prefix, suppress_tokens, ...).
+    """
+    if isinstance(temperature, (int, float)):
+        temperatures = [float(temperature)]
+    else:
+        temperatures = [float(t) for t in temperature]
+
+    audio = np.asarray(audio, np.float32).reshape(-1)
+    window_frames = _window_frames(dims)
+    window_samples = window_frames * constants.HOP_LENGTH
+    # published padding: a full window of zeros after the content; round the
+    # total up to a window multiple so the mel jit signature count is bounded
+    total = audio.size + window_samples
+    total = ((total + window_samples - 1) // window_samples) * window_samples
+    padded = np.zeros((total,), np.float32)
+    padded[:audio.size] = audio
+    mel = np.asarray(log_mel_spectrogram(jnp.asarray(padded),
+                                         n_mels=dims.n_mels))
+    content_frames = mel.shape[-1] - window_frames
+    content_frames = max(min(content_frames,
+                             audio.size // constants.HOP_LENGTH), 1)
+
+    language = decode_options.pop("language", None)
+    if language is None:
+        if tokenizer.is_multilingual and len(tokenizer.sot_sequence) >= 2:
+            seg0 = pad_or_trim(jnp.asarray(mel), window_frames, axis=-1)
+            code, _ = decoding.detect_language(params, dims, tokenizer, seg0,
+                                               compute_dtype=compute_dtype)
+            language = code
+        else:
+            language = tokenizer.language or "en"
+
+    input_stride = window_frames // dims.n_audio_ctx  # 2: mel frames / token
+    time_precision = (input_stride * constants.HOP_LENGTH
+                      / constants.SAMPLE_RATE)  # 0.02 s
+    frames_per_second = constants.SAMPLE_RATE // constants.HOP_LENGTH
+
+    all_tokens: List[int] = []
+    all_segments: List[dict] = []
+    prompt_reset_since = 0
+    if initial_prompt is not None:
+        initial_prompt_tokens = tokenizer.encode(" " + initial_prompt.strip())
+        all_tokens.extend(initial_prompt_tokens)
+    else:
+        initial_prompt_tokens = []
+
+    ts_begin = tokenizer.timestamp_begin
+    base_rng = rng if rng is not None else jax.random.PRNGKey(0)
+    seek = 0
+    while seek < content_frames:
+        time_offset = seek / frames_per_second
+        segment_size = min(window_frames, content_frames - seek)
+        segment_duration = segment_size / frames_per_second
+        mel_segment = pad_or_trim(mel[..., seek:seek + window_frames],
+                                  window_frames, axis=-1)
+
+        opts = decoding.DecodingOptions(
+            language=language,
+            prompt=all_tokens[prompt_reset_since:] or None,
+            **decode_options)
+        result = decode_with_fallback(
+            params, dims, tokenizer, mel_segment, opts, temperatures,
+            compression_ratio_threshold, logprob_threshold,
+            no_speech_threshold, compute_dtype=compute_dtype,
+            rng=jax.random.fold_in(base_rng, seek))
+        tokens = list(result.tokens)
+
+        if no_speech_threshold is not None:
+            should_skip = result.no_speech_prob > no_speech_threshold
+            if (logprob_threshold is not None
+                    and result.avg_logprob > logprob_threshold):
+                should_skip = False  # confident despite the no-speech signal
+            if should_skip:
+                seek += segment_size
+                continue
+
+        def new_segment(start, end, seg_tokens):
+            return {
+                "seek": seek,
+                "start": start,
+                "end": end,
+                "text": tokenizer.decode(
+                    [t for t in seg_tokens if t < tokenizer.eot]),
+                "tokens": list(seg_tokens),
+                "temperature": result.temperature,
+                "avg_logprob": result.avg_logprob,
+                "compression_ratio": result.compression_ratio,
+                "no_speech_prob": result.no_speech_prob,
+            }
+
+        current_segments: List[dict] = []
+        is_ts = [t >= ts_begin for t in tokens]
+        single_timestamp_ending = is_ts[-2:] == [False, True]
+        consecutive = [k + 1 for k in range(len(tokens) - 1)
+                       if is_ts[k] and is_ts[k + 1]]
+        if consecutive:
+            # pairs of consecutive timestamps delimit segments
+            slices = list(consecutive)
+            if single_timestamp_ending:
+                slices.append(len(tokens))
+            last_slice = 0
+            for cur in slices:
+                seg_tokens = tokens[last_slice:cur]
+                start_pos = seg_tokens[0] - ts_begin
+                end_pos = seg_tokens[-1] - ts_begin
+                current_segments.append(new_segment(
+                    time_offset + start_pos * time_precision,
+                    time_offset + end_pos * time_precision, seg_tokens))
+                last_slice = cur
+            if single_timestamp_ending:
+                seek += segment_size  # no final pair: consume the window
+            else:
+                last_ts_pos = tokens[last_slice - 1] - ts_begin
+                advance = last_ts_pos * input_stride
+                # robustness deviation: a degenerate <|0.00|><|0.00|> pair
+                # would advance 0 frames and loop forever (the published loop
+                # shares this hazard); consume the window instead
+                seek += advance if advance > 0 else segment_size
+        else:
+            duration = segment_duration
+            ts_tokens = [t for t in tokens if t >= ts_begin]
+            if ts_tokens and ts_tokens[-1] != ts_begin:
+                duration = (ts_tokens[-1] - ts_begin) * time_precision
+            current_segments.append(new_segment(
+                time_offset, time_offset + duration, tokens))
+            seek += segment_size
+
+        if verbose:
+            for seg in current_segments:
+                print(f"[{seg['start']:.2f} --> {seg['end']:.2f}] "
+                      f"{seg['text']}")
+
+        for seg in current_segments:
+            seg["id"] = len(all_segments)
+            all_segments.append(seg)
+            all_tokens.extend(seg["tokens"])
+        if not condition_on_previous_text or result.temperature > 0.5:
+            # high-temperature fallback output is unreliable context
+            prompt_reset_since = len(all_tokens)
+
+    text = tokenizer.decode(
+        [t for t in all_tokens[len(initial_prompt_tokens):]
+         if t < tokenizer.eot])
+    return {"text": text, "segments": all_segments, "language": language}
