@@ -151,3 +151,46 @@ def test_no_speech_skip(setup, monkeypatch):
                        language="en", sample_len=6)
     assert out["segments"] == []
     assert out["text"] == ""
+
+
+def test_word_timestamps(setup):
+    """word_timestamps attaches per-word intervals that tile the segment
+    tokens, with probabilities on the published default-heads path and the
+    paper's topk path available as word_aggr='topk'."""
+    tok, dims, params = setup
+    window_samples = 2 * dims.n_audio_ctx * constants.HOP_LENGTH
+    audio = _audio(1.6 * window_samples / constants.SAMPLE_RATE, seed=5)
+    common = dict(temperature=0.0, compression_ratio_threshold=None,
+                  logprob_threshold=None, no_speech_threshold=None,
+                  language="en", sample_len=6, without_timestamps=True,
+                  word_timestamps=True)
+    for aggr in ("default", "topk"):
+        out = T.transcribe(params, dims, tok, audio, word_aggr=aggr, **common)
+        segs = [s for s in out["segments"] if s.get("words")]
+        assert segs, "no segment got word timings"
+        for s in segs:
+            n_text = sum(1 for t in s["tokens"] if t < tok.eot)
+            n_word_tokens = sum(len(w["tokens"]) for w in s["words"])
+            assert n_word_tokens >= 1
+            starts = [w["start"] for w in s["words"]]
+            ends = [w["end"] for w in s["words"]]
+            assert all(a <= b + 1e-9 for a, b in zip(starts, ends))
+            assert starts == sorted(starts)  # DTW word starts are monotonic
+            assert s["start"] == starts[0] and s["end"] == ends[-1]
+            for w in s["words"]:
+                assert (w["probability"] is None) == (aggr == "topk")
+
+
+def test_merge_punctuations_unit():
+    words = [
+        {"word": " (", "tokens": [1], "start": 0.0, "end": 0.1,
+         "probability": None},
+        {"word": " hi", "tokens": [2], "start": 0.1, "end": 0.2,
+         "probability": None},
+        {"word": "!", "tokens": [3], "start": 0.2, "end": 0.3,
+         "probability": None},
+    ]
+    out = T._merge_punctuations(list(map(dict, words)), T._PREPEND_PUNCT,
+                                T._APPEND_PUNCT)
+    assert [w["word"] for w in out] == [" ( hi!"]
+    assert out[0]["tokens"] == [1, 2, 3]

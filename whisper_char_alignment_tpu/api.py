@@ -164,6 +164,7 @@ def transcribe(model: Model, audio: Union[str, np.ndarray], **kwargs) -> dict:
         data = data.reshape(-1) if data.shape[0] == 1 else data.mean(0)
     else:
         data = np.asarray(audio, np.float32).reshape(-1)
+    kwargs.setdefault("model_name", model.name)
     return _transcribe(model.params, model.dims, model.tokenizer, data,
                        **kwargs)
 

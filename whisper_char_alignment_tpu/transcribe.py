@@ -47,6 +47,91 @@ from .models import decoding
 
 _FRAMES_PER_WINDOW = constants.N_FRAMES  # 3000 mel frames = 30 s
 
+# published merge_punctuations defaults
+_PREPEND_PUNCT = "\"'“¿([{-"
+_APPEND_PUNCT = "\"'.。,，!！?？:：”)]}、"
+
+
+def _merge_punctuations(words: List[dict], prepended: str, appended: str):
+    """Published merge_punctuations: a leading-punctuation word is folded into
+    the word after it, a trailing-punctuation word into the word before it
+    (the punctuation word's own interval is dropped, as published)."""
+    i, j = len(words) - 2, len(words) - 1
+    while i >= 0:
+        prev, follow = words[i], words[j]
+        if prev["word"].startswith(" ") and prev["word"].strip() in prepended:
+            follow["word"] = prev["word"] + follow["word"]
+            follow["tokens"] = prev["tokens"] + follow["tokens"]
+            prev["word"] = ""
+            prev["tokens"] = []
+        else:
+            j = i
+        i -= 1
+    i, j = 0, 1
+    while j < len(words):
+        prev, follow = words[i], words[j]
+        if not prev["word"].endswith(" ") and follow["word"] in appended:
+            prev["word"] = prev["word"] + follow["word"]
+            prev["tokens"] = prev["tokens"] + follow["tokens"]
+            follow["word"] = ""
+            follow["tokens"] = []
+        else:
+            i = j
+        j += 1
+    return [w for w in words if w["word"]]
+
+
+def _window_word_timings(params, dims, tokenizer, mel_segment, text_tokens,
+                         n_frames: int, alignment_heads, word_aggr: str,
+                         compute_dtype) -> Optional[List[dict]]:
+    """Word timings for one window's concatenated text tokens.
+
+    ``word_aggr='default'`` replicates the published find_alignment recipe
+    (hand-picked alignment heads, z-norm, medfilt 7) — the same path as the
+    reference's ``--default_whisper_timing``; ``word_aggr='topk'`` uses the
+    paper's unsupervised top-k saliency head selection instead (this
+    framework's native aligner). Returns [{word, tokens, start, end,
+    probability}] with window-relative times, or None when unalignable."""
+    from .align import timing
+
+    sot_len = len(tokenizer.sot_sequence)
+    tokens = [*tokenizer.sot_sequence, tokenizer.no_timestamps,
+              *text_tokens, tokenizer.eot]
+    if len(tokens) > dims.n_text_ctx or not text_tokens:
+        return None
+    arr = jnp.asarray([tokens], jnp.int32)
+    tl = jnp.asarray([len(tokens)], jnp.int32)
+    fl = jnp.asarray([max(1, min(n_frames, dims.n_audio_ctx))], jnp.int32)
+    mel1 = jnp.asarray(mel_segment)[None]
+    token_probs = None
+    if word_aggr == "topk":
+        attn, _ = timing.get_attentions(params, dims, mel1, arr, tl, fl,
+                                        medfilt_width=7, qk_scale=1.0,
+                                        compute_dtype=compute_dtype,
+                                        return_logits=False)
+        jf, _, _ = timing.force_align_batch(attn, tl, fl, sot_len, "topk", 10)
+    else:
+        jf, probs, _ = timing.default_find_alignment_batch(
+            params, dims, mel1, arr, tl, fl, alignment_heads,
+            eot=tokenizer.eot, medfilt_width=7, qk_scale=1.0,
+            sot_len=sot_len, compute_dtype=compute_dtype)
+        token_probs = np.asarray(probs)[0][:len(text_tokens)]
+    words, word_tokens = tokenizer.split_to_word_tokens(
+        list(text_tokens) + [tokenizer.eot])
+    if len(word_tokens) <= 1:
+        return None
+    wb = np.pad(np.cumsum([len(t) for t in word_tokens[:-1]]), (1, 0))
+    jf1 = np.asarray(jf)[0][:len(text_tokens) + 1]
+    starts, ends = timing.jump_frames_to_times(jf1, wb)
+    out = []
+    for k, (w, wt) in enumerate(zip(words[:-1], word_tokens[:-1])):
+        prob = (float(np.mean(token_probs[wb[k]:wb[k + 1]]))
+                if token_probs is not None else None)
+        out.append({"word": w, "tokens": list(wt),
+                    "start": float(starts[k]), "end": float(ends[k]),
+                    "probability": prob})
+    return _merge_punctuations(out, _PREPEND_PUNCT, _APPEND_PUNCT)
+
 
 def _window_frames(dims) -> int:
     # test models may use a shorter audio context
@@ -98,6 +183,9 @@ def transcribe(params, dims, tokenizer,
                no_speech_threshold: Optional[float] = 0.6,
                condition_on_previous_text: bool = True,
                initial_prompt: Optional[str] = None,
+               word_timestamps: bool = False,
+               word_aggr: str = "default",
+               model_name: Optional[str] = None,
                compute_dtype=jnp.float32,
                rng=None,
                verbose: Optional[bool] = None,
@@ -106,6 +194,15 @@ def transcribe(params, dims, tokenizer,
 
     ``decode_options`` are DecodingOptions fields (language, beam_size,
     best_of, patience, length_penalty, prefix, suppress_tokens, ...).
+
+    ``word_timestamps=True`` attaches per-word ``{word, start, end,
+    probability}`` lists to every segment by teacher-forced cross-attention
+    alignment of each window's tokens: ``word_aggr='default'`` uses the
+    published alignment-heads recipe (``model_name`` selects the head table),
+    ``word_aggr='topk'`` uses the paper's unsupervised top-k saliency heads.
+    Segment start/end are tightened to their words' span. Deviations from the
+    published add_word_timestamps: no word-based seek refinement and no
+    hallucination heuristics (both are opt-in refinements there).
     """
     if isinstance(temperature, (int, float)):
         temperatures = [float(temperature)]
@@ -231,6 +328,34 @@ def transcribe(params, dims, tokenizer,
             current_segments.append(new_segment(
                 time_offset, time_offset + duration, tokens))
             seek += segment_size
+
+        if word_timestamps and current_segments:
+            from .config import get_alignment_heads
+
+            text_tokens = [t for seg in current_segments
+                           for t in seg["tokens"] if t < tokenizer.eot]
+            timings = _window_word_timings(
+                params, dims, tokenizer, mel_segment, text_tokens,
+                segment_size // input_stride,
+                get_alignment_heads(model_name or "", dims), word_aggr,
+                compute_dtype)
+            if timings:
+                for w in timings:
+                    w["start"] += time_offset
+                    w["end"] += time_offset
+                idx = 0
+                for seg in current_segments:
+                    n_text = sum(1 for t in seg["tokens"]
+                                 if t < tokenizer.eot)
+                    seg_words, consumed = [], 0
+                    while idx < len(timings) and consumed < n_text:
+                        seg_words.append(timings[idx])
+                        consumed += len(timings[idx]["tokens"])
+                        idx += 1
+                    seg["words"] = seg_words
+                    if seg_words:  # tighten to the aligned word span
+                        seg["start"] = seg_words[0]["start"]
+                        seg["end"] = seg_words[-1]["end"]
 
         if verbose:
             for seg in current_segments:
