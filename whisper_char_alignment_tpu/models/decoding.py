@@ -331,6 +331,11 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         # a different default (published decode builds its tokenizer per options)
         prompt_arr = prompt_arr.copy()
         prompt_arr[lang_pos] = tokenizer.sot + 1 + codes.index(options.language)
+    if (options.task == "translate" and tokenizer.is_multilingual
+            and len(sot_seq) >= 3):
+        # the task token follows the language token in the sot sequence
+        prompt_arr = prompt_arr.copy()
+        prompt_arr[..., lang_pos + 1] = tokenizer.translate
     if detected_langs is not None:
         prompt_arr = np.tile(prompt_arr[None], (mel.shape[0], 1))
         for i, code in enumerate(detected_langs):
