@@ -194,3 +194,75 @@ def test_merge_punctuations_unit():
                                 T._APPEND_PUNCT)
     assert [w["word"] for w in out] == [" ( hi!"]
     assert out[0]["tokens"] == [1, 2, 3]
+
+
+def test_user_prompt_kwarg_is_dropped(setup):
+    """The loop owns the conditioning prompt (published behavior overwrites a
+    caller-supplied one); passing prompt= must not crash."""
+    tok, dims, params = setup
+    audio = _audio(0.3, seed=6)
+    out = T.transcribe(params, dims, tok, audio, temperature=0.0,
+                       compression_ratio_threshold=None,
+                       logprob_threshold=None, no_speech_threshold=None,
+                       language="en", sample_len=4, prompt=[1, 2, 3])
+    assert "segments" in out
+
+
+def test_prompt_bucketing_bounds_signatures(setup, monkeypatch):
+    """Conditioning context is kept in prompt_bucket-token steps (bounded jit
+    signatures); prompt_bucket=1 keeps exact lengths."""
+    tok, dims, params = setup
+    window_samples = 2 * dims.n_audio_ctx * constants.HOP_LENGTH
+    audio = _audio(3.4 * window_samples / constants.SAMPLE_RATE, seed=7)
+    seen = []
+    real_decode = decoding.decode
+
+    def spy(params_, dims_, tok_, mel_, options=None, **kw):
+        seen.append(0 if options.prompt is None else len(options.prompt))
+        return real_decode(params_, dims_, tok_, mel_, options, **kw)
+
+    monkeypatch.setattr(decoding, "decode", spy)
+    common = dict(temperature=0.0, compression_ratio_threshold=None,
+                  logprob_threshold=None, no_speech_threshold=None,
+                  language="en", sample_len=7, without_timestamps=True)
+    T.transcribe(params, dims, tok, audio, prompt_bucket=8, **common)
+    assert any(n > 0 for n in seen), "conditioning never engaged"
+    # lengths are exact below one bucket, floored to a multiple above it
+    assert all(n < 8 or n % 8 == 0 for n in seen), seen
+
+    seen_bucketed = list(seen)
+    seen.clear()
+    T.transcribe(params, dims, tok, audio, prompt_bucket=1, **common)
+    # exact mode may carry lengths the bucketed mode rounded away
+    assert len(seen) >= 1 and seen[0] == 0
+    del seen_bucketed
+
+
+def test_resolved_sot_sequence():
+    tok = get_test_tokenizer()
+    sot = T._resolved_sot_sequence(tok, None, "transcribe")
+    assert sot == list(tok.sot_sequence)
+    code = tok.all_language_codes[3]
+    sot = T._resolved_sot_sequence(tok, code, "translate")
+    assert sot[1] == tok.sot + 1 + 3
+    assert sot[2] == tok.translate
+
+
+def test_invalid_beam_patience_rejected():
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=24, n_text_ctx=24,
+                          state=16, head=2, layers=2)
+    params = wmodel.init_params(jax.random.PRNGKey(3), dims)
+    mel = jnp.zeros((dims.n_mels, 48), jnp.float32)
+    with pytest.raises(ValueError):
+        decoding.decode(params, dims, tok, mel, decoding.DecodingOptions(
+            language="en", beam_size=2, patience=0.2))
+
+
+def test_cli_str2bool():
+    from whisper_char_alignment_tpu.cli.transcribe import str2bool
+    import argparse
+    assert str2bool("False") is False and str2bool("false") is False
+    assert str2bool("True") is True
+    with pytest.raises(argparse.ArgumentTypeError):
+        str2bool("nope")

@@ -27,6 +27,16 @@ from ..utils.writers import get_writer
 from . import common
 
 
+def str2bool(s: str) -> bool:
+    """Published CLI boolean parser: unrecognized spellings are errors, not
+    silently truthy."""
+    if s in ("True", "true", "1", "yes"):
+        return True
+    if s in ("False", "false", "0", "no"):
+        return False
+    raise argparse.ArgumentTypeError(f"expected a boolean, got {s!r}")
+
+
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("audio", nargs="+", help="16 kHz WAV file(s)")
@@ -43,7 +53,7 @@ def parse_args(argv=None):
     p.add_argument("--compression_ratio_threshold", type=float, default=2.4)
     p.add_argument("--logprob_threshold", type=float, default=-1.0)
     p.add_argument("--no_speech_threshold", type=float, default=0.6)
-    p.add_argument("--condition_on_previous_text", type=lambda s: s != "False",
+    p.add_argument("--condition_on_previous_text", type=str2bool,
                    default=True)
     p.add_argument("--initial_prompt", type=str, default=None)
     p.add_argument("--beam_size", type=int, default=None)

@@ -364,6 +364,11 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
             "best_of with greedy sampling (temperature=0) is not compatible")
     if options.patience is not None and options.beam_size is None:
         raise ValueError("patience requires beam_size to be given")
+    if (options.beam_size is not None and options.patience is not None
+            and round(options.beam_size * options.patience) < 1):
+        raise ValueError(
+            f"invalid beam size ({options.beam_size}) or patience "
+            f"({options.patience}): less than one finished candidate")
     if options.length_penalty is not None and not (
             0 <= options.length_penalty <= 1):
         raise ValueError(

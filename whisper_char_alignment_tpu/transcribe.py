@@ -24,12 +24,16 @@ text, tokens, temperature, avg_logprob, compression_ratio, no_speech_prob}],
 "language"}``.
 
 TPU notes: the seek loop is host-side by nature (each window's decode length
-and seek advance depend on the previous window's output). Every window decode
-is the same jitted program (fixed (n_mels, 2 * n_audio_ctx) shape); the
-full-audio mel is one device launch, padded up to a 30 s multiple so jit
-signatures are bounded. The mel values of the sliced windows are bit-identical
-to per-call whisper windows (zero padding beyond the published 30 s tail only
-touches frames past every window this loop reads).
+and seek advance depend on the previous window's output). The mel shape is
+fixed per window, and jit signature growth from the rolling conditioning
+prompt is bounded by rounding the kept context down to ``prompt_bucket``-token
+steps (~7 signatures per run; ``prompt_bucket=1`` restores the published
+exact-length trim at a compile per distinct length); word-timing token arrays
+are eot-padded to 32-token buckets under a token_len mask for the same
+reason. The full-audio mel is one device launch, padded up to a 30 s multiple
+so its signature count is bounded too; the sliced window values are
+bit-identical to per-call whisper windows (zero padding beyond the published
+30 s tail only touches frames past every window this loop reads).
 """
 
 from __future__ import annotations
@@ -44,8 +48,6 @@ import numpy as np
 from . import constants
 from .audio.mel import log_mel_spectrogram, pad_or_trim
 from .models import decoding
-
-_FRAMES_PER_WINDOW = constants.N_FRAMES  # 3000 mel frames = 30 s
 
 # published merge_punctuations defaults
 _PREPEND_PUNCT = "\"'“¿([{-"
@@ -81,25 +83,47 @@ def _merge_punctuations(words: List[dict], prepended: str, appended: str):
     return [w for w in words if w["word"]]
 
 
+def _resolved_sot_sequence(tokenizer, language: Optional[str],
+                           task: str) -> List[int]:
+    """The sot sequence with the RESOLVED language/task tokens patched in —
+    the published find_alignment builds its tokenizer per the transcription
+    language and task; the raw ``tokenizer.sot_sequence`` may carry a
+    different construction-time default."""
+    sot_seq = list(tokenizer.sot_sequence)
+    codes = tokenizer.all_language_codes
+    if (language is not None and tokenizer.is_multilingual
+            and len(sot_seq) >= 2 and language in codes):
+        sot_seq[1] = tokenizer.sot + 1 + codes.index(language)
+    if task == "translate" and tokenizer.is_multilingual and len(sot_seq) >= 3:
+        sot_seq[2] = tokenizer.translate
+    return sot_seq
+
+
 def _window_word_timings(params, dims, tokenizer, mel_segment, text_tokens,
                          n_frames: int, alignment_heads, word_aggr: str,
-                         compute_dtype) -> Optional[List[dict]]:
+                         compute_dtype, sot_seq: List[int]) -> Optional[List[dict]]:
     """Word timings for one window's concatenated text tokens.
 
     ``word_aggr='default'`` replicates the published find_alignment recipe
     (hand-picked alignment heads, z-norm, medfilt 7) — the same path as the
     reference's ``--default_whisper_timing``; ``word_aggr='topk'`` uses the
     paper's unsupervised top-k saliency head selection instead (this
-    framework's native aligner). Returns [{word, tokens, start, end,
-    probability}] with window-relative times, or None when unalignable."""
+    framework's native aligner). ``sot_seq`` carries the resolved
+    language/task tokens. Returns [{word, tokens, start, end, probability}]
+    with window-relative times, or None when unalignable."""
     from .align import timing
+    from .parallel.mesh import pad_to_multiple
 
-    sot_len = len(tokenizer.sot_sequence)
-    tokens = [*tokenizer.sot_sequence, tokenizer.no_timestamps,
-              *text_tokens, tokenizer.eot]
+    sot_len = len(sot_seq)
+    tokens = [*sot_seq, tokenizer.no_timestamps, *text_tokens, tokenizer.eot]
     if len(tokens) > dims.n_text_ctx or not text_tokens:
         return None
-    arr = jnp.asarray([tokens], jnp.int32)
+    # eot-pad to a 32-multiple token bucket (masked by token_len, proven
+    # equal to exact shapes) so jit signatures stay bounded across windows
+    t_bucket = min(dims.n_text_ctx, pad_to_multiple(len(tokens), 32))
+    arr = np.full((1, t_bucket), tokenizer.eot, np.int32)
+    arr[0, :len(tokens)] = tokens
+    arr = jnp.asarray(arr)
     tl = jnp.asarray([len(tokens)], jnp.int32)
     fl = jnp.asarray([max(1, min(n_frames, dims.n_audio_ctx))], jnp.int32)
     mel1 = jnp.asarray(mel_segment)[None]
@@ -183,6 +207,7 @@ def transcribe(params, dims, tokenizer,
                no_speech_threshold: Optional[float] = 0.6,
                condition_on_previous_text: bool = True,
                initial_prompt: Optional[str] = None,
+               prompt_bucket: int = 32,
                word_timestamps: bool = False,
                word_aggr: str = "default",
                model_name: Optional[str] = None,
@@ -193,7 +218,10 @@ def transcribe(params, dims, tokenizer,
     """Transcribe 16 kHz mono ``audio`` of any length.
 
     ``decode_options`` are DecodingOptions fields (language, beam_size,
-    best_of, patience, length_penalty, prefix, suppress_tokens, ...).
+    best_of, patience, length_penalty, prefix, suppress_tokens, ...); a
+    caller-supplied ``prompt`` is dropped (the loop owns it, as published).
+    ``prompt_bucket`` bounds decode jit signatures by keeping the rolling
+    conditioning context in 32-token steps (1 = published exact lengths).
 
     ``word_timestamps=True`` attaches per-word ``{word, start, end,
     probability}`` lists to every segment by teacher-forced cross-attention
@@ -208,6 +236,10 @@ def transcribe(params, dims, tokenizer,
         temperatures = [float(temperature)]
     else:
         temperatures = [float(t) for t in temperature]
+    # the published loop overwrites any caller-supplied prompt with the
+    # rolling context every window; drop it rather than crash on the
+    # duplicate keyword below
+    decode_options.pop("prompt", None)
 
     audio = np.asarray(audio, np.float32).reshape(-1)
     window_frames = _window_frames(dims)
@@ -258,9 +290,22 @@ def transcribe(params, dims, tokenizer,
         mel_segment = pad_or_trim(mel[..., seek:seek + window_frames],
                                   window_frames, axis=-1)
 
+        # round the rolling conditioning prompt DOWN to a 32-token bucket of
+        # its most recent tokens (cap 192 < the published 223-token trim):
+        # each distinct prompt length is a distinct decode jit signature, and
+        # remote TPU compiles cost minutes — dropping the oldest few context
+        # tokens bounds the signature count at ~7 per run. prompt_bucket=1
+        # restores the published exact-length behavior.
+        ctx = all_tokens[prompt_reset_since:]
+        if prompt_bucket > 1 and len(ctx) >= prompt_bucket:
+            # floor to a bucket multiple, capped below the published 223 trim
+            keep = min((len(ctx) // prompt_bucket) * prompt_bucket,
+                       (192 // prompt_bucket) * prompt_bucket)
+        else:
+            keep = len(ctx)  # sub-bucket contexts (and prompt_bucket=1) exact
         opts = decoding.DecodingOptions(
             language=language,
-            prompt=all_tokens[prompt_reset_since:] or None,
+            prompt=ctx[len(ctx) - keep:] or None,
             **decode_options)
         result = decode_with_fallback(
             params, dims, tokenizer, mel_segment, opts, temperatures,
@@ -338,7 +383,10 @@ def transcribe(params, dims, tokenizer,
                 params, dims, tokenizer, mel_segment, text_tokens,
                 segment_size // input_stride,
                 get_alignment_heads(model_name or "", dims), word_aggr,
-                compute_dtype)
+                compute_dtype,
+                _resolved_sot_sequence(tokenizer, language,
+                                       decode_options.get("task",
+                                                          "transcribe")))
             if timings:
                 for w in timings:
                     w["start"] += time_offset
