@@ -116,3 +116,24 @@ def test_pipeline_reuse_falls_back_on_skip_reorder(setup):
         assert a.words == b.words
         np.testing.assert_array_equal(a.start_times, b.start_times)
         np.testing.assert_array_equal(a.end_times, b.end_times)
+
+
+def test_pipeline_with_beam_options(setup):
+    """Beam decoding slots into the production pipeline's async decode path
+    (DecodeFuture + cross-KV reuse request falls back to xa-only cleanly)."""
+    from whisper_char_alignment_tpu.models import decoding
+
+    tok, dims, params = setup
+    rng = np.random.default_rng(4)
+    utts = _make_utts(rng, ["hello world", "deep blue"], [0.4, 0.3])
+    cfg = AlignConfig(aligned_unit_type="char", aggr="topk", topk=3,
+                      medfilt_width=3, batch_size=2, model="tiny-test")
+    pipe = AlignmentPipeline(params, dims, tok, cfg)
+    pipe.options = decoding.DecodingOptions(language="en", sample_len=6,
+                                            beam_size=2)
+    outs = pipe.align_batch(utts)
+    assert len(outs) == 2
+    for o in outs:
+        assert isinstance(o.transcription, str)
+    texts, _, _ = pipe.transcribe_batch(utts)
+    assert len(texts) == 2
