@@ -51,6 +51,10 @@ def main():
     ap.add_argument("--decode_len", type=int, default=32)
     ap.add_argument("--frames", type=int, default=300)
     ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--reuse", action="store_true",
+                    help="also time the xa / cross-KV reuse capture "
+                         "variants (adds the K/V stacks to HBM; use "
+                         "--batch 16)")
     args = ap.parse_args()
     b, t = args.batch, args.tokens
 
@@ -84,6 +88,31 @@ def main():
                                      compute_dtype=jnp.bfloat16)
         return a[..., 0, 0].sum()
     timed("capture (enc+dec+qkpost)", cap, args.iters)
+
+    # production-path variants: encoder states (and optionally the decode
+    # loop's cross K/V) are reused, so the capture pass pays only the decoder
+    if args.reuse:
+        xa = wmodel.encode_audio(params, dims, mel, compute_dtype=jnp.bfloat16)
+        ckv = wmodel.precompute_cross_kv(params, dims, xa,
+                                         compute_dtype=jnp.bfloat16)
+
+        def cap_xa():
+            a, _ = timing.get_attentions(params, dims, None, tokens, tl, fl,
+                                         medfilt_width=3, qk_scale=1.0,
+                                         compute_dtype=jnp.bfloat16,
+                                         return_logits=False, xa=xa)
+            return a[..., 0, 0].sum()
+        timed("capture (xa reuse)", cap_xa, args.iters)
+
+        def cap_kv():
+            a, _ = timing.get_attentions(params, dims, None, tokens, tl, fl,
+                                         medfilt_width=3, qk_scale=1.0,
+                                         compute_dtype=jnp.bfloat16,
+                                         return_logits=False, xa=None,
+                                         cross_kv=ckv)
+            return a[..., 0, 0].sum()
+        timed("capture (xa + cross-KV reuse)", cap_kv, args.iters)
+        del xa, ckv
 
     attn, _ = timing.get_attentions(params, dims, mel, tokens, tl, fl,
                                     medfilt_width=3, qk_scale=1.0,
