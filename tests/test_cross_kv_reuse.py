@@ -137,3 +137,34 @@ def test_pipeline_with_beam_options(setup):
         assert isinstance(o.transcription, str)
     texts, _, _ = pipe.transcribe_batch(utts)
     assert len(texts) == 2
+
+
+def test_kv_size_gate(setup, monkeypatch):
+    """The reuse path auto-disables when the K/V stacks would exceed the HBM
+    budget (measured OOM at medium B=32 on a 16 GB chip); results are
+    unchanged."""
+    from whisper_char_alignment_tpu import runner as runner_mod
+    from whisper_char_alignment_tpu.config import MODEL_DIMS
+
+    # medium bf16: 2 * 24 * B * 1024 * 1500 * 2 bytes
+    md = MODEL_DIMS["medium"]
+    assert runner_mod._cross_kv_bytes(md, 32, jnp.bfloat16) == (
+        2 * 24 * 32 * 1024 * 1500 * 2)
+    assert runner_mod._cross_kv_bytes(md, 32, jnp.bfloat16) > 3_000_000_000
+    assert runner_mod._cross_kv_bytes(md, 16, jnp.bfloat16) < 3_000_000_000
+
+    tok, dims, params = setup
+    rng = np.random.default_rng(5)
+    utts = _make_utts(rng, ["hello world", "deep blue"], [0.4, 0.3])
+    outs = {}
+    for cap in ("1", str(10 ** 12)):
+        monkeypatch.setenv("WCA_REUSE_KV_MAX_BYTES", cap)
+        cfg = AlignConfig(aligned_unit_type="char", aggr="topk", topk=3,
+                          medfilt_width=3, batch_size=2, model="tiny-test")
+        pipe = AlignmentPipeline(params, dims, tok, cfg)
+        pipe.transcribe_override = lambda batch: [u.text for u in batch]
+        outs[cap] = pipe.align_batch(utts)
+    for a, b in zip(outs["1"], outs[str(10 ** 12)]):
+        assert a.words == b.words
+        np.testing.assert_array_equal(a.start_times, b.start_times)
+        np.testing.assert_array_equal(a.end_times, b.end_times)

@@ -61,20 +61,28 @@ def test_two_process_sweep_matches_single_process(tmp_path):
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stderr[-3000:]
 
-    multi_dir = str(tmp_path / "multi")
-    os.makedirs(multi_dir)
-    port = _free_port()
-    procs = []
-    for pid in range(2):
-        extra = ["--multihost", "--coordinator_address", f"localhost:{port}",
-                 "--num_processes", "2", "--process_id", str(pid),
-                 "--save_prediction"]
-        procs.append(subprocess.Popen(
-            _cli_argv(scp, multi_dir, extra), env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
-    outs = [p.communicate(timeout=600) for p in procs]
-    for p, (out, err) in zip(procs, outs):
-        assert p.returncode == 0, err[-3000:]
+    # one retry: the two-process jax.distributed rendezvous is load-sensitive
+    # on this single-core host (observed failing only when the whole suite and
+    # a device benchmark run concurrently; always passes in isolation)
+    multi_dir = None
+    for attempt in range(2):
+        multi_dir = str(tmp_path / f"multi{attempt}")
+        os.makedirs(multi_dir)
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            extra = ["--multihost", "--coordinator_address",
+                     f"localhost:{port}", "--num_processes", "2",
+                     "--process_id", str(pid), "--save_prediction"]
+            procs.append(subprocess.Popen(
+                _cli_argv(scp, multi_dir, extra), env=env,
+                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
+        outs = [p.communicate(timeout=600) for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            break
+        if attempt == 1:
+            for p, (out, err) in zip(procs, outs):
+                assert p.returncode == 0, err[-3000:]
 
     # only process 0 dumps the results JSON, holding the all-reduced counters
     assert _read_metrics(multi_dir) == _read_metrics(single_dir)

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from typing import List, Optional, Sequence
 
 import jax
@@ -90,6 +91,12 @@ def _mel_step(audio, dims: ModelDims, compute_dtype=jnp.float32,
 
         return log_mel_pallas(audio, n_mels=dims.n_mels).astype(compute_dtype)
     return log_mel_spectrogram(audio, n_mels=dims.n_mels).astype(compute_dtype)
+
+
+def _cross_kv_bytes(dims: ModelDims, batch: int, compute_dtype) -> int:
+    """HBM bytes of the decode loop's cross K/V stacks (K and V, all layers)."""
+    return (2 * dims.n_text_layer * batch * dims.n_text_state
+            * dims.n_audio_ctx * jnp.dtype(compute_dtype).itemsize)
 
 
 def _wire_audio(audio: np.ndarray) -> np.ndarray:
@@ -183,9 +190,16 @@ class AlignmentPipeline:
                 mesh_lib.pad_to_multiple(int(max_fl), self.cfg.decode_frame_bucket))
         # cross-K/V reuse: only in the parity-true configuration (full-frame,
         # un-quantized) and single-mesh (the (L, B, ...) stacks don't follow the
-        # batch-axis sharding helper)
+        # batch-axis sharding helper), and only when the stacks fit comfortably:
+        # keeping them alive through the capture pass adds 2*L*B*d*F bytes to
+        # HBM ON TOP of the f32 attention stack — at medium B=32 bf16 that is
+        # 4.7 GB + 7 GB and the 16 GB chip OOMs (measured). The 3 GB default
+        # cap keeps B<=20 at medium; override via WCA_REUSE_KV_MAX_BYTES.
         reuse_kv = (self.cfg.reuse_cross_kv and kv_frames is None
-                    and not self.cfg.decode_kv_int8 and self.mesh is None)
+                    and not self.cfg.decode_kv_int8 and self.mesh is None
+                    and _cross_kv_bytes(self.dims, b_pad, self.compute_dtype)
+                    <= int(os.environ.get("WCA_REUSE_KV_MAX_BYTES",
+                                          3_000_000_000)))
         with self.timers.stage("decode dispatch", units=len(utts)):
             if reuse_kv:
                 future, xa, cross_kv = decoding.decode(
