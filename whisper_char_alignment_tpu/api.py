@@ -22,7 +22,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import constants
-from .audio import wav
 from .config import AlignConfig, ModelDims
 from .data.dataset import Utterance
 from .models import convert, whisper as wmodel
@@ -70,9 +69,9 @@ def align(model: Model, audio: Union[str, np.ndarray],
           compute_dtype=jnp.float32, **kwargs) -> UttAlignment:
     """Align one utterance with the README-recommended recipe defaults."""
     if isinstance(audio, str):
-        data, sr = wav.load(audio)
-        assert sr == constants.SAMPLE_RATE, f"expected 16 kHz audio, got {sr}"
-        data = data.reshape(-1) if data.shape[0] == 1 else data.mean(0)
+        from .audio.resample import load_resampled
+
+        data = load_resampled(audio)  # any-rate WAV -> mono 16 kHz
         fid = os.path.splitext(os.path.basename(audio))[0]
     else:
         data = np.asarray(audio, np.float32).reshape(-1)
@@ -101,9 +100,9 @@ def align_long(model: Model, audio: Union[str, np.ndarray],
     :func:`align`, which this delegates to when the audio fits one window.
     """
     if isinstance(audio, str):
-        data, sr = wav.load(audio)
-        assert sr == constants.SAMPLE_RATE, f"expected 16 kHz audio, got {sr}"
-        data = data.reshape(-1) if data.shape[0] == 1 else data.mean(0)
+        from .audio.resample import load_resampled
+
+        data = load_resampled(audio)  # any-rate WAV -> mono 16 kHz
         fid = os.path.splitext(os.path.basename(audio))[0]
     else:
         data = np.asarray(audio, np.float32).reshape(-1)
@@ -159,9 +158,9 @@ def transcribe(model: Model, audio: Union[str, np.ndarray], **kwargs) -> dict:
     from .transcribe import transcribe as _transcribe
 
     if isinstance(audio, str):
-        data, sr = wav.load(audio)
-        assert sr == constants.SAMPLE_RATE, f"expected 16 kHz audio, got {sr}"
-        data = data.reshape(-1) if data.shape[0] == 1 else data.mean(0)
+        from .audio.resample import load_resampled
+
+        data = load_resampled(audio)  # any-rate WAV -> mono 16 kHz
     else:
         data = np.asarray(audio, np.float32).reshape(-1)
     kwargs.setdefault("model_name", model.name)

@@ -20,8 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .. import constants
-from ..audio import wav
 from ..transcribe import transcribe
 from ..utils.writers import get_writer
 from . import common
@@ -39,7 +37,8 @@ def str2bool(s: str) -> bool:
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("audio", nargs="+", help="16 kHz WAV file(s)")
+    p.add_argument("audio", nargs="+",
+               help="WAV file(s), any sample rate (resampled to 16 kHz)")
     p.add_argument("--model", type=str, default="medium")
     p.add_argument("--output_dir", "-o", type=str, default=".")
     p.add_argument("--output_format", "-f", type=str, default="all",
@@ -87,11 +86,11 @@ def main(argv=None) -> int:
     else:
         temperature = args.temperature
 
+    from ..audio.resample import load_resampled
+
     writer = get_writer(args.output_format, args.output_dir)
     for path in args.audio:
-        data, sr = wav.load(path)
-        assert sr == constants.SAMPLE_RATE, f"{path}: expected 16 kHz, got {sr}"
-        data = data.reshape(-1) if data.shape[0] == 1 else data.mean(0)
+        data = load_resampled(path)  # any-rate WAV -> mono 16 kHz
         result = transcribe(
             params, dims, tok, data,
             temperature=temperature,
