@@ -137,6 +137,9 @@ def main():
         # than the published 51865; decode runs over the model's full vocab
         # with the toy specials in range
         model_name = os.environ.get("WCA_BENCH_MODEL", "medium")
+        if model_name not in MODEL_DIMS:
+            raise SystemExit(f"unknown WCA_BENCH_MODEL={model_name!r}; "
+                             f"choose from {sorted(MODEL_DIMS)}")
         dims = MODEL_DIMS[model_name]
 
     log(f"devices: {jax.devices()}")
@@ -178,9 +181,6 @@ def main():
     fid = recompute_one_on_cpu(pipeline, first_batch, cfg, tok)
     log(f"correctness: device DTW == NumPy oracle recompute for {fid}")
 
-    # two timed passes, best wall: the axon tunnel's throughput fluctuates
-    # (upload stage measured 0.3-1.6 s/batch across identical runs); min-wall
-    # is the standard noise-robust estimator for a deterministic workload
     best_wall = None
     best_timers = None
     # 3 passes by default: the axon tunnel's upload throughput fluctuates by

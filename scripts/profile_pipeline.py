@@ -83,9 +83,13 @@ def main():
     timed(f"greedy decode ({args.decode_len})", dec, args.iters)
 
     def cap():
+        # return_logits=False like the production _align_step (and the reuse
+        # variants below) — else this baseline alone pays the (B, T, vocab)
+        # logits head and the A/B misattributes that cost to encoder reuse
         a, _ = timing.get_attentions(params, dims, mel, tokens, tl, fl,
                                      medfilt_width=3, qk_scale=1.0,
-                                     compute_dtype=jnp.bfloat16)
+                                     compute_dtype=jnp.bfloat16,
+                                     return_logits=False)
         return a[..., 0, 0].sum()
     timed("capture (enc+dec+qkpost)", cap, args.iters)
 

@@ -50,6 +50,34 @@ def _read_metrics(out_dir):
     return {k: blob[k] for k in ("precision", "recall", "f1", "r_value")}
 
 
+
+def _run_two_process(argv_fn, scp, env, tmp_path, extra=(), attempts=2):
+    """Launch the 2-process jax.distributed run; one retry — the local
+    rendezvous is load-sensitive on this single-core host (observed failing
+    only when the whole suite and a device benchmark run concurrently;
+    always passes in isolation). Returns the output dir of the good run."""
+    multi_dir = None
+    for attempt in range(attempts):
+        multi_dir = str(tmp_path / f"multi{attempt}")
+        os.makedirs(multi_dir)
+        port = _free_port()
+        procs = []
+        for pid in range(2):
+            flags = ["--multihost", "--coordinator_address",
+                     f"localhost:{port}", "--num_processes", "2",
+                     "--process_id", str(pid), *extra]
+            procs.append(subprocess.Popen(argv_fn(scp, multi_dir, flags),
+                                          env=env, stdout=subprocess.PIPE,
+                                          stderr=subprocess.PIPE, text=True))
+        outs = [p.communicate(timeout=600) for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            return multi_dir
+        if attempt == attempts - 1:
+            for p, (out, err) in zip(procs, outs):
+                assert p.returncode == 0, err[-3000:]
+    return multi_dir
+
+
 def test_two_process_sweep_matches_single_process(tmp_path):
     scp = make_timit_corpus(str(tmp_path / "corpus"), n_utts=6,
                             seconds=(0.8, 1.4), words_per_utt=(3, 5), seed=0)
@@ -61,28 +89,8 @@ def test_two_process_sweep_matches_single_process(tmp_path):
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stderr[-3000:]
 
-    # one retry: the two-process jax.distributed rendezvous is load-sensitive
-    # on this single-core host (observed failing only when the whole suite and
-    # a device benchmark run concurrently; always passes in isolation)
-    multi_dir = None
-    for attempt in range(2):
-        multi_dir = str(tmp_path / f"multi{attempt}")
-        os.makedirs(multi_dir)
-        port = _free_port()
-        procs = []
-        for pid in range(2):
-            extra = ["--multihost", "--coordinator_address",
-                     f"localhost:{port}", "--num_processes", "2",
-                     "--process_id", str(pid), "--save_prediction"]
-            procs.append(subprocess.Popen(
-                _cli_argv(scp, multi_dir, extra), env=env,
-                stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
-        outs = [p.communicate(timeout=600) for p in procs]
-        if all(p.returncode == 0 for p in procs):
-            break
-        if attempt == 1:
-            for p, (out, err) in zip(procs, outs):
-                assert p.returncode == 0, err[-3000:]
+    multi_dir = _run_two_process(_cli_argv, scp, env, tmp_path,
+                                 extra=["--save_prediction"])
 
     # only process 0 dumps the results JSON, holding the all-reduced counters
     assert _read_metrics(multi_dir) == _read_metrics(single_dir)
@@ -130,18 +138,6 @@ def test_two_process_probe_oracle_matches_single_process(tmp_path):
                        capture_output=True, text=True)
     assert r.returncode == 0, r.stderr[-3000:]
 
-    multi_dir = str(tmp_path / "multi")
-    os.makedirs(multi_dir)
-    port = _free_port()
-    procs = []
-    for pid in range(2):
-        extra = ["--multihost", "--coordinator_address", f"localhost:{port}",
-                 "--num_processes", "2", "--process_id", str(pid)]
-        procs.append(subprocess.Popen(
-            _probe_argv(scp, multi_dir, extra), env=env,
-            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True))
-    outs = [p.communicate(timeout=600) for p in procs]
-    for p, (out, err) in zip(procs, outs):
-        assert p.returncode == 0, err[-3000:]
+    multi_dir = _run_two_process(_probe_argv, scp, env, tmp_path)
 
     assert _read_probe_metrics(multi_dir) == _read_probe_metrics(single_dir)

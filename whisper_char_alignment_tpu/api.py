@@ -37,6 +37,17 @@ class Model:
     name: str = "medium"
 
 
+def _load_audio(audio) -> "tuple[np.ndarray, str]":
+    """Path or array -> (mono 16 kHz float32, fid). Any-rate WAVs are
+    resampled (audio/resample.py); arrays are taken as 16 kHz."""
+    if isinstance(audio, str):
+        from .audio.resample import load_resampled
+
+        return load_resampled(audio), os.path.splitext(
+            os.path.basename(audio))[0]
+    return np.asarray(audio, np.float32).reshape(-1), "utterance"
+
+
 def load_model(name: str = "medium", checkpoint: Optional[str] = None,
                tokenizer_dir: Optional[str] = None,
                dtype=jnp.float32) -> Model:
@@ -68,14 +79,7 @@ def align(model: Model, audio: Union[str, np.ndarray],
           topk: int = 10, medfilt_width: int = 3, qk_scale: float = 1.0,
           compute_dtype=jnp.float32, **kwargs) -> UttAlignment:
     """Align one utterance with the README-recommended recipe defaults."""
-    if isinstance(audio, str):
-        from .audio.resample import load_resampled
-
-        data = load_resampled(audio)  # any-rate WAV -> mono 16 kHz
-        fid = os.path.splitext(os.path.basename(audio))[0]
-    else:
-        data = np.asarray(audio, np.float32).reshape(-1)
-        fid = "utterance"
+    data, fid = _load_audio(audio)
 
     cfg = AlignConfig(aligned_unit_type=aligned_unit_type, aggr=aggregation,
                       topk=topk, medfilt_width=medfilt_width, qk_scale=qk_scale,
@@ -99,14 +103,7 @@ def align_long(model: Model, audio: Union[str, np.ndarray],
     adjacent windows — for reference-exact behavior on <=30 s inputs use
     :func:`align`, which this delegates to when the audio fits one window.
     """
-    if isinstance(audio, str):
-        from .audio.resample import load_resampled
-
-        data = load_resampled(audio)  # any-rate WAV -> mono 16 kHz
-        fid = os.path.splitext(os.path.basename(audio))[0]
-    else:
-        data = np.asarray(audio, np.float32).reshape(-1)
-        fid = "utterance"
+    data, fid = _load_audio(audio)
     window = constants.N_SAMPLES
     if data.size <= window:
         return align(model, data, compute_dtype=compute_dtype, **align_kwargs)
@@ -157,12 +154,7 @@ def transcribe(model: Model, audio: Union[str, np.ndarray], **kwargs) -> dict:
     :mod:`whisper_char_alignment_tpu.transcribe` for the knobs."""
     from .transcribe import transcribe as _transcribe
 
-    if isinstance(audio, str):
-        from .audio.resample import load_resampled
-
-        data = load_resampled(audio)  # any-rate WAV -> mono 16 kHz
-    else:
-        data = np.asarray(audio, np.float32).reshape(-1)
+    data, _ = _load_audio(audio)
     kwargs.setdefault("model_name", model.name)
     return _transcribe(model.params, model.dims, model.tokenizer, data,
                        **kwargs)

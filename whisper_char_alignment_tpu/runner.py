@@ -76,8 +76,6 @@ def _align_step(params, dims: ModelDims, xa, tokens, token_len, frame_len,
                                              "total_samples"))
 def _mel_step(audio, dims: ModelDims, compute_dtype=jnp.float32,
               total_samples: int = None):
-    import os
-
     if audio.dtype == jnp.int16:
         # int16 wire format (bit-exact for 16-bit PCM sources): the host sends
         # half the bytes over the axon tunnel and the scale fuses into the mel
@@ -198,8 +196,8 @@ class AlignmentPipeline:
         reuse_kv = (self.cfg.reuse_cross_kv and kv_frames is None
                     and not self.cfg.decode_kv_int8 and self.mesh is None
                     and _cross_kv_bytes(self.dims, b_pad, self.compute_dtype)
-                    <= int(os.environ.get("WCA_REUSE_KV_MAX_BYTES",
-                                          3_000_000_000)))
+                    <= int(float(os.environ.get("WCA_REUSE_KV_MAX_BYTES",
+                                                3e9))))
         with self.timers.stage("decode dispatch", units=len(utts)):
             if reuse_kv:
                 future, xa, cross_kv = decoding.decode(
