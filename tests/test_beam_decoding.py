@@ -332,3 +332,40 @@ def test_prompt_conditioning_beam(setup):
     # conditioning changes the search (random weights: overwhelmingly likely)
     assert ([r.tokens for r in res] != [r.tokens for r in base]
             or res[0].avg_logprob != base[0].avg_logprob)
+
+
+def test_beam_without_timestamps_matches_oracle(setup):
+    """Beam + without_timestamps (rules reduce to suppress sets) still matches
+    the published algorithm oracle."""
+    tok, dims, params, mel = setup
+    options = decoding.DecodingOptions(language="en", beam_size=2,
+                                       without_timestamps=True, sample_len=6)
+    results = decoding.decode(params, dims, tok, jnp.asarray(mel), options)
+    for k in range(2):
+        expect_tokens, _ = naive_beam_decode(params, dims, tok, mel[k],
+                                             options, 6)
+        assert results[k].tokens == expect_tokens
+
+
+def test_beam_sample_len_one(setup):
+    """A one-step beam search terminates cleanly and returns one sampled
+    token (or none) per audio."""
+    tok, dims, params, mel = setup
+    res = decoding.decode(params, dims, tok, jnp.asarray(mel),
+                          decoding.DecodingOptions(language="en", beam_size=3,
+                                                   sample_len=1))
+    for r in res:
+        assert len(r.tokens) <= 1
+        assert np.isfinite(r.avg_logprob)
+
+
+def test_sampling_step_accounting(setup):
+    """The sampling loop's n_steps observability is bounded by prompt+samples."""
+    tok, dims, params, mel = setup
+    res = decoding.decode(
+        params, dims, tok, jnp.asarray(mel),
+        decoding.DecodingOptions(language="en", temperature=0.5, sample_len=8,
+                                 without_timestamps=True),
+        rng=jax.random.PRNGKey(0))
+    for r in res:
+        assert r.n_steps <= len(tok.sot_sequence) + 1 + 8
