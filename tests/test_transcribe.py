@@ -266,3 +266,22 @@ def test_cli_str2bool():
     assert str2bool("True") is True
     with pytest.raises(argparse.ArgumentTypeError):
         str2bool("nope")
+
+
+def test_transcribe_with_beam_multi_window(setup):
+    """Beam search composes with the long-form seek loop (published: the
+    fallback ladder keeps beam options only at t=0) and with conditioning."""
+    tok, dims, params = setup
+    window_samples = 2 * dims.n_audio_ctx * constants.HOP_LENGTH
+    audio = _audio(2.3 * window_samples / constants.SAMPLE_RATE, seed=11)
+    out = T.transcribe(params, dims, tok, audio, temperature=0.0,
+                       compression_ratio_threshold=None,
+                       logprob_threshold=None, no_speech_threshold=None,
+                       language="en", sample_len=6, beam_size=2,
+                       without_timestamps=True)
+    segs = out["segments"]
+    # >= 2 decode windows: random weights may emit a stray consecutive
+    # timestamp pair (nothing suppresses timestamps in without_timestamps
+    # mode, published behavior) whose large value seeks past the remainder
+    assert len({s["seek"] for s in segs}) >= 2
+    assert all(s["temperature"] == 0.0 for s in segs)
