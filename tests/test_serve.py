@@ -1,0 +1,85 @@
+"""HTTP serving layer: /align and /transcribe round-trips against a live
+server thread with the offline test model (stdlib client, WAV bytes in,
+JSON out)."""
+
+import io
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from whisper_char_alignment_tpu import api
+from whisper_char_alignment_tpu.audio.wav import save as wav_save
+from whisper_char_alignment_tpu.cli.serve import serve
+
+
+@pytest.fixture(scope="module")
+def server():
+    model = api.test_model()
+    srv = serve(model, host="127.0.0.1", port=0)  # ephemeral port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _wav_bytes(seconds=0.6, seed=0, sr=16000):
+    import tempfile, os
+
+    audio = (np.random.default_rng(seed).normal(0, 0.05, int(sr * seconds))
+             .astype(np.float32))
+    with tempfile.NamedTemporaryFile(suffix=".wav", delete=False) as f:
+        path = f.name
+    try:
+        wav_save(path, audio, sr)
+        with open(path, "rb") as f:
+            return f.read()
+    finally:
+        os.unlink(path)
+
+
+def _post(url, body):
+    req = urllib.request.Request(url, data=body, method="POST")
+    with urllib.request.urlopen(req, timeout=300) as r:
+        return r.status, json.loads(r.read())
+
+
+def test_healthz(server):
+    with urllib.request.urlopen(f"{server}/healthz", timeout=60) as r:
+        assert r.status == 200
+        assert json.loads(r.read()) == {"ok": True, "model": "test"}
+
+
+def test_align_endpoint(server):
+    status, out = _post(f"{server}/align?topk=3", _wav_bytes())
+    assert status == 200
+    for key in ("fid", "words", "start_times", "end_times", "transcription"):
+        assert key in out
+    assert len(out["start_times"]) == len(out["end_times"])
+
+
+def test_transcribe_endpoint(server):
+    status, out = _post(
+        f"{server}/transcribe?language=en&sample_len=6&without_timestamps=1",
+        _wav_bytes(seed=1))
+    assert status == 200
+    assert "segments" in out and "text" in out and out["language"] == "en"
+
+
+def test_unknown_route_and_bad_body(server):
+    req = urllib.request.Request(f"{server}/nope", data=b"x", method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 404
+    # malformed WAV -> structured 500, server stays alive
+    req = urllib.request.Request(f"{server}/align", data=b"not a wav",
+                                 method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 500
+    assert "error" in json.loads(e.value.read())
+    # still healthy afterwards
+    with urllib.request.urlopen(f"{server}/healthz", timeout=60) as r:
+        assert r.status == 200
