@@ -369,3 +369,20 @@ def test_sampling_step_accounting(setup):
         rng=jax.random.PRNGKey(0))
     for r in res:
         assert r.n_steps <= len(tok.sot_sequence) + 1 + 8
+
+
+def test_beam_stress_wide_and_long(setup):
+    """Wider/longer beam search with patience banking across multiple steps
+    and full length penalty still matches the published-algorithm oracle."""
+    tok, dims, params, mel = setup
+    options = decoding.DecodingOptions(
+        language="en", beam_size=4, patience=2.0, length_penalty=1.0,
+        sample_len=12)
+    results = decoding.decode(params, dims, tok, jnp.asarray(mel), options)
+    for k in range(mel.shape[0]):
+        expect_tokens, expect_lp = naive_beam_decode(
+            params, dims, tok, mel[k], options, 12)
+        assert results[k].tokens == expect_tokens, f"item {k}"
+        np.testing.assert_allclose(
+            results[k].avg_logprob, expect_lp / (len(expect_tokens) + 1),
+            rtol=1e-4, atol=1e-4)
