@@ -319,6 +319,36 @@ def test_prompt_and_prefix_conditioning(setup, use_prompt, use_prefix):
                                    rtol=2e-3, atol=2e-3)
 
 
+def test_empty_prompt_and_prefix_are_skipped(setup):
+    """Published _get_initial_tokens uses truthiness: an empty-string or
+    empty-list prompt/prefix contributes nothing (no bare sot_prev token, no
+    forced ' ' encoding) — the decode must equal the unconditioned one."""
+    tok, dims, params, mel = setup
+    base = decoding.decode(params, dims, tok, jnp.asarray(mel),
+                           decoding.DecodingOptions(language="en",
+                                                    sample_len=6))
+    for kw in ({"prompt": ""}, {"prefix": ""}, {"prompt": [], "prefix": []}):
+        res = decoding.decode(
+            params, dims, tok, jnp.asarray(mel),
+            decoding.DecodingOptions(language="en", sample_len=6, **kw))
+        assert [r.tokens for r in res] == [r.tokens for r in base], kw
+
+
+def test_beam_with_kv_speedups_falls_back(setup):
+    """kv_frames / kv_int8 are greedy-loop-only speedups: combined with beam
+    or sampling options they must gracefully fall back to the full-window
+    un-quantized beam path (identical results), not crash."""
+    tok, dims, params, mel = setup
+    options = decoding.DecodingOptions(language="en", sample_len=6,
+                                       beam_size=2)
+    base = decoding.decode(params, dims, tok, jnp.asarray(mel), options)
+    for kw in ({"kv_frames": 16}, {"kv_int8": True},
+               {"kv_frames": 16, "kv_int8": True}):
+        res = decoding.decode(params, dims, tok, jnp.asarray(mel), options,
+                              **kw)
+        assert [r.tokens for r in res] == [r.tokens for r in base], kw
+
+
 def test_prompt_conditioning_beam(setup):
     """The conditioning prompt threads through the beam loop too."""
     tok, dims, params, mel = setup

@@ -138,10 +138,8 @@ def test_qk_matches_hand_numpy_computation(converted, sample_inputs):
     np.testing.assert_allclose(qk0, qk_hand, atol=1e-4)
 
 
-def test_openai_layout_roundtrip(converted):
-    """Build an OpenAI-style state dict from our params and convert it back."""
-    params, dims = converted
-    p = jax.tree.map(np.asarray, params)
+def _openai_state_dict(p, dims):
+    """Assemble an OpenAI-whisper-layout state dict from our params."""
     sd = {}
 
     def put_dense(prefix, d):
@@ -181,13 +179,45 @@ def test_openai_layout_roundtrip(converted):
         put_dense(f"decoder.blocks.{i}.mlp.0", blk["mlp"]["fc1"])
         put_dense(f"decoder.blocks.{i}.mlp.2", blk["mlp"]["fc2"])
     put_ln("decoder.ln", p["decoder"]["ln"])
+    return sd
 
-    back = convert.from_openai_state_dict(sd, dims)
-    flat_a = convert._flatten(p)
-    flat_b = convert._flatten(back)
+
+def _assert_params_equal(a, b):
+    flat_a, flat_b = convert._flatten(a), convert._flatten(b)
     assert set(flat_a) == set(flat_b)
     for k in flat_a:
         np.testing.assert_allclose(flat_a[k], flat_b[k], atol=0, err_msg=k)
+
+
+def test_openai_layout_roundtrip(converted):
+    """Build an OpenAI-style state dict from our params and convert it back."""
+    params, dims = converted
+    p = jax.tree.map(np.asarray, params)
+    back = convert.from_openai_state_dict(_openai_state_dict(p, dims), dims)
+    _assert_params_equal(p, back)
+
+
+def test_openai_pt_checkpoint_file_roundtrip(tmp_path, converted):
+    """The actual ``.pt`` file path (reference entry: whisper.load_model at
+    infer_ali.py:36): torch.save an OpenAI-style
+    ``{"dims": ..., "model_state_dict": ...}`` zip-pickle of torch tensors,
+    load it through load_checkpoint's dispatch, and assert both the recovered
+    dims and bit-identical params vs from_openai_state_dict on the same dict."""
+    import torch
+
+    params, dims = converted
+    p = jax.tree.map(np.asarray, params)
+    sd_np = _openai_state_dict(p, dims)
+    sd_torch = {k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in sd_np.items()}
+    dims_dict = {f: getattr(dims, f)
+                 for f in type(dims).__dataclass_fields__}
+    path = str(tmp_path / "model.pt")
+    torch.save({"dims": dims_dict, "model_state_dict": sd_torch}, path)
+
+    loaded, loaded_dims = convert.load_checkpoint(path)
+    assert loaded_dims == dims
+    _assert_params_equal(convert.from_openai_state_dict(sd_np, dims), loaded)
 
 
 def test_npz_roundtrip(tmp_path, converted):

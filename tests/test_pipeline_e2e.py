@@ -161,6 +161,44 @@ def test_sort_by_duration_same_results_different_order(tmp_path):
         assert r.words == plain[r.fid].words
 
 
+def test_pipeline_depth_invariance(tmp_path):
+    """run_dataset's software-pipeline depth is a scheduling knob only: depths
+    1, 2, and 3 (and depth > number of batches) must yield identical
+    per-utterance boundaries in identical order."""
+    import jax
+
+    from whisper_char_alignment_tpu.config import AlignConfig, tiny_test_dims
+    from whisper_char_alignment_tpu.data.synthetic import make_timit_corpus
+    from whisper_char_alignment_tpu.models import whisper as wmodel
+    from whisper_char_alignment_tpu.runner import AlignmentPipeline
+    from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+
+    scp = make_timit_corpus(str(tmp_path), n_utts=7, seconds=(0.4, 1.2),
+                            words_per_utt=(3, 5), seed=6)
+    ds = TIMIT(scp)
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=96, n_text_ctx=64,
+                          state=16, head=2, layers=2)
+    params = wmodel.init_params(jax.random.PRNGKey(7), dims)
+
+    def run(depth):
+        cfg = AlignConfig.recommended(topk=2, batch_size=2,
+                                      use_gt_transcript=True,
+                                      pipeline_depth=depth)
+        pipe = AlignmentPipeline(params, dims, tok, cfg)
+        return list(pipe.run_dataset(ds, progress=False))
+
+    base = run(1)
+    assert [r.fid for r in base] == [ds[i].fid for i in range(len(ds))]
+    for depth in (2, 3, 10):  # 10 > 4 batches: full drain path
+        other = run(depth)
+        assert [r.fid for r in other] == [r.fid for r in base]
+        for a, b in zip(other, base):
+            np.testing.assert_array_equal(a.start_times, b.start_times)
+            np.testing.assert_array_equal(a.end_times, b.end_times)
+            assert a.words == b.words
+
+
 def test_pipeline_with_128_mel_model(tmp_path):
     """large-v3-style 128-mel frontend end-to-end through the pipeline."""
     import jax

@@ -83,3 +83,20 @@ def test_unknown_route_and_bad_body(server):
     # still healthy afterwards
     with urllib.request.urlopen(f"{server}/healthz", timeout=60) as r:
         assert r.status == 200
+
+
+def test_oversized_body_rejected_413(server, monkeypatch):
+    """A Content-Length beyond the cap is refused BEFORE the body is read —
+    the host must not buffer an arbitrarily large POST."""
+    from whisper_char_alignment_tpu.cli import serve as serve_mod
+
+    monkeypatch.setattr(serve_mod, "MAX_BODY_BYTES", 1024)
+    body = b"\x00" * 4096
+    req = urllib.request.Request(f"{server}/align", data=body, method="POST")
+    with pytest.raises(urllib.error.HTTPError) as e:
+        urllib.request.urlopen(req, timeout=60)
+    assert e.value.code == 413
+    assert "exceeds cap" in json.loads(e.value.read())["error"]
+    # server survives the refusal
+    with urllib.request.urlopen(f"{server}/healthz", timeout=60) as r:
+        assert r.status == 200

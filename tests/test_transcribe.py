@@ -181,6 +181,17 @@ def test_word_timestamps(setup):
                 assert (w["probability"] is None) == (aggr == "topk")
 
 
+def test_empty_and_subhop_audio_runs_zero_windows(setup):
+    """Published seek loop: content_frames <= 0 means no windows — empty or
+    sub-hop-length audio returns the empty result instead of decoding one
+    all-zero window (which could hallucinate a segment)."""
+    tok, dims, params = setup
+    for n in (0, constants.HOP_LENGTH - 1):
+        out = T.transcribe(params, dims, tok, np.zeros((n,), np.float32),
+                           language="en", sample_len=4)
+        assert out == {"text": "", "segments": [], "language": "en"}
+
+
 def test_merge_punctuations_unit():
     words = [
         {"word": " (", "tokens": [1], "start": 0.0, "end": 0.1,

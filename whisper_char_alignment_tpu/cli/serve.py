@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import tempfile
 import threading
@@ -39,6 +40,15 @@ from .. import api
 from . import common
 
 _TRUE = ("1", "true", "True", "yes")
+
+# request-body cap: 30 s of 16 kHz float64 WAV is ~4 MB; 256 MB leaves room
+# for long-form multi-channel uploads while bounding a single POST's memory
+MAX_BODY_BYTES = int(float(os.environ.get("WCA_SERVE_MAX_BODY_MB", "256"))
+                     * 1024 * 1024)
+
+
+class _BodyTooLarge(ValueError):
+    """Raised before reading an oversized request body (HTTP 413)."""
 
 
 def _q(qs, name, default=None, cast=str):
@@ -63,6 +73,12 @@ def make_handler(model: api.Model, compute_dtype, lock: threading.Lock):
 
         def _read_wav(self) -> np.ndarray:
             n = int(self.headers.get("Content-Length", "0"))
+            if n > MAX_BODY_BYTES:
+                # refuse before reading: an oversized POST must not be able to
+                # exhaust host memory (relevant when --host exposes the server
+                # beyond loopback). WCA_SERVE_MAX_BODY_MB overrides the cap.
+                raise _BodyTooLarge(
+                    f"request body {n} bytes exceeds cap {MAX_BODY_BYTES}")
             data = self.rfile.read(n)
             from ..audio.resample import load_resampled
 
@@ -122,6 +138,8 @@ def make_handler(model: api.Model, compute_dtype, lock: threading.Lock):
                                          compute_dtype=compute_dtype,
                                          **kwargs)
                 return self._json(200, out)
+            except _BodyTooLarge as e:
+                return self._json(413, {"error": str(e)})
             except Exception as e:  # surface the failure to the client
                 return self._json(500, {"error": f"{type(e).__name__}: {e}"})
 

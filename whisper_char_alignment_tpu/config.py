@@ -202,6 +202,13 @@ class AlignConfig:
     # transcript finishes, so mixed-length batches make short utterances pay
     # the longest one's steps. Changes output order, not per-utterance results.
     sort_by_duration: bool = False
+    # software-pipeline depth of run_dataset: how many batches may have their
+    # decode in flight before the oldest one's transcripts are synced. Depth 2
+    # lets the decode-future sync overlap the NEXT batch's audio upload + mel
+    # dispatch (the round-2 driver bench lost ~2.1 s of a 3.9 s wall to that
+    # sync at depth 1). Costs one extra in-flight (mel, xa) pair per unit of
+    # depth; the cross-K/V reuse gate accounts for it.
+    pipeline_depth: int = 2
     # isolation mode (SURVEY.md §7 step 4): align the ground-truth transcript
     # instead of the decoded one, decoupling alignment quality from transcript
     # parity (also what bench.py uses so random-weight garbage transcripts

@@ -312,8 +312,11 @@ def beam_candidates(tokens, sum_lp, fin_tok, fin_lp, fin_cnt, *,
                  for j in range(int(fin_cnt[a]))]
         lps = [float(fin_lp[a, j]) for j in range(int(fin_cnt[a]))]
         if len(cands) < beam_size:
-            rows = np.argsort(-sum_lp[a * beam_size:(a + 1) * beam_size],
-                              kind="stable")
+            # published finalize: `np.argsort(sum_logprobs[i])[::-1]` — an
+            # ascending sort reversed, so on bit-equal sum_logprobs the
+            # higher beam row wins (the opposite tie order of a stable
+            # descending sort). Reproduce the exact expression.
+            rows = np.argsort(sum_lp[a * beam_size:(a + 1) * beam_size])[::-1]
             for j in rows:
                 cands.append(_trim(tokens[a * beam_size + int(j)],
                                    sample_begin, eot))

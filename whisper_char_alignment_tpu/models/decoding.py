@@ -303,9 +303,11 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         sot_seq = list(tokenizer.sot_sequence)
     sample_len = options.sample_len or dims.n_text_ctx // 2
     # published _get_initial_tokens: forced prefix text after the sot sequence,
-    # [sot_prev] + prompt tokens before it
+    # [sot_prev] + prompt tokens before it. Truthiness guards (not `is not
+    # None`) match the published code: an empty-string/empty-list prompt or
+    # prefix is skipped entirely (no bare sot_prev, no forced " " encoding).
     initial = list(sot_seq)
-    if options.prefix is not None:
+    if options.prefix:
         prefix_tokens = (tokenizer.encode(" " + options.prefix.strip())
                          if isinstance(options.prefix, str)
                          else list(options.prefix))
@@ -314,7 +316,7 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         max_prefix_len = dims.n_text_ctx // 2 - sample_len
         prefix_tokens = prefix_tokens[-max_prefix_len:]
         initial = initial + prefix_tokens
-    if options.prompt is not None:
+    if options.prompt:
         prompt_tokens = (tokenizer.encode(" " + options.prompt.strip())
                          if isinstance(options.prompt, str)
                          else list(options.prompt))
@@ -376,10 +378,12 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
 
     if options.beam_size is not None or options.temperature > 0:
         # beam search / temperature sampling live in models/beam.py; the greedy
-        # while_loop below stays the lean production path
-        if kv_frames is not None or kv_int8:
-            raise NotImplementedError(
-                "kv_frames / kv_int8 apply to the greedy decode loop only")
+        # while_loop below stays the lean production path. kv_frames / kv_int8
+        # are greedy-loop-only speedups: fall back to the full-window,
+        # un-quantized path here (same graceful-degrade pattern as the runner's
+        # cross-K/V reuse gate) instead of crashing a pipeline that combines
+        # decode_frame_bucket/kv_int8 with beam/sampling options.
+        kv_frames, kv_int8 = None, False
         from . import beam as beam_mod
 
         langs = (detected_langs if detected_langs is not None

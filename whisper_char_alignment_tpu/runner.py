@@ -192,10 +192,16 @@ class AlignmentPipeline:
         # keeping them alive through the capture pass adds 2*L*B*d*F bytes to
         # HBM ON TOP of the f32 attention stack — at medium B=32 bf16 that is
         # 4.7 GB + 7 GB and the 16 GB chip OOMs (measured). The 3 GB default
-        # cap keeps B<=20 at medium; override via WCA_REUSE_KV_MAX_BYTES.
+        # cap keeps B<=20 at medium at depth 1; override via
+        # WCA_REUSE_KV_MAX_BYTES. run_dataset's software pipeline keeps up to
+        # pipeline_depth+1 batches' stacks alive at once (depth in the
+        # transcribe queue + one in the align step), so the budget divides by
+        # that count.
+        n_live = max(1, self.cfg.pipeline_depth) + 1
         reuse_kv = (self.cfg.reuse_cross_kv and kv_frames is None
                     and not self.cfg.decode_kv_int8 and self.mesh is None
                     and _cross_kv_bytes(self.dims, b_pad, self.compute_dtype)
+                    * n_live
                     <= int(float(os.environ.get("WCA_REUSE_KV_MAX_BYTES",
                                                 3e9))))
         with self.timers.stage("decode dispatch", units=len(utts)):
@@ -408,10 +414,15 @@ class AlignmentPipeline:
     def run_dataset(self, dataset, progress: bool = True):
         """Iterate a dataset in batches; yields UttAlignment per utterance.
 
-        Software-pipelined: while batch k's capture+align executes on device,
-        batch k+1's audio upload / mel / decode are already queued and batch
-        k-1's host bookkeeping runs — the device never waits on host work
-        between batches."""
+        Software-pipelined to ``cfg.pipeline_depth``: up to that many batches
+        keep their decode in flight before the oldest one's transcripts are
+        synced, so the sync overlaps the NEXT batches' audio uploads + mel /
+        decode dispatch (the tunnel upload is host wall time) while the device
+        chews through the queue in order. One capture+align batch additionally
+        stays in flight before its host collect. At depth 1 this degrades to
+        the round-2 three-stage pipeline."""
+        from collections import deque
+
         order = None
         if self.cfg.sort_by_duration:
             from .data.dataset import duration_order
@@ -426,20 +437,20 @@ class AlignmentPipeline:
             except Exception:
                 pass
         rm = self.cfg.plot
-        transcribed = None  # batch with decode in flight
-        aligned = None  # batch with capture+align in flight
+        depth = max(1, self.cfg.pipeline_depth)
+        transcribed = deque()  # batches with decode in flight
+        aligned = deque()  # batches with capture+align in flight
         for batch in it:
-            t_next = self._dispatch_transcribe(batch)
-            if transcribed is not None:
-                a_next = self._dispatch_align(transcribed, return_matrix=rm)
-                if aligned is not None:
-                    yield from self._collect_align(aligned)
-                aligned = a_next
-            transcribed = t_next
-        if transcribed is not None:
-            a_next = self._dispatch_align(transcribed, return_matrix=rm)
-            if aligned is not None:
-                yield from self._collect_align(aligned)
-            yield from self._collect_align(a_next)
-        elif aligned is not None:
-            yield from self._collect_align(aligned)
+            transcribed.append(self._dispatch_transcribe(batch))
+            if len(transcribed) > depth:
+                aligned.append(self._dispatch_align(transcribed.popleft(),
+                                                    return_matrix=rm))
+            while len(aligned) > 1:
+                yield from self._collect_align(aligned.popleft())
+        while transcribed:
+            aligned.append(self._dispatch_align(transcribed.popleft(),
+                                                return_matrix=rm))
+            while len(aligned) > 1:
+                yield from self._collect_align(aligned.popleft())
+        while aligned:
+            yield from self._collect_align(aligned.popleft())

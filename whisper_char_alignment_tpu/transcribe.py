@@ -252,9 +252,15 @@ def transcribe(params, dims, tokenizer,
     padded[:audio.size] = audio
     mel = np.asarray(log_mel_spectrogram(jnp.asarray(padded),
                                          n_mels=dims.n_mels))
-    content_frames = mel.shape[-1] - window_frames
-    content_frames = max(min(content_frames,
-                             audio.size // constants.HOP_LENGTH), 1)
+    content_frames = min(mel.shape[-1] - window_frames,
+                         audio.size // constants.HOP_LENGTH)
+    if content_frames <= 0:
+        # published behavior: with no content frames the seek loop runs zero
+        # windows — empty / sub-hop audio yields an empty result rather than
+        # one all-zero window (which could hallucinate a segment)
+        return {"text": "", "segments": [],
+                "language": decode_options.pop("language", None)
+                or tokenizer.language or "en"}
 
     language = decode_options.pop("language", None)
     if language is None:
