@@ -41,10 +41,73 @@ def test_probe_oracle_cli(tmp_path):
     results = probe_oracle.main([
         "--dataset", "TIMIT", "--scp", scp, "--output_dir", out_dir,
         "--aligned_unit_type", "char", "--strict", "--tolerance", "0.05",
-        "--medfilt_width", "3", "--hit_within", "2", "--test_model"])
+        "--medfilt_width", "3", "--hit_within", "2", "--test_model",
+        "--batch_size", "2"])
     assert set(results) >= {"precision", "recall", "f1", "r_value", "hit_rate"}
     assert 0.0 <= results["hit_rate"] <= 1.0
     assert any(f.endswith(".json") for f in os.listdir(out_dir))
+
+
+def _make_same_bucket_corpus(root, texts):
+    """WAV + .wrd fixtures whose GT texts differ in length but share one
+    32-token char bucket."""
+    from whisper_char_alignment_tpu.audio import wav
+    os.makedirs(root, exist_ok=True)
+    sr = 16000
+    rng = np.random.default_rng(2)
+    scp_lines = []
+    for i, text in enumerate(texts):
+        words = text.split()
+        n = sr // 2  # 0.5 s
+        path = os.path.join(root, f"u{i}.wav")
+        wav.save(path, rng.normal(0, 0.05, n).astype(np.float32), sr)
+        bounds = np.linspace(0, n, len(words) + 1).astype(int)
+        with open(os.path.join(root, f"u{i}.wrd"), "w") as f:
+            for w in range(len(words)):
+                f.write(f"{bounds[w]} {bounds[w + 1]} {words[w]}\n")
+        scp_lines.append(f"dr1-u{i} {path}")
+    scp = os.path.join(root, "bucket.scp")
+    with open(scp, "w") as f:
+        f.write("\n".join(scp_lines) + "\n")
+    return scp
+
+
+def test_probe_capture_signatures_bounded(tmp_path, monkeypatch):
+    """Distinct transcript lengths inside one 32-token bucket must share ONE
+    jit signature for the capture and for the per-head DTW launch — remote
+    compiles cost minutes per signature, so the probe must never recompile
+    per utterance (round-2 finding)."""
+    import jax
+    from whisper_char_alignment_tpu.align import timing
+    from whisper_char_alignment_tpu.cli import common, probe_oracle
+    from whisper_char_alignment_tpu.config import tiny_test_dims
+    from whisper_char_alignment_tpu.models import whisper as wmodel
+    from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+
+    base = ("she had your dark suit in greasy wash water all year and then "
+            "some more words to pass the filter")  # 19 words, 99 chars
+    texts = [base, base + " now", base + " again", base + " once more"]
+    scp = _make_same_bucket_corpus(str(tmp_path), texts)
+
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=96, n_text_ctx=160,
+                          state=16, head=2, layers=2)
+    params = wmodel.init_params(jax.random.PRNGKey(0), dims)
+    monkeypatch.setattr(common, "load_model_and_tokenizer",
+                        lambda args: (params, dims, tok))
+
+    att_before = timing._get_attentions_jit._cache_size()
+    dtw_before = probe_oracle._per_head_jump_frames_jit._cache_size()
+    results = probe_oracle.main([
+        "--dataset", "TIMIT", "--scp", scp,
+        "--output_dir", str(tmp_path / "results"),
+        "--aligned_unit_type", "char", "--strict", "--tolerance", "0.05",
+        "--medfilt_width", "3", "--hit_within", "2", "--batch_size", "2",
+        "--use_gt_transcript", "--test_model"])
+    assert 0.0 <= results["hit_rate"] <= 1.0
+    # 2 batches, 4 distinct transcript lengths -> ONE signature each
+    assert timing._get_attentions_jit._cache_size() - att_before == 1
+    assert probe_oracle._per_head_jump_frames_jit._cache_size() - dtw_before == 1
 
 
 def test_plot_attn(tmp_path):

@@ -32,15 +32,12 @@ from ..ops import dtw as dtw_ops
 # Attention capture (reference: get_attentions, timing.py:45-67)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("dims", "medfilt_width",
-                                             "compute_dtype", "attn_dtype",
-                                             "return_logits"))
 def get_attentions(params, dims: ModelDims, mel: jax.Array, tokens: jax.Array,
                    token_len: jax.Array, frame_len: jax.Array,
                    medfilt_width: int = 7, qk_scale=1.0,
                    compute_dtype=jnp.float32, attn_dtype=jnp.float32,
                    return_logits: bool = True, xa: jax.Array = None,
-                   cross_kv=None):
+                   cross_kv=None, attn_mode=None, qkpost=None):
     """Teacher-forced forward returning processed cross-attention maps.
 
     mel (B, n_mels, 2*n_audio_ctx); tokens (B, T) padded with eot;
@@ -53,14 +50,42 @@ def get_attentions(params, dims: ModelDims, mel: jax.Array, tokens: jax.Array,
     then ignored and may be None); additionally pass ``cross_kv`` (the decode
     loop's un-quantized full-frame K/V stacks) to also skip the per-layer
     cross K/V projections.
+
+    The Pallas kernel-mode flags (WCA_ENC_ATTN / WCA_QKPOST) resolve here,
+    outside the jit, and key the cached trace as static arguments.
     """
+    if attn_mode is None:
+        attn_mode = wmodel._encoder_attn_mode()
+    if qkpost is None:
+        qkpost = wmodel._use_fused_qkpost()
+    return _get_attentions_jit(
+        params, dims, mel, tokens, token_len, frame_len,
+        medfilt_width=medfilt_width, qk_scale=qk_scale,
+        compute_dtype=compute_dtype, attn_dtype=attn_dtype,
+        return_logits=return_logits, xa=xa, cross_kv=cross_kv,
+        attn_mode=attn_mode, qkpost=qkpost)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "medfilt_width",
+                                             "compute_dtype", "attn_dtype",
+                                             "return_logits", "attn_mode",
+                                             "qkpost"))
+def _get_attentions_jit(params, dims: ModelDims, mel: jax.Array,
+                        tokens: jax.Array, token_len: jax.Array,
+                        frame_len: jax.Array, medfilt_width: int = 7,
+                        qk_scale=1.0, compute_dtype=jnp.float32,
+                        attn_dtype=jnp.float32, return_logits: bool = True,
+                        xa: jax.Array = None, cross_kv=None,
+                        attn_mode: str = "xla", qkpost: bool = False):
     if xa is None and cross_kv is None:
-        xa = wmodel.encode_audio(params, dims, mel, compute_dtype=compute_dtype)
+        xa = wmodel.encode_audio(params, dims, mel,
+                                 compute_dtype=compute_dtype,
+                                 attn_mode=attn_mode)
     logits, attn = wmodel.decode_text(
         params, dims, tokens, xa, return_qk=True, compute_dtype=compute_dtype,
         medfilt_width=medfilt_width, frame_len=frame_len, token_len=token_len,
         qk_scale=qk_scale, attn_dtype=attn_dtype, return_logits=return_logits,
-        cross_kv=cross_kv)
+        cross_kv=cross_kv, qkpost=qkpost)
     return attn, logits
 
 
@@ -172,23 +197,33 @@ def _dtw_impl() -> str:
     return impl
 
 
-@functools.partial(jax.jit, static_argnames=("sot_len",))
 def matrix_to_jump_frames(matrix: jax.Array, token_len: jax.Array,
-                          frame_len: jax.Array, sot_len: int):
+                          frame_len: jax.Array, sot_len: int, dtw_impl=None):
     """Slice the text rows and run DTW -> first-visit frame per text row.
 
     matrix (B, T, F); rows used are [sot_len : token_len-1] (the reference's
     ``matrix[len(sot_sequence):-1]``, timing.py:102). Returns (B, T - sot_len + 1)
     jump frames (padded rows -1). The cost/trace recurrence runs in the Pallas
     wavefront kernel on accelerators (ops/dtw_pallas.py) and as the lax.scan
-    reference on CPU; override with WCA_DTW_IMPL=pallas|scan.
+    reference on CPU; override with WCA_DTW_IMPL=pallas|scan (resolved here,
+    outside the jit — the choice is a static argument of the cached trace).
     """
+    if dtw_impl is None:
+        dtw_impl = _dtw_impl()
+    return _matrix_to_jump_frames_jit(matrix, token_len, frame_len,
+                                      sot_len=sot_len, dtw_impl=dtw_impl)
+
+
+@functools.partial(jax.jit, static_argnames=("sot_len", "dtw_impl"))
+def _matrix_to_jump_frames_jit(matrix: jax.Array, token_len: jax.Array,
+                               frame_len: jax.Array, sot_len: int,
+                               dtw_impl: str = "scan"):
     text_matrix = matrix[:, sot_len:, :]
     n_rows = (token_len - sot_len - 1).astype(jnp.int32)  # drop the eot row
     costs = -text_matrix
     frame_len = frame_len.astype(jnp.int32)
 
-    if _dtw_impl() == "pallas":
+    if dtw_impl == "pallas":
         from ..ops.dtw_pallas import dtw_trace_batch
 
         traces = dtw_trace_batch(costs, use_pallas=True)
@@ -201,21 +236,38 @@ def matrix_to_jump_frames(matrix: jax.Array, token_len: jax.Array,
     return jax.vmap(one)(costs, n_rows, frame_len)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "sot_len", "aggregation", "topk", "w_colnorm", "w_rownorm", "w_coverage"))
 def force_align_batch(attn: jax.Array, token_len: jax.Array,
                       frame_len: jax.Array, sot_len: int,
                       aggregation: str = "mean", topk: int = -1,
-                      w_colnorm=1.0, w_rownorm=1.0, w_coverage=0.0):
+                      w_colnorm=1.0, w_rownorm=1.0, w_coverage=0.0,
+                      dtw_impl=None):
     """Device path of force_align over a batch: aggregation + DTW, one jitted
     program (the f32 casts/squares fuse into the reductions — never materialize
     a full f32 copy of a bf16 attention stack).
 
     Returns (jump_frames (B, N+1), matrix (B, T, F), scores-or-None).
+    WCA_DTW_IMPL resolves here, outside the jit (static cache-key argument).
     """
+    if dtw_impl is None:
+        dtw_impl = _dtw_impl()
+    return _force_align_batch_jit(attn, token_len, frame_len, sot_len=sot_len,
+                                  aggregation=aggregation, topk=topk,
+                                  w_colnorm=w_colnorm, w_rownorm=w_rownorm,
+                                  w_coverage=w_coverage, dtw_impl=dtw_impl)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "sot_len", "aggregation", "topk", "w_colnorm", "w_rownorm", "w_coverage",
+    "dtw_impl"))
+def _force_align_batch_jit(attn: jax.Array, token_len: jax.Array,
+                           frame_len: jax.Array, sot_len: int,
+                           aggregation: str = "mean", topk: int = -1,
+                           w_colnorm=1.0, w_rownorm=1.0, w_coverage=0.0,
+                           dtw_impl: str = "scan"):
     matrix, scores = aggregate_matrix(attn, aggregation, topk, frame_len,
                                       w_colnorm, w_rownorm, w_coverage)
-    jump_frames = matrix_to_jump_frames(matrix, token_len, frame_len, sot_len)
+    jump_frames = matrix_to_jump_frames(matrix, token_len, frame_len, sot_len,
+                                        dtw_impl=dtw_impl)
     return jump_frames, matrix, scores
 
 

@@ -79,6 +79,13 @@ def add_tpu_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--decode_kv_int8", action="store_true",
                         help="int8-quantize decode cross-attention K/V (halves "
                              "the decode HBM stream; small accuracy risk)")
+    parser.add_argument("--decode_sample_len", type=int, default=0,
+                        help="cap sampled decode steps per utterance (0 = "
+                             "published default, n_text_ctx // 2)")
+    parser.add_argument("--use_gt_transcript", action="store_true",
+                        help="align the ground-truth transcript instead of "
+                             "the decoded one (isolation mode, SURVEY.md §7 "
+                             "step 4; decode still runs and is timed)")
     parser.add_argument("--profile", action="store_true",
                         help="print per-stage wall-time summary at the end")
     parser.add_argument("--trace_dir", type=str, default=None,

@@ -6,9 +6,17 @@ vs ground truth, and measure how often that oracle head falls within the top
 ``--hit_within`` saliency-ranked heads.
 
 TPU-first: the reference runs one force_align (and one CPU DTW) per head in a
-Python loop — 384 DTWs per utterance for medium (probe_oracle.py:88-106). Here all
-heads are aligned in ONE device launch: the per-head column-normalized maps are a
-batch for the vmapped DTW kernel.
+serial batch-1 Python loop — 384 DTWs per utterance for medium
+(probe_oracle.py:88-106). Here:
+
+- ALL heads of a whole BATCH of utterances align in one device launch (the
+  per-head column-normalized maps are rows of the batched DTW kernel);
+- token arrays are padded to the runner's 32-token buckets, so jit signatures
+  are bounded (remote compiles cost minutes per signature) instead of one per
+  distinct transcript length;
+- transcribe (mel + greedy decode) for the next batches is kept in flight to
+  ``pipeline_depth`` while the current batch's capture + scoring runs — the
+  same software pipeline as runner.run_dataset.
 
 The per-head scoring loop in the reference crashes as committed (it scores
 ``best_ends_hat`` instead of the current head's boundaries and reads an unassigned
@@ -20,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import functools
+from collections import deque
 
 import jax
 import jax.numpy as jnp
@@ -29,21 +38,30 @@ from ..align import timing
 from ..align.metrics import eval_n1, eval_n1_strict, get_seg_metrics
 from ..constants import AUDIO_SAMPLES_PER_TOKEN, MAX_FRAMES, MAX_LENGTH
 from ..data.dataset import DATASETS
-from ..parallel import distributed
+from ..parallel import distributed, mesh as mesh_lib
 from ..runner import AlignmentPipeline
 from . import common
 
 
-@functools.partial(jax.jit, static_argnames=("sot_len",))
 def _per_head_jump_frames(attn, token_len, frame_len, sot_len: int):
-    """attn (L, 1, H, T, F) -> jump frames per head (L*H, N+1): every head's
-    single-map 'mean' aggregation (column-normalize) + DTW in one launch."""
-    l, _, h, t, f = attn.shape
-    maps = attn[:, 0].reshape(l * h, t, f).astype(jnp.float32)
-    maps = timing._safe_col_normalize(maps)
-    tl = jnp.broadcast_to(token_len, (l * h,))
-    fl = jnp.broadcast_to(frame_len, (l * h,))
-    return timing.matrix_to_jump_frames(maps, tl, fl, sot_len)
+    """attn (L, B, H, T, F) -> jump frames per head (B, L*H, N+1): every
+    utterance x head 'mean'-aggregated (column-normalized) map through the
+    batched DTW in ONE launch. WCA_DTW_IMPL resolves here, outside the jit."""
+    return _per_head_jump_frames_jit(attn, token_len, frame_len,
+                                     sot_len=sot_len,
+                                     dtw_impl=timing._dtw_impl())
+
+
+@functools.partial(jax.jit, static_argnames=("sot_len", "dtw_impl"))
+def _per_head_jump_frames_jit(attn, token_len, frame_len, sot_len: int,
+                              dtw_impl: str = "scan"):
+    l, b, h, t, f = attn.shape
+    maps = jnp.transpose(attn, (1, 0, 2, 3, 4)).reshape(b * l * h, t, f)
+    maps = timing._safe_col_normalize(maps.astype(jnp.float32))
+    tl = jnp.repeat(token_len, l * h)
+    fl = jnp.repeat(frame_len, l * h)
+    jf = timing.matrix_to_jump_frames(maps, tl, fl, sot_len, dtw_impl=dtw_impl)
+    return jf.reshape(b, l * h, jf.shape[-1])
 
 
 def infer_dataset(args) -> dict:
@@ -55,7 +73,6 @@ def infer_dataset(args) -> dict:
 
     params, dims, tok = common.load_model_and_tokenizer(args)
     cfg = common.config_from_args(args)
-    cfg.batch_size = 1  # the probe is per-utterance; avoid padding to a full batch
     pipe = AlignmentPipeline(params, dims, tok, cfg, compute_dtype=(
         jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32))
     dataset = DATASETS[args.dataset](args.scp, n_mels=args.n_mels)
@@ -67,12 +84,118 @@ def infer_dataset(args) -> dict:
 
     from ..text import retokenize
 
-    corrects = 0
-    total_preds = 0
-    total_gts = 0
-    if_include_best = 0
-    n_seen = 0
+    state = dict(corrects=0, total_preds=0, total_gts=0, if_include_best=0,
+                 n_seen=0)
     sot_len = len(tok.sot_sequence)
+
+    def process_batch(tp):
+        """Sync one batch's transcripts, capture attention for ALL its
+        utterances in one launch, DTW every (utterance, head) pair in one
+        launch, then score per utterance on host (reference semantics,
+        probe_oracle.py:59-122, with the committed scoring bug fixed)."""
+        utts = tp["utts"]
+        xa = tp["xa"]
+        if cfg.use_gt_transcript:
+            transcripts = [u.text for u in utts]
+        else:
+            results = tp["future"].result()
+            transcripts = [r.text for r in results[:len(utts)]]
+
+        prepared = []
+        for u, raw in zip(utts, transcripts):
+            transcription = retokenize.remove_punctuation(raw)
+            if len(transcription) == 0:
+                transcription = " "
+            text_tokens = retokenize.encode(transcription, tok,
+                                            args.aligned_unit_type)
+            tokens = [*tok.sot_sequence, tok.no_timestamps, *text_tokens,
+                      tok.eot]
+            max_frames = u.duration // AUDIO_SAMPLES_PER_TOKEN
+            if (max_frames > MAX_FRAMES
+                    or len(tokens) > min(MAX_LENGTH, dims.n_text_ctx)):
+                print(u.fid)
+                continue
+            prepared.append((u, text_tokens, tokens, int(max_frames)))
+        if not prepared:
+            return
+        state["n_seen"] += len(prepared)
+
+        # fixed shapes: batch padded to the pipeline's batch size, tokens to
+        # the 32-token bucket — bounded jit signatures across the sweep
+        b_pad = pipe._pad_batch(len(prepared))
+        t_max = max(len(p[2]) for p in prepared)
+        t_bucket = min(dims.n_text_ctx,
+                       mesh_lib.pad_to_multiple(t_max, pipe.token_bucket))
+        tokens_arr = np.full((b_pad, t_bucket), tok.eot, np.int32)
+        token_len = np.ones((b_pad,), np.int32)
+        frame_len = np.ones((b_pad,), np.int32)
+        utt_index = {u.fid: j for j, u in enumerate(utts)}
+        xa_idx = np.zeros((b_pad,), np.int32)
+        for i, p in enumerate(prepared):
+            tokens_arr[i, :len(p[2])] = p[2]
+            token_len[i] = len(p[2])
+            frame_len[i] = min(max(p[3], 1), dims.n_audio_ctx)
+            xa_idx[i] = utt_index[p[0].fid]
+        # reuse the transcription pass's encoder states (skip-guards may have
+        # dropped rows; gather the live ones in order)
+        xa_live = jnp.take(xa, jnp.asarray(xa_idx), axis=0)
+        tl = jnp.asarray(token_len)
+        fl = jnp.asarray(frame_len)
+        attn, _ = timing.get_attentions(
+            params, dims, None, jnp.asarray(tokens_arr), tl, fl,
+            medfilt_width=args.medfilt_width, qk_scale=1.0, xa=xa_live,
+            return_logits=False, compute_dtype=pipe.compute_dtype)
+
+        # saliency ranking of ALL heads (reference probe_oracle.py:83) and one
+        # batched launch of every (utterance, head) DTW
+        scores_all = np.asarray(timing.head_scores(attn, fl))  # (B, L, H)
+        jf_all = np.asarray(_per_head_jump_frames(attn, tl, fl, sot_len))
+
+        for bi, (u, text_tokens, tokens, max_frames) in enumerate(prepared):
+            scores_blh = scores_all[bi]
+            entries = sorted(
+                (float(scores_blh[l, h]), (l, h))
+                for l in range(scores_blh.shape[0])
+                for h in range(scores_blh.shape[1]))
+            words, word_tokens, wb = timing.words_and_boundaries(
+                text_tokens, tok, args.aligned_unit_type)
+            if wb is None:
+                continue
+            words_flat = " ".join(words[:-1]).split()
+            n_heads = scores_blh.shape[1]
+
+            best_score = -1.0
+            best_ends_hat = None
+            best_saliency = None
+            for saliency, (l, h) in entries:  # ascending; ties -> higher wins
+                jf = jf_all[bi, l * n_heads + h][:len(text_tokens) + 1]
+                starts_hat, ends_hat = timing.jump_frames_to_times(jf, wb)
+                tp_, fp_, fn_ = eval_n1_strict(
+                    u.ends, ends_hat, u.text.split(), words_flat,
+                    args.tolerance)
+                _, _, f1, _, _ = get_seg_metrics(tp_, tp_, len(ends_hat),
+                                                 len(u.ends))
+                if f1 >= best_score:
+                    best_score = f1
+                    best_ends_hat = ends_hat
+                    best_saliency = saliency
+
+            if best_saliency > entries[-args.hit_within][0]:
+                state["if_include_best"] += 1
+
+            if not args.strict:
+                correct_pred, _ = eval_n1(u.ends, best_ends_hat,
+                                          args.tolerance)
+                state["total_gts"] += len(u.ends)
+                state["total_preds"] += len(best_ends_hat)
+                state["corrects"] += correct_pred
+            else:
+                tp_, fp_, fn_ = eval_n1_strict(u.ends, best_ends_hat,
+                                               u.text.split(), words_flat,
+                                               args.tolerance)
+                state["corrects"] += tp_
+                state["total_gts"] += tp_ + fn_
+                state["total_preds"] += tp_ + fp_
 
     try:
         from tqdm import tqdm
@@ -80,77 +203,30 @@ def infer_dataset(args) -> dict:
     except Exception:
         indices = range(len(dataset))
 
+    # software pipeline: fill batches with eligible utterances; keep up to
+    # pipeline_depth batches' decodes in flight while capture+scoring runs
+    depth = max(1, cfg.pipeline_depth)
+    buf = []
+    pending = deque()
     for i in indices:
         utt = dataset[i]
         if len(utt.text.split()) < 18:
             continue
-        transcripts, mel, xa = pipe.transcribe_batch([utt])
-        transcription = retokenize.remove_punctuation(transcripts[0])
-        if len(transcription) == 0:
-            transcription = " "
-        text_tokens = retokenize.encode(transcription, tok,
-                                        args.aligned_unit_type)
-        tokens = [*tok.sot_sequence, tok.no_timestamps, *text_tokens, tok.eot]
-        max_frames = utt.duration // AUDIO_SAMPLES_PER_TOKEN
-        if max_frames > MAX_FRAMES or len(tokens) > MAX_LENGTH:
-            print(utt.fid)
-            continue
-        n_seen += 1
+        buf.append(utt)
+        if len(buf) == cfg.batch_size:
+            pending.append(pipe._dispatch_transcribe(buf))
+            buf = []
+            if len(pending) > depth:
+                process_batch(pending.popleft())
+    if buf:
+        pending.append(pipe._dispatch_transcribe(buf))
+    while pending:
+        process_batch(pending.popleft())
 
-        token_len = jnp.asarray([len(tokens)], jnp.int32)
-        frame_len = jnp.asarray([max(int(max_frames), 1)], jnp.int32)
-        tokens_arr = np.full((1, len(tokens)), tok.eot, np.int32)
-        tokens_arr[0] = tokens
-        attn, _ = timing.get_attentions(
-            params, dims, None, jnp.asarray(tokens_arr), token_len,
-            frame_len, medfilt_width=args.medfilt_width, qk_scale=1.0,
-            xa=xa[:1])  # reuse the transcription pass's encoder states
-
-        # saliency ranking of ALL heads (reference probe_oracle.py:83)
-        scores_blh = np.asarray(timing.head_scores(attn, frame_len))[0]
-        entries = sorted(
-            (float(scores_blh[l, h]), (l, h))
-            for l in range(scores_blh.shape[0]) for h in range(scores_blh.shape[1]))
-
-        # one launch: per-head DTW jump frames
-        jf_all = np.asarray(_per_head_jump_frames(attn, token_len, frame_len,
-                                                  sot_len))
-        words, word_tokens, wb = timing.words_and_boundaries(
-            text_tokens, tok, args.aligned_unit_type)
-        if wb is None:
-            continue
-        words_flat = " ".join(words[:-1]).split()
-        n_heads = scores_blh.shape[1]
-
-        best_score = -1.0
-        best_ends_hat = None
-        best_saliency = None
-        for saliency, (l, h) in entries:  # ascending, ties -> higher wins via >=
-            jf = jf_all[l * n_heads + h][:len(text_tokens) + 1]
-            starts_hat, ends_hat = timing.jump_frames_to_times(jf, wb)
-            tp, fp, fn = eval_n1_strict(utt.ends, ends_hat, utt.text.split(),
-                                        words_flat, args.tolerance)
-            _, _, f1, _, _ = get_seg_metrics(tp, tp, len(ends_hat), len(utt.ends))
-            if f1 >= best_score:
-                best_score = f1
-                best_ends_hat = ends_hat
-                best_saliency = saliency
-
-        if best_saliency > entries[-args.hit_within][0]:
-            if_include_best += 1
-
-        if not args.strict:
-            correct_pred, _ = eval_n1(utt.ends, best_ends_hat, args.tolerance)
-            total_gts += len(utt.ends)
-            total_preds += len(best_ends_hat)
-            corrects += correct_pred
-        else:
-            tp, fp, fn = eval_n1_strict(utt.ends, best_ends_hat,
-                                        utt.text.split(), words_flat,
-                                        args.tolerance)
-            corrects += tp
-            total_gts += tp + fn
-            total_preds += tp + fp
+    corrects = state["corrects"]
+    total_preds = state["total_preds"]
+    total_gts = state["total_gts"]
+    if_include_best = state["if_include_best"]
 
     if multihost:
         summed = distributed.allreduce_counters(dict(

@@ -209,6 +209,11 @@ class AlignConfig:
     # sync at depth 1). Costs one extra in-flight (mel, xa) pair per unit of
     # depth; the cross-K/V reuse gate accounts for it.
     pipeline_depth: int = 2
+    # cap on sampled decode steps per utterance (0 = the published default,
+    # n_text_ctx // 2 = 224). Real checkpoints stop at eot long before the
+    # cap; random-weight benches set a small cap so the decode stage measures
+    # realistic step counts.
+    decode_sample_len: int = 0
     # isolation mode (SURVEY.md §7 step 4): align the ground-truth transcript
     # instead of the decoded one, decoupling alignment quality from transcript
     # parity (also what bench.py uses so random-weight garbage transcripts

@@ -73,13 +73,15 @@ def ml_rank(cand_tokens: List[List[int]], cand_lp: List[float],
 @functools.partial(jax.jit, static_argnames=(
     "dims", "sample_begin", "max_steps", "ts_begin", "eot", "no_timestamps",
     "no_speech", "max_initial_ts_index", "use_timestamps", "compute_dtype",
-    "beam_size", "max_candidates", "sot_index"))
+    "beam_size", "max_candidates", "sot_index", "attn_mode",
+    "fused_cross"))
 def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
                *, sample_begin: int, max_steps: int, ts_begin: int, eot: int,
                no_timestamps: int, no_speech: int,
                max_initial_ts_index: Optional[int], use_timestamps: bool,
                compute_dtype=jnp.float32, beam_size: int = 5,
-               max_candidates: int = 5, sot_index: int = 0):
+               max_candidates: int = 5, sot_index: int = 0,
+               attn_mode: str = "xla", fused_cross: bool = False):
     """Returns (tokens (rows, total), sum_lp (rows,), fin_tok (B, MC, total),
     fin_lp (B, MC), fin_cnt (B,), ns_prob (rows,), n_steps, xa).
     rows = B * beam_size; beams of one audio are consecutive rows."""
@@ -92,7 +94,8 @@ def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
     total = sample_begin + max_steps
     vocab_ids = jnp.arange(dims.n_vocab)
 
-    xa = wmodel.encode_audio(params, dims, mel, compute_dtype=compute_dtype)
+    xa = wmodel.encode_audio(params, dims, mel, compute_dtype=compute_dtype,
+                             attn_mode=attn_mode)
     cross_kv = wmodel.precompute_cross_kv(params, dims, xa,
                                           compute_dtype=compute_dtype)
     # repeat_interleave on the batch axis: beams of an audio are adjacent rows
@@ -119,7 +122,8 @@ def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
         tok_in = jax.lax.dynamic_slice(tokens, (0, i - 1), (rows, 1))
         logits, cache = wmodel.decode_step(params, dims, tok_in, i - 1, cache,
                                            cross_kv,
-                                           compute_dtype=compute_dtype)
+                                           compute_dtype=compute_dtype,
+                                           fused_cross=fused_cross)
         ns_prob = jax.lax.cond(
             i == sot_index + 1,
             lambda lg: jax.nn.softmax(lg, axis=-1)[:, no_speech],
@@ -210,13 +214,14 @@ def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
 @functools.partial(jax.jit, static_argnames=(
     "dims", "sample_begin", "max_steps", "ts_begin", "eot", "no_timestamps",
     "no_speech", "max_initial_ts_index", "use_timestamps", "compute_dtype",
-    "n_group", "temperature", "sot_index"))
+    "n_group", "temperature", "sot_index", "attn_mode", "fused_cross"))
 def _sample_loop(params, dims: ModelDims, mel, prompt, suppress_mask,
                  blank_mask, rng, *, sample_begin: int, max_steps: int,
                  ts_begin: int, eot: int, no_timestamps: int, no_speech: int,
                  max_initial_ts_index: Optional[int], use_timestamps: bool,
                  compute_dtype=jnp.float32, n_group: int = 1,
-                 temperature: float = 1.0, sot_index: int = 0):
+                 temperature: float = 1.0, sot_index: int = 0,
+                 attn_mode: str = "xla", fused_cross: bool = False):
     """Categorical sampling at ``temperature`` with ``n_group`` independent
     rows per audio. Returns (tokens (rows, total), sum_lp, ns_prob, n_steps,
     xa). Cumulative logprobs come from the un-scaled distribution (published
@@ -228,7 +233,8 @@ def _sample_loop(params, dims: ModelDims, mel, prompt, suppress_mask,
     total = sample_begin + max_steps
     vocab_ids = jnp.arange(dims.n_vocab)
 
-    xa = wmodel.encode_audio(params, dims, mel, compute_dtype=compute_dtype)
+    xa = wmodel.encode_audio(params, dims, mel, compute_dtype=compute_dtype,
+                             attn_mode=attn_mode)
     cross_kv = wmodel.precompute_cross_kv(params, dims, xa,
                                           compute_dtype=compute_dtype)
     cross_kv = jax.tree.map(lambda x: jnp.repeat(x, n_group, axis=1), cross_kv)
@@ -249,7 +255,8 @@ def _sample_loop(params, dims: ModelDims, mel, prompt, suppress_mask,
         tok_in = jax.lax.dynamic_slice(tokens, (0, i - 1), (rows, 1))
         logits, cache = wmodel.decode_step(params, dims, tok_in, i - 1, cache,
                                            cross_kv,
-                                           compute_dtype=compute_dtype)
+                                           compute_dtype=compute_dtype,
+                                           fused_cross=fused_cross)
         ns_prob = jax.lax.cond(
             i == sot_index + 1,
             lambda lg: jax.nn.softmax(lg, axis=-1)[:, no_speech],
@@ -358,7 +365,11 @@ def run(params, dims: ModelDims, tokenizer, mel, options, prompt_arr,
                   no_speech=tokenizer.no_speech,
                   max_initial_ts_index=max_initial_ts_index,
                   use_timestamps=not options.without_timestamps,
-                  compute_dtype=compute_dtype)
+                  compute_dtype=compute_dtype,
+                  # kernel-mode env flags resolve here, outside the jitted
+                  # loops, and key their cached traces
+                  attn_mode=wmodel._encoder_attn_mode(),
+                  fused_cross=wmodel._use_fused_cross())
     eot = tokenizer.eot
 
     def build_results(groups, ns_probs, n_steps):

@@ -241,9 +241,12 @@ def _pallas_kernel_enabled(env_var: str) -> bool:
     partitioning rule, so multi-chip data-parallel runs keep the XLA paths
     (which partition cleanly) unless a kernel is forced on.
 
-    Trace-time caveat: the env var is read when the surrounding jit traces and
-    is NOT part of the jit cache key — set it before the first call with a
-    given shape; flipping it afterwards silently reuses the cached trace."""
+    Resolution happens in the un-jitted public wrappers (encode_audio,
+    decode_text, decode_step, forward, and their counterparts in align.timing
+    / models.decoding / runner), which pass the resolved mode into the jitted
+    inner function as a static argument — so the flag IS part of the jit
+    cache key and flipping it mid-process switches kernels instead of
+    silently reusing a stale trace."""
     import os
 
     mode = os.environ.get(env_var, "auto")
@@ -303,13 +306,23 @@ def _flash_self_attention(p, x, n_head, seg_ids):
     return _linear(p["out"], _merge_heads(o.astype(x.dtype)))
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype", "attn_mode"))
 def encode_audio(params: Params, dims: ModelDims, mel: jax.Array,
                  compute_dtype=jnp.float32,
                  attn_mode: Optional[str] = None) -> jax.Array:
-    """AudioEncoder: mel (B, n_mels, 2 * n_audio_ctx) -> (B, n_audio_ctx, d)."""
+    """AudioEncoder: mel (B, n_mels, 2 * n_audio_ctx) -> (B, n_audio_ctx, d).
+
+    ``attn_mode=None`` resolves WCA_ENC_ATTN here, OUTSIDE the jit, so the
+    chosen implementation is a static argument of the cached trace."""
     if attn_mode is None:
         attn_mode = _encoder_attn_mode()
+    return _encode_audio_jit(params, dims, mel, compute_dtype=compute_dtype,
+                             attn_mode=attn_mode)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype", "attn_mode"))
+def _encode_audio_jit(params: Params, dims: ModelDims, mel: jax.Array,
+                      compute_dtype=jnp.float32,
+                      attn_mode: str = "xla") -> jax.Array:
     ep = params["encoder"]
     x = mel.astype(compute_dtype)
     x = jax.nn.gelu(_conv1d(ep["conv1"], x, 1), approximate=False)
@@ -372,16 +385,14 @@ def qk_to_attention(qk: jax.Array, frame_len: jax.Array, token_len: jax.Array,
     return jnp.where(token_ok[:, None, :, None], attn, 0.0).astype(attn_dtype)
 
 
-@functools.partial(jax.jit, static_argnames=(
-    "dims", "return_qk", "compute_dtype", "medfilt_width", "attn_dtype",
-    "return_logits"))
 def decode_text(params: Params, dims: ModelDims, tokens: jax.Array, xa: jax.Array,
                 return_qk: bool = True, compute_dtype=jnp.float32,
                 medfilt_width: Optional[int] = None,
                 frame_len: Optional[jax.Array] = None,
                 token_len: Optional[jax.Array] = None,
                 qk_scale=1.0, attn_dtype=jnp.float32,
-                return_logits: bool = True, cross_kv=None):
+                return_logits: bool = True, cross_kv=None,
+                qkpost: Optional[bool] = None):
     """TextDecoder teacher-forced over the full token sequence.
 
     tokens (B, T) int32, xa (B, F, d) encoder output.
@@ -397,7 +408,32 @@ def decode_text(params: Params, dims: ModelDims, tokens: jax.Array, xa: jax.Arra
     (un-quantized). The transcription pass already paid the 2x24 K/V projections
     over the 1500 encoder frames (~4.8 TFLOP at medium B=32); reusing them here
     skips that work, and ``xa`` is then only used as a fallback (may be None).
+
+    ``qkpost=None`` resolves WCA_QKPOST here, OUTSIDE the jit, so the fused
+    QK-postprocess kernel choice is a static argument of the cached trace.
     """
+    if qkpost is None:
+        qkpost = _use_fused_qkpost()
+    return _decode_text_jit(params, dims, tokens, xa, return_qk=return_qk,
+                            compute_dtype=compute_dtype,
+                            medfilt_width=medfilt_width, frame_len=frame_len,
+                            token_len=token_len, qk_scale=qk_scale,
+                            attn_dtype=attn_dtype, return_logits=return_logits,
+                            cross_kv=cross_kv, qkpost=qkpost)
+
+
+@functools.partial(jax.jit, static_argnames=(
+    "dims", "return_qk", "compute_dtype", "medfilt_width", "attn_dtype",
+    "return_logits", "qkpost"))
+def _decode_text_jit(params: Params, dims: ModelDims, tokens: jax.Array,
+                     xa: jax.Array, return_qk: bool = True,
+                     compute_dtype=jnp.float32,
+                     medfilt_width: Optional[int] = None,
+                     frame_len: Optional[jax.Array] = None,
+                     token_len: Optional[jax.Array] = None,
+                     qk_scale=1.0, attn_dtype=jnp.float32,
+                     return_logits: bool = True, cross_kv=None,
+                     qkpost: bool = False):
     dp = params["decoder"]
     t = tokens.shape[-1]
     x = (dp["tok_emb"][tokens] + dp["pos_emb"][:t]).astype(compute_dtype)
@@ -405,7 +441,7 @@ def decode_text(params: Params, dims: ModelDims, tokens: jax.Array, xa: jax.Arra
     if xa is not None:
         xa = xa.astype(compute_dtype)
 
-    use_fused_post = _use_fused_qkpost()
+    use_fused_post = qkpost
 
     def step(x, inp):
         if cross_kv is None:
@@ -439,14 +475,25 @@ def decode_text(params: Params, dims: ModelDims, tokens: jax.Array, xa: jax.Arra
     return logits, qks
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "return_qk", "compute_dtype"))
 def forward(params: Params, dims: ModelDims, mel: jax.Array, tokens: jax.Array,
             return_qk: bool = True, compute_dtype=jnp.float32):
     """Teacher-forced full forward: the hook-free equivalent of the reference's
     ``model(mel, tokens)`` + cross-attn QK capture (timing.py:45-58)."""
-    xa = encode_audio(params, dims, mel, compute_dtype=compute_dtype)
-    return decode_text(params, dims, tokens, xa, return_qk=return_qk,
-                       compute_dtype=compute_dtype)
+    return _forward_jit(params, dims, mel, tokens, return_qk=return_qk,
+                        compute_dtype=compute_dtype,
+                        attn_mode=_encoder_attn_mode())
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "return_qk",
+                                             "compute_dtype", "attn_mode"))
+def _forward_jit(params: Params, dims: ModelDims, mel: jax.Array,
+                 tokens: jax.Array, return_qk: bool = True,
+                 compute_dtype=jnp.float32, attn_mode: str = "xla"):
+    xa = _encode_audio_jit(params, dims, mel, compute_dtype=compute_dtype,
+                           attn_mode=attn_mode)
+    # no medfilt here, so the QK postprocess kernel never runs: qkpost is inert
+    return _decode_text_jit(params, dims, tokens, xa, return_qk=return_qk,
+                            compute_dtype=compute_dtype)
 
 
 # ---------------------------------------------------------------------------
@@ -503,14 +550,28 @@ def precompute_cross_kv(params: Params, dims: ModelDims, xa: jax.Array,
     return (kq, k_s), (vq, v_s)
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype"))
 def decode_step(params: Params, dims: ModelDims, tokens: jax.Array, pos: jax.Array,
-                cache: Params, cross_kv, compute_dtype=jnp.float32):
+                cache: Params, cross_kv, compute_dtype=jnp.float32,
+                fused_cross: Optional[bool] = None):
     """One autoregressive decoder step.
 
     tokens (B, 1) int32 at position ``pos`` (scalar int32); cache holds self-attn
     K/V for all layers at positions < pos. Returns (logits (B, vocab), new_cache).
-    """
+
+    ``fused_cross=None`` resolves WCA_CROSS_ATTN here, OUTSIDE the jit, so the
+    int8 cross-attention kernel choice is a static argument of the trace."""
+    if fused_cross is None:
+        fused_cross = _use_fused_cross()
+    return _decode_step_jit(params, dims, tokens, pos, cache, cross_kv,
+                            compute_dtype=compute_dtype,
+                            fused_cross=fused_cross)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype",
+                                             "fused_cross"))
+def _decode_step_jit(params: Params, dims: ModelDims, tokens: jax.Array,
+                     pos: jax.Array, cache: Params, cross_kv,
+                     compute_dtype=jnp.float32, fused_cross: bool = False):
     dp = params["decoder"]
     b = tokens.shape[0]
     max_len = cache["k"].shape[-1]
@@ -550,7 +611,7 @@ def decode_step(params: Params, dims: ModelDims, tokens: jax.Array, pos: jax.Arr
         hc = _layer_norm(bp["cross_attn_ln"], x)
         qc = _split_heads(_linear(bp["cross_attn"]["q"], hc),
                           dims.n_text_head) * scale  # (B, H, 1, hd)
-        if isinstance(ck, tuple) and _use_fused_cross():
+        if isinstance(ck, tuple) and fused_cross:
             # int8 K/V: fused Pallas kernel reads the int8 tensors directly
             # (half the HBM stream) and dequantizes in VMEM — the XLA dequant
             # below materializes a full-precision copy instead

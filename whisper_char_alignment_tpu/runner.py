@@ -48,34 +48,55 @@ class UttAlignment:
 
 @functools.partial(jax.jit, static_argnames=(
     "dims", "medfilt_width", "aggregation", "topk", "sot_len", "compute_dtype",
-    "return_matrix", "w_colnorm", "w_rownorm", "w_coverage"))
+    "return_matrix", "w_colnorm", "w_rownorm", "w_coverage", "kernel_modes"))
 def _align_step(params, dims: ModelDims, xa, tokens, token_len, frame_len,
                 *, medfilt_width: int, qk_scale, aggregation: str, topk: int,
                 w_colnorm, w_rownorm, w_coverage, sot_len: int,
                 compute_dtype=jnp.float32, return_matrix: bool = False,
-                cross_kv=None):
+                cross_kv=None, kernel_modes=("xla", False, "scan")):
     """Fused capture + head-select + aggregate + DTW for one padded batch.
 
     ``xa`` are the encoder states from the transcription pass — the 24-layer
     encoder runs once per batch, not twice (decode + capture); ``cross_kv``
     (when reusable) are the decode loop's K/V stacks, skipping the per-layer
-    cross projections too."""
+    cross projections too. ``kernel_modes`` is the (attn_mode, qkpost,
+    dtw_impl) tuple resolved by :func:`_kernel_modes` OUTSIDE this jit so the
+    WCA_* kernel flags key the cached trace."""
+    attn_mode, qkpost, dtw_impl = kernel_modes
     attn, _ = timing.get_attentions(
         params, dims, None, tokens, token_len, frame_len,
         medfilt_width=medfilt_width, qk_scale=qk_scale,
         compute_dtype=compute_dtype, return_logits=False, xa=xa,
-        cross_kv=cross_kv)
+        cross_kv=cross_kv, attn_mode=attn_mode, qkpost=qkpost)
     jump_frames, matrix, scores = timing.force_align_batch(
         attn, token_len, frame_len, sot_len, aggregation, topk,
-        w_colnorm, w_rownorm, w_coverage)
+        w_colnorm, w_rownorm, w_coverage, dtw_impl=dtw_impl)
     sel = None if scores is None else scores[1:]
     return jump_frames, (matrix if return_matrix else None), sel
 
 
-@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype",
-                                             "total_samples"))
+def _kernel_modes():
+    """(attn_mode, qkpost, dtw_impl) resolved from the WCA_* env flags at call
+    time — passed into _align_step as one hashable static argument."""
+    from .align.timing import _dtw_impl
+    from .models.whisper import _encoder_attn_mode, _use_fused_qkpost
+
+    return (_encoder_attn_mode(), _use_fused_qkpost(), _dtw_impl())
+
+
 def _mel_step(audio, dims: ModelDims, compute_dtype=jnp.float32,
               total_samples: int = None):
+    # WCA_MEL_IMPL resolves here, outside the jit, so flipping it mid-process
+    # switches implementations (the choice keys the cached trace)
+    return _mel_step_jit(audio, dims, compute_dtype=compute_dtype,
+                         total_samples=total_samples,
+                         mel_impl=os.environ.get("WCA_MEL_IMPL", "xla"))
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype",
+                                             "total_samples", "mel_impl"))
+def _mel_step_jit(audio, dims: ModelDims, compute_dtype=jnp.float32,
+                  total_samples: int = None, mel_impl: str = "xla"):
     if audio.dtype == jnp.int16:
         # int16 wire format (bit-exact for 16-bit PCM sources): the host sends
         # half the bytes over the axon tunnel and the scale fuses into the mel
@@ -84,7 +105,7 @@ def _mel_step(audio, dims: ModelDims, compute_dtype=jnp.float32,
         # the host uploads only the true audio (bucketed); the 30 s window's
         # zero padding happens here on device — bit-exact with host padding
         audio = jnp.pad(audio, ((0, 0), (0, total_samples - audio.shape[-1])))
-    if os.environ.get("WCA_MEL_IMPL") == "pallas":
+    if mel_impl == "pallas":
         from .ops.mel_pallas import log_mel_pallas
 
         return log_mel_pallas(audio, n_mels=dims.n_mels).astype(compute_dtype)
@@ -135,7 +156,9 @@ class AlignmentPipeline:
             params = mesh_lib.replicate(params, mesh)
         self.params = params
         self.sot_len = len(tokenizer.sot_sequence)
-        self.options = decoding.DecodingOptions(language=tokenizer.language or "en")
+        self.options = decoding.DecodingOptions(
+            language=tokenizer.language or "en",
+            sample_len=cfg.decode_sample_len or None)
         self.alignment_heads = get_alignment_heads(cfg.model, dims)
         self.timers = StageTimers()
         # test/isolation hook: a callable (utts -> list[str]) that supplies
@@ -325,7 +348,8 @@ class AlignmentPipeline:
                         w_colnorm=cfg.w_colnorm, w_rownorm=cfg.w_rownorm,
                         w_coverage=cfg.w_coverage, sot_len=self.sot_len,
                         compute_dtype=self.compute_dtype,
-                        return_matrix=return_matrix, cross_kv=cross_kv)
+                        return_matrix=return_matrix, cross_kv=cross_kv,
+                        kernel_modes=_kernel_modes())
             for arr in (jump_dev, matrix_dev, probs_dev,
                         *(sel_dev or ())):
                 if arr is not None:
