@@ -160,6 +160,8 @@ def main():
     cfg = AlignConfig.recommended(model=model_name, batch_size=BATCH,
                                   use_gt_transcript=True,
                                   decode_frame_bucket=BUCKET,
+                                  pipeline_depth=int(os.environ.get(
+                                      "WCA_BENCH_DEPTH", "2")),
                                   reuse_cross_kv=os.environ.get(
                                       "WCA_BENCH_REUSE_KV", "1") == "1")
     pipeline = AlignmentPipeline(params, dims, tok, cfg,

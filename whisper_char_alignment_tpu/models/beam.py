@@ -74,14 +74,14 @@ def ml_rank(cand_tokens: List[List[int]], cand_lp: List[float],
     "dims", "sample_begin", "max_steps", "ts_begin", "eot", "no_timestamps",
     "no_speech", "max_initial_ts_index", "use_timestamps", "compute_dtype",
     "beam_size", "max_candidates", "sot_index", "attn_mode",
-    "fused_cross"))
+    "cross_mode"))
 def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
                *, sample_begin: int, max_steps: int, ts_begin: int, eot: int,
                no_timestamps: int, no_speech: int,
                max_initial_ts_index: Optional[int], use_timestamps: bool,
                compute_dtype=jnp.float32, beam_size: int = 5,
                max_candidates: int = 5, sot_index: int = 0,
-               attn_mode: str = "xla", fused_cross: bool = False):
+               attn_mode: str = "xla", cross_mode: str = "xla"):
     """Returns (tokens (rows, total), sum_lp (rows,), fin_tok (B, MC, total),
     fin_lp (B, MC), fin_cnt (B,), ns_prob (rows,), n_steps, xa).
     rows = B * beam_size; beams of one audio are consecutive rows."""
@@ -123,7 +123,7 @@ def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
         logits, cache = wmodel.decode_step(params, dims, tok_in, i - 1, cache,
                                            cross_kv,
                                            compute_dtype=compute_dtype,
-                                           fused_cross=fused_cross)
+                                           cross_mode=cross_mode)
         ns_prob = jax.lax.cond(
             i == sot_index + 1,
             lambda lg: jax.nn.softmax(lg, axis=-1)[:, no_speech],
@@ -214,14 +214,14 @@ def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
 @functools.partial(jax.jit, static_argnames=(
     "dims", "sample_begin", "max_steps", "ts_begin", "eot", "no_timestamps",
     "no_speech", "max_initial_ts_index", "use_timestamps", "compute_dtype",
-    "n_group", "temperature", "sot_index", "attn_mode", "fused_cross"))
+    "n_group", "temperature", "sot_index", "attn_mode", "cross_mode"))
 def _sample_loop(params, dims: ModelDims, mel, prompt, suppress_mask,
                  blank_mask, rng, *, sample_begin: int, max_steps: int,
                  ts_begin: int, eot: int, no_timestamps: int, no_speech: int,
                  max_initial_ts_index: Optional[int], use_timestamps: bool,
                  compute_dtype=jnp.float32, n_group: int = 1,
                  temperature: float = 1.0, sot_index: int = 0,
-                 attn_mode: str = "xla", fused_cross: bool = False):
+                 attn_mode: str = "xla", cross_mode: str = "xla"):
     """Categorical sampling at ``temperature`` with ``n_group`` independent
     rows per audio. Returns (tokens (rows, total), sum_lp, ns_prob, n_steps,
     xa). Cumulative logprobs come from the un-scaled distribution (published
@@ -256,7 +256,7 @@ def _sample_loop(params, dims: ModelDims, mel, prompt, suppress_mask,
         logits, cache = wmodel.decode_step(params, dims, tok_in, i - 1, cache,
                                            cross_kv,
                                            compute_dtype=compute_dtype,
-                                           fused_cross=fused_cross)
+                                           cross_mode=cross_mode)
         ns_prob = jax.lax.cond(
             i == sot_index + 1,
             lambda lg: jax.nn.softmax(lg, axis=-1)[:, no_speech],
@@ -369,7 +369,7 @@ def run(params, dims: ModelDims, tokenizer, mel, options, prompt_arr,
                   # kernel-mode env flags resolve here, outside the jitted
                   # loops, and key their cached traces
                   attn_mode=wmodel._encoder_attn_mode(),
-                  fused_cross=wmodel._use_fused_cross())
+                  cross_mode=wmodel._cross_attn_mode())
     eot = tokenizer.eot
 
     def build_results(groups, ns_probs, n_steps):

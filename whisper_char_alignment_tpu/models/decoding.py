@@ -143,7 +143,7 @@ def apply_logit_filters(logits, cur_len, tokens, has_ts, last_ts_tok,
 @functools.partial(jax.jit, static_argnames=(
     "dims", "sample_begin", "max_steps", "ts_begin", "eot", "no_timestamps",
     "no_speech", "max_initial_ts_index", "use_timestamps", "compute_dtype",
-    "kv_frames", "kv_int8", "sot_index", "attn_mode", "fused_cross"))
+    "kv_frames", "kv_int8", "sot_index", "attn_mode", "cross_mode"))
 def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
                  *, sample_begin: int, max_steps: int, ts_begin: int, eot: int,
                  no_timestamps: int, no_speech: int,
@@ -151,7 +151,7 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
                  use_timestamps: bool, compute_dtype=jnp.float32,
                  kv_frames: Optional[int] = None, kv_int8: bool = False,
                  sot_index: int = 0, attn_mode: str = "xla",
-                 fused_cross: bool = False):
+                 cross_mode: str = "xla"):
     """Returns (tokens (B, total), sum_logprobs (B,), no_speech_probs (B,),
     n_steps (scalar: body iterations executed), xa (B, n_audio_ctx, d),
     cross_kv). xa is the UNSLICED encoder states even when kv_frames trims the
@@ -200,7 +200,7 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
         tok_in = jax.lax.dynamic_slice(tokens, (0, i - 1), (b, 1))
         logits, cache = wmodel.decode_step(params, dims, tok_in, i - 1, cache,
                                            cross_kv, compute_dtype=compute_dtype,
-                                           fused_cross=fused_cross)
+                                           cross_mode=cross_mode)
         # no-speech probability: softmax at the position right after sot
         # (consumed at i == sot_index + 1; sot_index > 0 under a conditioning
         # prompt). lax.cond so the full-vocab softmax pass only executes on
@@ -414,7 +414,7 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         sot_index=sot_index,
         # kernel-mode env flags resolve here, outside the jit, and key the trace
         attn_mode=wmodel._encoder_attn_mode(),
-        fused_cross=wmodel._use_fused_cross())
+        cross_mode=wmodel._cross_attn_mode())
 
     def finalize(tokens, sum_lp, ns_prob, n_steps):
         n_steps = int(n_steps)

@@ -227,10 +227,30 @@ def _conv1d(p, x, stride):
     return y + p["b"].astype(x.dtype)[None, :, None]
 
 
-def _use_fused_cross() -> bool:
-    """Fused int8 decode cross-attention kernel (WCA_CROSS_ATTN; measured
-    slower than the bf16 XLA stream on v5e — see docs/DESIGN.md)."""
-    return _pallas_kernel_enabled("WCA_CROSS_ATTN")
+def _cross_attn_mode() -> str:
+    """Decode cross-attention implementation for int8 K/V (WCA_CROSS_ATTN).
+    Only consulted when the K/V are quantized (cfg.decode_kv_int8):
+
+    - "mxu": int8 MXU matmuls — q and the v-scaled probabilities are
+      quantized per-row so BOTH dots consume the int8 tensors directly from
+      HBM (the 2x byte reduction survives; no dequantized copy, no extra
+      kernel launches).
+    - "pallas": fused VMEM-dequant kernel (ops/cross_attn_pallas.py),
+      vectorized over heads.
+    - "xla": dequantize-then-einsum (materializes a full-precision copy —
+      the round-2 measurement that lost the 2x).
+    """
+    import os
+
+    mode = os.environ.get("WCA_CROSS_ATTN", "auto")
+    if mode == "auto":
+        return ("mxu" if jax.default_backend() != "cpu"
+                and jax.device_count() == 1 else "xla")
+    if mode in ("0", "off", "false", "xla"):
+        return "xla"
+    if mode in ("mxu", "int8mxu"):
+        return "mxu"
+    return "pallas"
 
 
 def _pallas_kernel_enabled(env_var: str) -> bool:
@@ -552,26 +572,61 @@ def precompute_cross_kv(params: Params, dims: ModelDims, xa: jax.Array,
 
 def decode_step(params: Params, dims: ModelDims, tokens: jax.Array, pos: jax.Array,
                 cache: Params, cross_kv, compute_dtype=jnp.float32,
-                fused_cross: Optional[bool] = None):
+                cross_mode: Optional[str] = None):
     """One autoregressive decoder step.
 
     tokens (B, 1) int32 at position ``pos`` (scalar int32); cache holds self-attn
     K/V for all layers at positions < pos. Returns (logits (B, vocab), new_cache).
 
-    ``fused_cross=None`` resolves WCA_CROSS_ATTN here, OUTSIDE the jit, so the
-    int8 cross-attention kernel choice is a static argument of the trace."""
-    if fused_cross is None:
-        fused_cross = _use_fused_cross()
+    ``cross_mode=None`` resolves WCA_CROSS_ATTN here, OUTSIDE the jit, so the
+    int8 cross-attention implementation choice is a static argument of the
+    trace (only consulted when cross_kv is quantized)."""
+    if cross_mode is None:
+        cross_mode = _cross_attn_mode()
     return _decode_step_jit(params, dims, tokens, pos, cache, cross_kv,
                             compute_dtype=compute_dtype,
-                            fused_cross=fused_cross)
+                            cross_mode=cross_mode)
+
+
+def _int8_rowwise(x):
+    """Quantize the trailing axis per row: returns (int8, f32 scale)."""
+    amax = jnp.max(jnp.abs(x), axis=-1, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    return q, scale
+
+
+def _cross_attn_step_int8_mxu(qc, ck, cv, k_scale, compute_dtype):
+    """int8-MXU decode cross-attention: both dots consume the stored int8
+    K/V directly (half the HBM stream of bf16 — the decode loop's bound).
+
+    qc (B, H, 1, hd) f32/bf16 already scaled by hd**-0.25; ck/cv are
+    (int8 (B, H, hd, F), f32 scale (B, H, 1, F)) from precompute_cross_kv.
+
+    Math: qk_f = sum_hd(q_hd * k8_hd_f) * qs * ks_f — the per-frame K scale
+    factors out of the hd-reduction, so quantizing q per (b, h) row makes the
+    first dot int8 x int8 -> int32 on the MXU. For the value dot the
+    per-frame V scale folds INTO the softmax probabilities before their own
+    row quantization: out_hd = sum_f (w_f * vs_f) * v8_hd_f * ws.
+    """
+    k8, k_s = ck
+    v8, v_s = cv
+    q8, q_s = _int8_rowwise(qc.astype(jnp.float32) * k_scale)
+    qk_i = jax.lax.dot_general(q8, k8, (((3,), (2,)), ((0, 1), (0, 1))),
+                               preferred_element_type=jnp.int32)  # (B,H,1,F)
+    qk = qk_i.astype(jnp.float32) * q_s * k_s
+    w = jax.nn.softmax(qk, axis=-1)
+    w8, w_s = _int8_rowwise(w * v_s)
+    o_i = jax.lax.dot_general(w8, v8, (((3,), (3,)), ((0, 1), (0, 1))),
+                              preferred_element_type=jnp.int32)  # (B,H,1,hd)
+    return (o_i.astype(jnp.float32) * w_s).astype(compute_dtype)
 
 
 @functools.partial(jax.jit, static_argnames=("dims", "compute_dtype",
-                                             "fused_cross"))
+                                             "cross_mode"))
 def _decode_step_jit(params: Params, dims: ModelDims, tokens: jax.Array,
                      pos: jax.Array, cache: Params, cross_kv,
-                     compute_dtype=jnp.float32, fused_cross: bool = False):
+                     compute_dtype=jnp.float32, cross_mode: str = "xla"):
     dp = params["decoder"]
     b = tokens.shape[0]
     max_len = cache["k"].shape[-1]
@@ -611,7 +666,10 @@ def _decode_step_jit(params: Params, dims: ModelDims, tokens: jax.Array,
         hc = _layer_norm(bp["cross_attn_ln"], x)
         qc = _split_heads(_linear(bp["cross_attn"]["q"], hc),
                           dims.n_text_head) * scale  # (B, H, 1, hd)
-        if isinstance(ck, tuple) and fused_cross:
+        if isinstance(ck, tuple) and cross_mode == "mxu":
+            oc = _cross_attn_step_int8_mxu(qc, ck, cv, float(scale),
+                                           compute_dtype)
+        elif isinstance(ck, tuple) and cross_mode == "pallas":
             # int8 K/V: fused Pallas kernel reads the int8 tensors directly
             # (half the HBM stream) and dequantizes in VMEM — the XLA dequant
             # below materializes a full-precision copy instead

@@ -25,28 +25,27 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _body(q_ref, k_ref, ks_ref, v_ref, vs_ref, o_ref, *, n_heads, head_dim,
           n_frames, k_scale, quantized):
-    """One batch item: for every head, qk = (q @ K) * scales -> softmax -> @ V.
+    """One batch item: qk = (q @ K) * scales -> softmax -> @ V, ALL heads at
+    once.
 
-    All compute is VPU elementwise + reductions over the (hd, F) tiles — the
+    All compute is VPU elementwise + reductions over (H, hd, F) tiles — the
     matmuls have M=1, so the MXU would waste 127/128 rows; the op is
-    bandwidth-bound either way and VPU keeps everything in f32 lanes.
+    bandwidth-bound either way and VPU keeps everything in f32 lanes. The
+    head axis rides as the leading (untiled) dim of one big 3-D op instead of
+    a Python loop of H small 2-D ops (the round-2 kernel's serialization —
+    16 separate (hd, F) reductions left most VPU lanes idle between ops).
     """
-    col = jax.lax.broadcasted_iota(jnp.int32, (1, n_frames), 1)
-    col_ok = col < n_frames  # static here; kept for clarity/symmetry
-
-    for h in range(n_heads):
-        q = q_ref[0, h].astype(jnp.float32)  # (1, hd)
-        k = k_ref[0, h].astype(jnp.float32)  # (hd, F)
-        qk = jnp.sum(k * q.reshape(head_dim, 1), axis=0, keepdims=True)  # (1,F)
-        if quantized:
-            qk = qk * ks_ref[0, h].astype(jnp.float32)
-        qk = qk * k_scale
-        qk = jnp.where(col_ok, qk, -jnp.inf)
-        w = jax.nn.softmax(qk, axis=-1)  # (1, F) f32
-        if quantized:
-            w = w * vs_ref[0, h].astype(jnp.float32)
-        v = v_ref[0, h].astype(jnp.float32)  # (hd, F)
-        o_ref[0, h] = jnp.sum(v * w, axis=1, keepdims=True).T  # (1, hd)
+    q = q_ref[0].astype(jnp.float32)  # (H, 1, hd)
+    k = k_ref[0].astype(jnp.float32)  # (H, hd, F)
+    qk = jnp.sum(k * q.transpose(0, 2, 1), axis=1)  # (H, F)
+    if quantized:
+        qk = qk * ks_ref[0][:, 0, :].astype(jnp.float32)
+    qk = qk * k_scale
+    w = jax.nn.softmax(qk, axis=-1)  # (H, F) f32
+    if quantized:
+        w = w * vs_ref[0][:, 0, :].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)  # (H, hd, F)
+    o_ref[0] = jnp.sum(v * w[:, None, :], axis=2)[:, None, :]  # (H, 1, hd)
 
 
 @functools.partial(jax.jit, static_argnames=("k_scale", "interpret"))
