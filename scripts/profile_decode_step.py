@@ -41,8 +41,12 @@ def timed(name, fn, iters=3):
 
 
 def make_loop(cross=True, self_attn=True, mlp=True, logits=True,
-              dtype=jnp.bfloat16):
-    """A stripped copy of the decode loop with stages toggleable."""
+              dtype=jnp.bfloat16, cross_impl="bf16"):
+    """A stripped copy of the decode loop with stages toggleable.
+
+    cross_impl: "bf16" (plain einsum over float K/V), or the int8 K/V
+    implementations "int8_xla" (dequant-then-einsum), "int8_mxu" (int8 MXU
+    dots), "int8_pallas" (VMEM-dequant kernel) — pass quantized cross_kv."""
 
     @functools.partial(jax.jit, static_argnames=())
     def run(params, cross_kv, cache0):
@@ -87,13 +91,30 @@ def make_loop(cross=True, self_attn=True, mlp=True, logits=True,
                     qc = wmodel._split_heads(
                         wmodel._linear(bp["cross_attn"]["q"], hc),
                         dims.n_text_head) * scale
-                    qkc = jnp.einsum("bhtd,bhdf->bhtf", qc,
-                                     ck.astype(dtype) * scale,
-                                     preferred_element_type=jnp.float32)
-                    wc = jax.nn.softmax(qkc, axis=-1).astype(dtype)
-                    oc = jnp.einsum("bhtf,bhdf->bhtd", wc, cv.astype(dtype),
-                                    preferred_element_type=jnp.float32
-                                    ).astype(dtype)
+                    if cross_impl == "int8_mxu":
+                        oc = wmodel._cross_attn_step_int8_mxu(
+                            qc, ck, cv, float(scale), dtype)
+                    elif cross_impl == "int8_pallas":
+                        from whisper_char_alignment_tpu.ops.cross_attn_pallas \
+                            import cross_attn_step_int8
+
+                        oc = cross_attn_step_int8(
+                            qc, ck[0], ck[1], cv[0], cv[1],
+                            k_scale=float(scale)).astype(dtype)
+                    else:
+                        if cross_impl == "int8_xla":
+                            ck_d = (ck[0].astype(dtype)
+                                    * ck[1].astype(dtype))
+                            cv_d = (cv[0].astype(dtype)
+                                    * cv[1].astype(dtype))
+                        else:
+                            ck_d, cv_d = ck.astype(dtype), cv.astype(dtype)
+                        qkc = jnp.einsum("bhtd,bhdf->bhtf", qc, ck_d * scale,
+                                         preferred_element_type=jnp.float32)
+                        wc = jax.nn.softmax(qkc, axis=-1).astype(dtype)
+                        oc = jnp.einsum("bhtf,bhdf->bhtd", wc, cv_d,
+                                        preferred_element_type=jnp.float32
+                                        ).astype(dtype)
                     x = x + wmodel._linear(bp["cross_attn"]["out"],
                                            wmodel._merge_heads(oc))
                 if mlp:
@@ -161,6 +182,29 @@ def main():
     ]
     for name, fn in variants:
         timed(name, lambda f=fn: f(params, cross_kv, cache))
+
+    cross_kv_q = wmodel.precompute_cross_kv(params, dims, xa,
+                                            compute_dtype=jnp.bfloat16,
+                                            quantize=True)
+    int8_variants = [
+        ("full loop int8 mxu", make_loop(cross_impl="int8_mxu")),
+        ("full loop int8 xla-dequant", make_loop(cross_impl="int8_xla")),
+        ("cross only int8 mxu", make_loop(self_attn=False, mlp=False,
+                                          logits=False,
+                                          cross_impl="int8_mxu")),
+        ("cross only int8 xla-dequant", make_loop(self_attn=False, mlp=False,
+                                                  logits=False,
+                                                  cross_impl="int8_xla")),
+    ]
+    if os.environ.get("INT8_PALLAS") == "1":  # opt-in: compile is slow
+        int8_variants += [
+            ("full loop int8 pallas", make_loop(cross_impl="int8_pallas")),
+            ("cross only int8 pallas", make_loop(self_attn=False, mlp=False,
+                                                 logits=False,
+                                                 cross_impl="int8_pallas")),
+        ]
+    for name, fn in int8_variants:
+        timed(name, lambda f=fn: f(params, cross_kv_q, cache))
 
 
 if __name__ == "__main__":

@@ -215,18 +215,20 @@ class AlignmentPipeline:
         # keeping them alive through the capture pass adds 2*L*B*d*F bytes to
         # HBM ON TOP of the f32 attention stack — at medium B=32 bf16 that is
         # 4.7 GB + 7 GB and the 16 GB chip OOMs (measured). The 3 GB default
-        # cap keeps B<=20 at medium at depth 1; override via
-        # WCA_REUSE_KV_MAX_BYTES. run_dataset's software pipeline keeps up to
-        # pipeline_depth+1 batches' stacks alive at once (depth in the
-        # transcribe queue + one in the align step), so the budget divides by
-        # that count.
+        # 8 GB default budget divided by the live-stack count: run_dataset's
+        # software pipeline keeps up to pipeline_depth+1 batches' stacks alive
+        # at once (depth in the transcribe queue + one in the align step), so
+        # at medium depth-2 reuse stays on through B=18 (3 x 2.36 GB at B=16 —
+        # measured fitting with the attention stack on the 16 GB chip, 34.8
+        # vs 33.8 utts/s with reuse off) and the gate falls back above (B=32's
+        # 3 x 4.7 GB OOM'd in round 2). Override via WCA_REUSE_KV_MAX_BYTES.
         n_live = max(1, self.cfg.pipeline_depth) + 1
         reuse_kv = (self.cfg.reuse_cross_kv and kv_frames is None
                     and not self.cfg.decode_kv_int8 and self.mesh is None
                     and _cross_kv_bytes(self.dims, b_pad, self.compute_dtype)
                     * n_live
                     <= int(float(os.environ.get("WCA_REUSE_KV_MAX_BYTES",
-                                                3e9))))
+                                                8e9))))
         with self.timers.stage("decode dispatch", units=len(utts)):
             if reuse_kv:
                 future, xa, cross_kv = decoding.decode(
