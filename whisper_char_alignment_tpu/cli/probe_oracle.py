@@ -46,10 +46,34 @@ from . import common
 def _per_head_jump_frames(attn, token_len, frame_len, sot_len: int):
     """attn (L, B, H, T, F) -> jump frames per head (B, L*H, N+1): every
     utterance x head 'mean'-aggregated (column-normalized) map through the
-    batched DTW in ONE launch. WCA_DTW_IMPL resolves here, outside the jit."""
-    return _per_head_jump_frames_jit(attn, token_len, frame_len,
-                                     sot_len=sot_len,
-                                     dtw_impl=timing._dtw_impl())
+    batched DTW. WCA_DTW_IMPL resolves here, outside the jit.
+
+    Chunked over layer groups so one launch's working set (f32 maps + the
+    wavefront trace) stays a few GB: at medium B=8 the full 384-head launch
+    is ~3072 (T, 1500) maps plus an int32 trace — measured RESOURCE_EXHAUSTED
+    on the 16 GB chip. Chunks of <=1024 (utterance, head) rows fit with the
+    attention stack; signatures stay bounded (all chunks share one shape).
+    Override rows-per-chunk sizing with WCA_PROBE_LAYER_CHUNK (layers)."""
+    import os
+
+    l, b, h = attn.shape[:3]
+    dtw_impl = timing._dtw_impl()
+    chunk = int(os.environ.get("WCA_PROBE_LAYER_CHUNK", "0"))
+    if chunk <= 0:
+        chunk = max(1, 1024 // max(b * h, 1))
+    if chunk >= l:
+        return _per_head_jump_frames_jit(attn, token_len, frame_len,
+                                         sot_len=sot_len, dtw_impl=dtw_impl)
+    parts = [
+        _per_head_jump_frames_jit(attn[lo:lo + chunk], token_len, frame_len,
+                                  sot_len=sot_len, dtw_impl=dtw_impl)
+        for lo in range(0, l - l % chunk, chunk)
+    ]
+    if l % chunk:  # remainder group at its own (bounded) signature
+        parts.append(_per_head_jump_frames_jit(
+            attn[l - l % chunk:], token_len, frame_len, sot_len=sot_len,
+            dtw_impl=dtw_impl))
+    return jnp.concatenate(parts, axis=1)
 
 
 @functools.partial(jax.jit, static_argnames=("sot_len", "dtw_impl"))
