@@ -82,6 +82,13 @@ def main():
         return jnp.zeros(())
     timed(f"greedy decode ({args.decode_len})", dec, args.iters)
 
+    if os.environ.get("PROF_INT8") == "1":
+        def dec_i8():
+            decoding.decode(params, dims, tok, mel, opts,
+                            compute_dtype=jnp.bfloat16, kv_int8=True)
+            return jnp.zeros(())
+        timed(f"greedy decode int8 ({args.decode_len})", dec_i8, args.iters)
+
     def cap():
         # return_logits=False like the production _align_step (and the reuse
         # variants below) — else this baseline alone pays the (B, T, vocab)
