@@ -72,6 +72,23 @@ def main():
                   lambda bq=bq: encoder_self_attention(
                       q, k, v, n_valid=t, block_q=bq)[..., 0].sum(),
                   args.iters)
+        from whisper_char_alignment_tpu.ops.encoder_attn_pallas import (
+            encoder_self_attention_kt)
+        for bq in (256, 512, 1536):
+            timed(f"enc attn kernel KT block_q={bq}",
+                  lambda bq=bq: encoder_self_attention_kt(
+                      q, k, v, n_valid=t, block_q=bq)[..., 0].sum(),
+                  args.iters)
+
+        @jax.jit
+        def xla_attn(q, k, v):
+            s = jnp.einsum("bhtd,bhsd->bhts", q, k,
+                           preferred_element_type=jnp.float32)
+            w = jax.nn.softmax(s, axis=-1).astype(v.dtype)
+            return jnp.einsum("bhts,bhsd->bhtd", w, v,
+                              preferred_element_type=jnp.float32)
+        timed("enc attn XLA einsum",
+              lambda: xla_attn(q, k, v)[..., 0].sum(), args.iters)
 
 
 if __name__ == "__main__":

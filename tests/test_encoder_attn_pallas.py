@@ -35,6 +35,24 @@ def test_fused_kernel_matches_xla(t, n_valid):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("t,n_valid", [(256, 256), (300, 250)])
+def test_kt_variant_matches_xla(t, n_valid):
+    from whisper_char_alignment_tpu.ops.encoder_attn_pallas import (
+        encoder_self_attention_kt)
+
+    b, h, hd = 2, 3, 64
+    rng = np.random.default_rng(1)
+    scale = hd ** -0.25
+    q = jnp.asarray(rng.normal(0, 1, (b, h, t, hd)).astype(np.float32)) * scale
+    k = jnp.asarray(rng.normal(0, 1, (b, h, t, hd)).astype(np.float32)) * scale
+    v = jnp.asarray(rng.normal(0, 1, (b, h, t, hd)).astype(np.float32))
+    got = np.asarray(encoder_self_attention_kt(q, k, v, n_valid=n_valid,
+                                               block_q=128, interpret=True))
+    want = np.asarray(_xla_reference(q, k[:, :, :n_valid], v[:, :, :n_valid]))
+    np.testing.assert_allclose(got[:, :, :n_valid], want[:, :, :n_valid],
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_encode_audio_fused_matches_xla_mode():
     """Full encoder with attn_mode='fused' (interpret via CPU) vs 'xla'."""
     dims = tiny_test_dims(n_vocab=64, n_audio_ctx=40, n_text_ctx=16,

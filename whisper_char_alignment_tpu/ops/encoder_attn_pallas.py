@@ -38,6 +38,58 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, n_valid, t_pad):
         preferred_element_type=jnp.float32).astype(o_ref.dtype)
 
 
+def _kernel_kt(q_ref, kt_ref, v_ref, o_ref, *, n_valid, t_pad):
+    """Variant consuming K pre-transposed to (hd, T): the score dot is a
+    natural (BQ, hd) @ (hd, T) with no in-kernel transpose of the K panel."""
+    s = jax.lax.dot_general(
+        q_ref[0], kt_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)  # (BQ, T_pad) f32
+    if n_valid < t_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(col < n_valid, s, -jnp.inf)
+    w = jax.nn.softmax(s, axis=-1).astype(v_ref.dtype)
+    o_ref[0] = jax.lax.dot_general(
+        w, v_ref[0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("n_valid", "block_q", "interpret"))
+def encoder_self_attention_kt(q, k, v, n_valid: int, block_q: int = 512,
+                              interpret: bool = False):
+    """A/B variant of :func:`encoder_self_attention` that feeds the kernel a
+    pre-transposed (hd, T) K panel (one XLA transpose outside the grid instead
+    of a per-program relayout inside the score dot)."""
+    b, h, t, hd = q.shape
+    t_pad = ((t + block_q - 1) // block_q) * block_q
+
+    def prep(x):
+        x = x.reshape(b * h, t, hd)
+        if t_pad != t:
+            x = jnp.pad(x, ((0, 0), (0, t_pad - t), (0, 0)))
+        return x
+
+    qf, vf = prep(q), prep(v)
+    kt = prep(k).transpose(0, 2, 1)  # (BH, hd, T_pad)
+    kernel = functools.partial(_kernel_kt, n_valid=n_valid, t_pad=t_pad)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b * h, t_pad // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hd, t_pad), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, t_pad, hd), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, hd), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, t_pad, hd), q.dtype),
+        interpret=interpret,
+    )(qf, kt, vf)
+    return out[:, :t].reshape(b, h, t, hd)
+
+
 @functools.partial(jax.jit, static_argnames=("n_valid", "block_q", "interpret"))
 def encoder_self_attention(q, k, v, n_valid: int, block_q: int = 512,
                            interpret: bool = False):
