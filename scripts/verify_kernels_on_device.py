@@ -103,6 +103,30 @@ def main():
     d = float(np.abs(got - want).max())
     check("int8 cross-attention decode kernel", d < 1e-4, f"max|diff|={d:.1e}")
 
+    # 3b. int8-MXU cross-attention step vs the same dequant oracle. Random
+    # N(0,1) scores give near-UNIFORM softmax over 1500 frames — the worst
+    # case for the probability row-quantization (1500 independent rounding
+    # errors against a tiny sum; measured ~2.4%). Real attention is peaked,
+    # so also check a peaked case at a ~1% budget.
+    got_mxu = np.asarray(wmodel._cross_attn_step_int8_mxu(
+        q, (jnp.asarray(k8), jnp.asarray(ks)),
+        (jnp.asarray(v8), jnp.asarray(vs)), float(scale), jnp.float32))
+    rel = float(np.abs(got_mxu - want).max() / (np.abs(want).max() + 1e-9))
+    check("int8-MXU cross-attn (uniform worst case)", rel < 0.05,
+          f"rel_max_diff={rel:.4f}")
+    # q aligned with K column 123, scaled so its post-scale score (~+45)
+    # dwarfs the N(0, 2.3) background — a genuinely peaked softmax
+    q_peak = jnp.asarray(k_dq[:, :, :, 123][:, :, None, :]) * 20.0
+    qkp = np.einsum("bhtd,bhdf->bhtf", np.asarray(q_peak), k_dq * scale)
+    wp = jax.nn.softmax(jnp.asarray(qkp), axis=-1)
+    want_p = np.einsum("bhtf,bhdf->bhtd", np.asarray(wp), v_dq)
+    got_p = np.asarray(wmodel._cross_attn_step_int8_mxu(
+        q_peak, (jnp.asarray(k8), jnp.asarray(ks)),
+        (jnp.asarray(v8), jnp.asarray(vs)), float(scale), jnp.float32))
+    rel_p = float(np.abs(got_p - want_p).max() / (np.abs(want_p).max() + 1e-9))
+    check("int8-MXU cross-attn (peaked, realistic)", rel_p < 0.01,
+          f"rel_max_diff={rel_p:.4f}")
+
     # 4. Pallas DTW trace vs NumPy oracle (exact integer paths)
     from whisper_char_alignment_tpu.align import timing
 
