@@ -41,7 +41,7 @@ def timed(name, fn, iters=3):
 
 
 def make_loop(cross=True, self_attn=True, mlp=True, logits=True,
-              dtype=jnp.bfloat16, cross_impl="bf16"):
+              dtype=jnp.bfloat16, cross_impl="bf16", filters=False):
     """A stripped copy of the decode loop with stages toggleable.
 
     cross_impl: "bf16" (plain einsum over float K/V), or the int8 K/V
@@ -130,6 +130,15 @@ def make_loop(cross=True, self_attn=True, mlp=True, logits=True,
                                      (dp["blocks"], cross_ks, cross_vs))
             return x
 
+        if filters:
+            from whisper_char_alignment_tpu.models.decoding import (
+                apply_logit_filters)
+
+            vocab_ids = jnp.arange(dims.n_vocab)
+            suppress_mask = jnp.zeros((dims.n_vocab,), jnp.float32)
+            blank_mask = jnp.zeros((dims.n_vocab,), jnp.float32)
+            tokens_buf = jnp.zeros((B, STEPS + 4), jnp.int32)
+
         def body(carry):
             i, tok, cache, acc = carry
             x = (dp["tok_emb"][tok] + dp["pos_emb"][i])[:, None, :].astype(dtype)
@@ -138,6 +147,15 @@ def make_loop(cross=True, self_attn=True, mlp=True, logits=True,
             if logits:
                 lg = jnp.dot(x[:, 0].astype(jnp.float32),
                              dp["tok_emb"].T.astype(jnp.float32))
+                if filters:
+                    # the production per-step rule masks, at realistic state
+                    lg = apply_logit_filters(
+                        lg, i, tokens_buf, jnp.zeros((B,), bool),
+                        jnp.zeros((B,), jnp.int32), suppress_mask, blank_mask,
+                        vocab_ids, sample_begin=0,
+                        ts_begin=dims.n_vocab - 1501, eot=dims.n_vocab - 1600,
+                        no_timestamps=dims.n_vocab - 1602,
+                        max_initial_ts_index=50, use_timestamps=True)
                 tok = jnp.argmax(lg, axis=-1).astype(jnp.int32)
                 acc = acc + lg.mean()
             else:
@@ -172,6 +190,7 @@ def main():
     # timed region and inflate every number by a constant tracing cost
     variants = [
         ("full loop", make_loop()),
+        ("full loop + logit filters", make_loop(filters=True)),
         ("no cross-attn", make_loop(cross=False)),
         ("no self-attn", make_loop(self_attn=False)),
         ("no mlp", make_loop(mlp=False)),
