@@ -162,6 +162,8 @@ def main():
                                   decode_frame_bucket=BUCKET,
                                   pipeline_depth=int(os.environ.get(
                                       "WCA_BENCH_DEPTH", "2")),
+                                  encoder_int8=os.environ.get(
+                                      "WCA_BENCH_ENC_INT8", "0") == "1",
                                   reuse_cross_kv=os.environ.get(
                                       "WCA_BENCH_REUSE_KV", "1") == "1")
     pipeline = AlignmentPipeline(params, dims, tok, cfg,

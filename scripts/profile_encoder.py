@@ -112,6 +112,12 @@ def main():
     for name, fn in variants:
         timed(name, lambda f=fn: f(params, mel))
 
+    params_q = wmodel.quantize_encoder_int8(params)
+    enc_full = make_encoder()
+    enc_noattn_core = make_encoder(attn="proj_only")
+    timed("full int8 (fused attn)", lambda: enc_full(params_q, mel))
+    timed("int8 proj only (no T^2)", lambda: enc_noattn_core(params_q, mel))
+
 
 if __name__ == "__main__":
     main()

@@ -79,6 +79,10 @@ def add_tpu_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--decode_kv_int8", action="store_true",
                         help="int8-quantize decode cross-attention K/V (halves "
                              "the decode HBM stream; small accuracy risk)")
+    parser.add_argument("--encoder_int8", action="store_true",
+                        help="int8 encoder projections/MLP on the int8 MXU "
+                             "path (2x matmul throughput; ~1%% encoder-state "
+                             "perturbation, not parity-true)")
     parser.add_argument("--decode_sample_len", type=int, default=0,
                         help="cap sampled decode steps per utterance (0 = "
                              "published default, n_text_ctx // 2)")

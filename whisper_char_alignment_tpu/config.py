@@ -191,6 +191,10 @@ class AlignConfig:
     # opt-in decode speedup: int8-quantized cross-attention K/V (halves the
     # decode loop's HBM stream; small transcript-accuracy risk)
     decode_kv_int8: bool = False
+    # opt-in encoder speedup: per-channel int8 encoder projections/MLP on the
+    # int8 MXU path (2x matmul throughput; NOT parity-true — perturbs the
+    # encoder states at the ~1% quantization level)
+    encoder_int8: bool = False
     # reuse the decode loop's per-layer cross K/V in the teacher-forced capture
     # pass (skips 2 x n_layers K/V projections over the 1500 encoder frames,
     # ~4.8 TFLOP at medium B=32). Same math in the same dtype, parity-preserving;

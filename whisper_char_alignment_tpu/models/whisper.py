@@ -137,10 +137,65 @@ def _layer_norm(p, x, eps=1e-5):
 
 
 def _linear(p, x):
+    if "w8" in p:
+        return _linear_int8(p, x)
     y = jnp.dot(x, p["w"], preferred_element_type=jnp.float32).astype(x.dtype)
     if "b" in p:
         y = y + p["b"].astype(x.dtype)
     return y
+
+
+def _linear_int8(p, x):
+    """int8-MXU dense layer: weights are per-output-channel int8 (``w8`` with
+    f32 scale ``s``); activations are quantized per row here so the dot is
+    int8 x int8 -> int32 on the MXU (2x the bf16 matmul throughput on v5e).
+    Opt-in via :func:`quantize_encoder_int8` — the quantized pytree itself
+    selects this path, so every consumer (decode, capture, runner) follows
+    without signature changes."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    xs = jnp.where(amax == 0, 1.0, amax / 127.0)
+    x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / xs), -127, 127
+                  ).astype(jnp.int8)
+    y = jax.lax.dot_general(x8, p["w8"], (((x.ndim - 1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.int32)
+    y = (y.astype(jnp.float32) * xs * p["s"]).astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def quantize_encoder_int8(params: Params) -> Params:
+    """Opt-in encoder weight quantization: replace the q/k/v/out projections
+    and both MLP matmuls of every encoder block with per-output-channel int8
+    weights (+ f32 scales). Convs, layer norms, and the whole decoder stay
+    bf16/f32 — the encoder's big dense matmuls are MXU-throughput-bound
+    (docs/DESIGN.md encoder ablation), and int8 doubles MXU throughput.
+    NOT parity-true (quantization perturbs the encoder states); the exact
+    bf16 path remains the default."""
+
+    blocks = params["encoder"]["blocks"]
+
+    def quant_stacked(dense):
+        # stacked (L, din, dout) weights: per (layer, out-channel) scale
+        w = np.asarray(dense["w"], np.float32)
+        amax = np.abs(w).max(axis=1, keepdims=True)
+        s = np.where(amax == 0, 1.0, amax / 127.0).astype(np.float32)
+        w8 = np.clip(np.round(w / s), -127, 127).astype(np.int8)
+        out = {"w8": jnp.asarray(w8), "s": jnp.asarray(s)}
+        if "b" in dense:
+            out["b"] = dense["b"]
+        return out
+
+    new_blocks = dict(blocks)
+    new_blocks["attn"] = {k: (quant_stacked(v) if k in ("q", "k", "v", "out")
+                              else v)
+                          for k, v in blocks["attn"].items()}
+    new_blocks["mlp"] = {k: quant_stacked(v)
+                         for k, v in blocks["mlp"].items()}
+    new_params = dict(params)
+    new_params["encoder"] = dict(params["encoder"])
+    new_params["encoder"]["blocks"] = new_blocks
+    return new_params
 
 
 def _split_heads(x, n_head):

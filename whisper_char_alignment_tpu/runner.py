@@ -21,6 +21,7 @@ import numpy as np
 
 from . import constants
 from .align import timing
+from .models import whisper as wmodel_mod
 from .audio.mel import log_mel_spectrogram, pad_or_trim
 from .config import AlignConfig, ModelDims, get_alignment_heads
 from .data.dataset import Utterance, batch_iter
@@ -152,6 +153,10 @@ class AlignmentPipeline:
         self.compute_dtype = compute_dtype
         self.token_bucket = token_bucket
         self.mesh = mesh
+        if cfg.encoder_int8:
+            # the quantized pytree itself routes every encoder dense layer
+            # through the int8-MXU path — no signature changes downstream
+            params = wmodel_mod.quantize_encoder_int8(params)
         if mesh is not None:
             params = mesh_lib.replicate(params, mesh)
         self.params = params
