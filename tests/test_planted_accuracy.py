@@ -114,6 +114,56 @@ def test_planted_attention_scores_perfect_f1(tmp_path, monkeypatch, aggr,
     assert results["precision"] > 0.9999 and results["recall"] > 0.9999
 
 
+def test_planted_oracle_head_through_probe_cli(tmp_path, monkeypatch):
+    """probe_oracle accuracy gate: plant ONE banded head (layer 1, head 1)
+    among all-zero heads. The probe must pick it as the oracle head (best F1
+    = 1.0 on the planted boundaries) and, since zero maps score zero
+    saliency, rank it top — hit_rate 1.0 over the full corpus. hit_within=2:
+    the reference's hit check is a STRICT '>' against the hit_within-th
+    score, so the top head itself never beats its own score at
+    hit_within=1 (kept reference-exact)."""
+    from whisper_char_alignment_tpu.cli import common, probe_oracle
+
+    tok = get_test_tokenizer()
+    sot_len = len(tok.sot_sequence)
+    base = ("she had your dark suit in greasy wash water all year and then "
+            "some more words to pass the filter")  # 19 words
+    texts = [base, base + " now", base + " again"]
+    scp, _ = _make_planted_corpus(str(tmp_path), texts, tok, sot_len)
+
+    star = (1, 1)
+
+    def fake(params, dims, mel, tokens, token_len, frame_len, **kw):
+        b, t = tokens.shape
+        f = dims.n_audio_ctx
+        row = jnp.arange(t)[None, :, None] - sot_len
+        col = jnp.arange(f)[None, None, :]
+        band = (col >= row * W) & (col < (row + 1) * W)
+        token_ok = ((jnp.arange(t)[None, :, None]
+                     < (token_len[:, None, None] - 1)) & (row >= 0))
+        frame_ok = col < frame_len[:, None, None]
+        m = (band & token_ok & frame_ok).astype(jnp.float32)  # (B, T, F)
+        attn = jnp.zeros((dims.n_text_layer, b, dims.n_text_head, t, f),
+                         jnp.float32)
+        return attn.at[star[0], :, star[1]].set(m), None
+
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=256,
+                          n_text_ctx=160, state=16, head=2, layers=2)
+    params = wmodel.init_params(jax.random.PRNGKey(0), dims)
+    monkeypatch.setattr(common, "load_model_and_tokenizer",
+                        lambda args: (params, dims, tok))
+    monkeypatch.setattr(timing, "get_attentions", fake)
+
+    results = probe_oracle.main([
+        "--dataset", "TIMIT", "--scp", scp,
+        "--output_dir", str(tmp_path / "results"),
+        "--aligned_unit_type", "char", "--strict", "--tolerance", "0.05",
+        "--medfilt_width", "3", "--hit_within", "2", "--batch_size", "3",
+        "--use_gt_transcript", "--decode_sample_len", "2", "--test_model"])
+    assert results["f1"] > 0.9999, results
+    assert results["hit_rate"] == 1.0, results
+
+
 def test_planted_attention_detects_drift(tmp_path, monkeypatch):
     """The gate actually bites: shift the ground truth by 3 bands (120 ms >
     the 50 ms tolerance) and F1 must drop well below 1."""
