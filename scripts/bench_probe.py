@@ -78,15 +78,22 @@ def main():
             "--compute_dtype", "bfloat16"]
     args = probe_oracle.parse_args(argv)
 
+    # the probe CLI prints its per-run results dict to stdout; this script's
+    # stdout carries exactly ONE JSON line (driver contract), so route the
+    # CLI's prints to stderr
+    from contextlib import redirect_stdout
+
     log("warmup sweep (compiles)...")
     t0 = time.time()
-    probe_oracle.infer_dataset(args)
+    with redirect_stdout(sys.stderr):
+        probe_oracle.infer_dataset(args)
     log(f"warmup: {time.time() - t0:.1f}s")
 
     best = None
     for _ in range(int(os.environ.get("WCA_PROBE_PASSES", "3"))):
         t0 = time.time()
-        results = probe_oracle.infer_dataset(args)
+        with redirect_stdout(sys.stderr):
+            results = probe_oracle.infer_dataset(args)
         wall = time.time() - t0
         log(f"pass: {wall:.2f}s")
         best = wall if best is None else min(best, wall)

@@ -1,0 +1,45 @@
+"""Driver-artifact contract tests: bench.py and scripts/bench_probe.py tiny
+modes run end-to-end on CPU and print EXACTLY ONE JSON line to stdout (the
+driver parses stdout; everything else must go to stderr — CLAUDE.md
+invariant)."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _run(cmd, extra_env):
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env.pop("XLA_FLAGS", None)  # no virtual-device mesh needed
+    env.update(extra_env)
+    return subprocess.run(cmd, cwd=REPO, env=env, capture_output=True,
+                          text=True, timeout=900)
+
+
+def test_bench_tiny_prints_one_json_line():
+    r = _run([sys.executable, "bench.py"],
+             {"WCA_BENCH_TINY": "1", "WCA_BENCH_PASSES": "1"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, r.stdout
+    payload = json.loads(lines[0])
+    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    assert payload["unit"] == "utts/sec" and payload["value"] > 0
+    # tiny dims are not the measured-baseline workload: no ratio claimed
+    assert payload["vs_baseline"] is None
+    assert "pass:" in r.stderr  # logs went to stderr, not stdout
+
+
+def test_bench_probe_tiny_prints_one_json_line():
+    r = _run([sys.executable, "scripts/bench_probe.py"],
+             {"WCA_PROBE_TINY": "1", "WCA_PROBE_PASSES": "1"})
+    assert r.returncode == 0, r.stderr[-2000:]
+    lines = [l for l in r.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, r.stdout
+    payload = json.loads(lines[0])
+    assert payload["metric"] == "probe_oracle_utts_per_sec_per_chip"
+    assert payload["value"] > 0 and 0.0 <= payload["hit_rate"] <= 1.0
