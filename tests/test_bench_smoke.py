@@ -34,6 +34,18 @@ def test_bench_tiny_prints_one_json_line():
     assert "pass:" in r.stderr  # logs went to stderr, not stdout
 
 
+def test_asset_gates_refuses_without_assets():
+    """The runbook must exit with a clear message (not a traceback) when the
+    asset env vars are missing."""
+    env = dict(os.environ)
+    env.pop("WCA_CHECKPOINT", None)
+    r = subprocess.run([sys.executable, "scripts/asset_gates.py"], cwd=REPO,
+                       env=env, capture_output=True, text=True, timeout=120)
+    assert r.returncode != 0
+    assert "WCA_CHECKPOINT is not set" in (r.stderr + r.stdout)
+    assert "Traceback" not in r.stderr
+
+
 def test_bench_probe_tiny_prints_one_json_line():
     r = _run([sys.executable, "scripts/bench_probe.py"],
              {"WCA_PROBE_TINY": "1", "WCA_PROBE_PASSES": "1"})
