@@ -110,6 +110,26 @@ def test_probe_capture_signatures_bounded(tmp_path, monkeypatch):
     assert probe_oracle._per_head_jump_frames_jit._cache_size() - dtw_before == 1
 
 
+def test_per_head_dtw_chunking_equals_single_launch(monkeypatch):
+    """WCA_PROBE_LAYER_CHUNK (memory chunking of the per-head DTW sweep) is a
+    launch-shape knob only: chunked results must equal the single launch,
+    including a remainder group (3 layers, chunk 2)."""
+    import jax
+    import jax.numpy as jnp
+    from whisper_char_alignment_tpu.cli import probe_oracle
+
+    rng = np.random.default_rng(0)
+    l, b, h, t, f = 3, 2, 2, 10, 24
+    attn = jnp.asarray(rng.random((l, b, h, t, f)), jnp.float32)
+    tl = jnp.asarray([t, t - 2], jnp.int32)
+    fl = jnp.asarray([f, f - 5], jnp.int32)
+    monkeypatch.delenv("WCA_PROBE_LAYER_CHUNK", raising=False)
+    single = np.asarray(probe_oracle._per_head_jump_frames(attn, tl, fl, 3))
+    monkeypatch.setenv("WCA_PROBE_LAYER_CHUNK", "2")
+    chunked = np.asarray(probe_oracle._per_head_jump_frames(attn, tl, fl, 3))
+    np.testing.assert_array_equal(single, chunked)
+
+
 def test_plot_attn(tmp_path):
     from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
     from whisper_char_alignment_tpu.text.retokenize import encode
