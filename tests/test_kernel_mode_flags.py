@@ -86,16 +86,19 @@ def test_cross_attn_flag_keys_decode_step_trace(setup, monkeypatch):
 
 
 def test_runner_kernel_modes_follow_env(monkeypatch):
-    """The runner resolves one (attn_mode, qkpost, dtw_impl) static tuple per
-    _align_step call; it must track the env between calls."""
-    monkeypatch.setenv("WCA_ENC_ATTN", "xla")
+    """The runner resolves one (qkpost, dtw_impl) static tuple per
+    _align_step call; it must track the env between calls. WCA_ENC_ATTN is
+    deliberately absent: the align step never runs the encoder, so that flag
+    must NOT retrace the largest jit program."""
     monkeypatch.setenv("WCA_QKPOST", "off")
     monkeypatch.setenv("WCA_DTW_IMPL", "scan")
-    assert runner._kernel_modes() == ("xla", False, "scan")
-    monkeypatch.setenv("WCA_ENC_ATTN", "fused")
+    assert runner._kernel_modes() == (False, "scan")
     monkeypatch.setenv("WCA_QKPOST", "1")
     monkeypatch.setenv("WCA_DTW_IMPL", "pallas")
-    assert runner._kernel_modes() == ("fused", True, "pallas")
+    assert runner._kernel_modes() == (True, "pallas")
+    # flipping the encoder flag must not change the align-step cache key
+    monkeypatch.setenv("WCA_ENC_ATTN", "fused")
+    assert runner._kernel_modes() == (True, "pallas")
 
 
 def test_dtw_impl_flag_keys_force_align_trace(monkeypatch):

@@ -55,19 +55,29 @@ def add_reference_flags(parser: argparse.ArgumentParser) -> None:
 
 
 def add_tpu_flags(parser: argparse.ArgumentParser) -> None:
-    """Flags with no reference analog: weights/tokenizer sources and batching."""
+    """Flags honored by EVERY CLI (model source / dtype / quantization).
+    Batch-pipeline-only flags live in :func:`add_pipeline_flags` so serve and
+    the long-form transcribe CLI don't advertise knobs they ignore."""
     parser.add_argument("--checkpoint", type=str, default=None,
                         help=".pt/.npz weights (env WCA_CHECKPOINT)")
     parser.add_argument("--tokenizer_dir", type=str, default=None,
                         help="dir with *.tiktoken or vocab.json "
                              "(env WCA_TOKENIZER_DIR)")
-    parser.add_argument("--batch_size", type=int, default=8)
-    parser.add_argument("--data_parallel", type=int, default=0,
-                        help="devices on the batch mesh axis (0 = all)")
     parser.add_argument("--compute_dtype", type=str, default="float32",
                         choices=["float32", "bfloat16"])
     parser.add_argument("--test_model", action="store_true",
                         help="random tiny model + toy tokenizer (offline smoke)")
+    parser.add_argument("--encoder_int8", action="store_true",
+                        help="int8 encoder projections/MLP (applied at model "
+                             "load, so every CLI honors it; measured neutral "
+                             "on v5e — see docs/DESIGN.md; not parity-true)")
+
+
+def add_pipeline_flags(parser: argparse.ArgumentParser) -> None:
+    """Batched-pipeline flags (infer_ali / probe_oracle only)."""
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--data_parallel", type=int, default=0,
+                        help="devices on the batch mesh axis (0 = all)")
     parser.add_argument("--decode_frame_bucket", type=int, default=0,
                         help="bucket decode cross-attention K/V to the batch's "
                              "true frames rounded up to this multiple (0 = full "
@@ -79,10 +89,6 @@ def add_tpu_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--decode_kv_int8", action="store_true",
                         help="int8-quantize decode cross-attention K/V (halves "
                              "the decode HBM stream; small accuracy risk)")
-    parser.add_argument("--encoder_int8", action="store_true",
-                        help="int8 encoder projections/MLP on the int8 MXU "
-                             "path (2x matmul throughput; ~1%% encoder-state "
-                             "perturbation, not parity-true)")
     parser.add_argument("--decode_sample_len", type=int, default=0,
                         help="cap sampled decode steps per utterance (0 = "
                              "published default, n_text_ctx // 2)")
@@ -114,7 +120,7 @@ def load_model_and_tokenizer(args) -> Tuple[dict, ModelDims, WhisperTokenizer]:
                               n_text_ctx=448, state=32, head=2, layers=2,
                               n_mels=args.n_mels)
         params = wmodel.init_params(jax.random.PRNGKey(0), dims)
-        return params, dims, tok
+        return _maybe_quantize(params, args), dims, tok
 
     ckpt = args.checkpoint or os.environ.get("WCA_CHECKPOINT")
     if not ckpt:
@@ -126,7 +132,17 @@ def load_model_and_tokenizer(args) -> Tuple[dict, ModelDims, WhisperTokenizer]:
     multilingual = not args.model.endswith(".en")
     tok = get_tokenizer(multilingual, language="English",
                         tokenizer_dir=args.tokenizer_dir)
-    return params, dims, tok
+    return _maybe_quantize(params, args), dims, tok
+
+
+def _maybe_quantize(params, args):
+    """--encoder_int8 is applied HERE, at model load, so every CLI (including
+    serve and the long-form transcribe CLI, which don't build an AlignConfig)
+    honors the flag it advertises. quantize_encoder_int8 is idempotent, so
+    the runner's cfg-driven quantization composes."""
+    if getattr(args, "encoder_int8", False):
+        params = wmodel.quantize_encoder_int8(params)
+    return params
 
 
 def config_from_args(args) -> AlignConfig:

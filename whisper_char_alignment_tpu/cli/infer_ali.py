@@ -133,6 +133,7 @@ def parse_args(argv=None):
     parser.add_argument("--save_prediction", action="store_true")
     parser.add_argument("--default_whisper_timing", action="store_true")
     common.add_tpu_flags(parser)
+    common.add_pipeline_flags(parser)
     return parser.parse_args(argv)
 
 

@@ -39,7 +39,7 @@ from ..align.metrics import eval_n1, eval_n1_strict, get_seg_metrics
 from ..constants import AUDIO_SAMPLES_PER_TOKEN, MAX_FRAMES, MAX_LENGTH
 from ..data.dataset import DATASETS
 from ..parallel import distributed, mesh as mesh_lib
-from ..runner import AlignmentPipeline
+from ..runner import AlignmentPipeline, pack_fixed_batch
 from . import common
 
 
@@ -97,6 +97,11 @@ def infer_dataset(args) -> dict:
 
     params, dims, tok = common.load_model_and_tokenizer(args)
     cfg = common.config_from_args(args)
+    # the probe's capture never consumes the decode loop's cross-K/V stacks
+    # (it re-projects from xa), so keeping them alive through the pending
+    # transcribe queue would be pure HBM dead weight — multi-GB at medium
+    # right when the 384-head DTW sweep needs the headroom
+    cfg.reuse_cross_kv = False
     pipe = AlignmentPipeline(params, dims, tok, cfg, compute_dtype=(
         jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32))
     dataset = DATASETS[args.dataset](args.scp, n_mels=args.n_mels)
@@ -146,20 +151,14 @@ def infer_dataset(args) -> dict:
 
         # fixed shapes: batch padded to the pipeline's batch size, tokens to
         # the 32-token bucket — bounded jit signatures across the sweep
+        # (shared packing with the runner: runner.pack_fixed_batch)
         b_pad = pipe._pad_batch(len(prepared))
         t_max = max(len(p[2]) for p in prepared)
         t_bucket = min(dims.n_text_ctx,
                        mesh_lib.pad_to_multiple(t_max, pipe.token_bucket))
-        tokens_arr = np.full((b_pad, t_bucket), tok.eot, np.int32)
-        token_len = np.ones((b_pad,), np.int32)
-        frame_len = np.ones((b_pad,), np.int32)
-        utt_index = {u.fid: j for j, u in enumerate(utts)}
-        xa_idx = np.zeros((b_pad,), np.int32)
-        for i, p in enumerate(prepared):
-            tokens_arr[i, :len(p[2])] = p[2]
-            token_len[i] = len(p[2])
-            frame_len[i] = min(max(p[3], 1), dims.n_audio_ctx)
-            xa_idx[i] = utt_index[p[0].fid]
+        tokens_arr, token_len, frame_len, xa_idx = pack_fixed_batch(
+            [(p[0], p[2], p[3]) for p in prepared], utts, b_pad, t_bucket,
+            tok.eot, dims.n_audio_ctx)
         # reuse the transcription pass's encoder states (skip-guards may have
         # dropped rows; gather the live ones in order)
         xa_live = jnp.take(xa, jnp.asarray(xa_idx), axis=0)
@@ -284,6 +283,7 @@ def parse_args(argv=None):
                         help="compute how often the oracle head is included in "
                              "the selected heads using the proposed approach.")
     common.add_tpu_flags(parser)
+    common.add_pipeline_flags(parser)
     return parser.parse_args(argv)
 
 

@@ -369,7 +369,10 @@ def run(params, dims: ModelDims, tokenizer, mel, options, prompt_arr,
                   # kernel-mode env flags resolve here, outside the jitted
                   # loops, and key their cached traces
                   attn_mode=wmodel._encoder_attn_mode(),
-                  cross_mode=wmodel._cross_attn_mode())
+                  # the beam/sampling loops never quantize their K/V, so the
+                  # cross-attention mode is inert: a constant keeps
+                  # WCA_CROSS_ATTN flips from recompiling these loops
+                  cross_mode="xla")
     eot = tokenizer.eot
 
     def build_results(groups, ns_probs, n_steps):

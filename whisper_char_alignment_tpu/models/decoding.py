@@ -385,7 +385,15 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         # are greedy-loop-only speedups: fall back to the full-window,
         # un-quantized path here (same graceful-degrade pattern as the runner's
         # cross-K/V reuse gate) instead of crashing a pipeline that combines
-        # decode_frame_bucket/kv_int8 with beam/sampling options.
+        # decode_frame_bucket/kv_int8 with beam/sampling options. Loud so a
+        # perf A/B doesn't silently measure the wrong path.
+        if kv_frames is not None or kv_int8:
+            import warnings
+
+            warnings.warn(
+                "kv_frames / kv_int8 are greedy-decode-only speedups; "
+                "falling back to the full-window un-quantized path for "
+                "beam/sampling decoding", stacklevel=2)
         kv_frames, kv_int8 = None, False
         from . import beam as beam_mod
 
@@ -414,7 +422,10 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         sot_index=sot_index,
         # kernel-mode env flags resolve here, outside the jit, and key the trace
         attn_mode=wmodel._encoder_attn_mode(),
-        cross_mode=wmodel._cross_attn_mode())
+        # cross_mode only matters for quantized K/V — keep it a constant
+        # otherwise so flipping WCA_CROSS_ATTN cannot force a spurious
+        # recompile of the un-quantized loop
+        cross_mode=wmodel._cross_attn_mode() if kv_int8 else "xla")
 
     def finalize(tokens, sum_lp, ns_prob, n_steps):
         n_steps = int(n_steps)

@@ -152,10 +152,7 @@ def _linear_int8(p, x):
     Opt-in via :func:`quantize_encoder_int8` — the quantized pytree itself
     selects this path, so every consumer (decode, capture, runner) follows
     without signature changes."""
-    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
-    xs = jnp.where(amax == 0, 1.0, amax / 127.0)
-    x8 = jnp.clip(jnp.round(x.astype(jnp.float32) / xs), -127, 127
-                  ).astype(jnp.int8)
+    x8, xs = _int8_rowwise(x.astype(jnp.float32))
     y = jax.lax.dot_general(x8, p["w8"], (((x.ndim - 1,), (0,)), ((), ())),
                             preferred_element_type=jnp.int32)
     y = (y.astype(jnp.float32) * xs * p["s"]).astype(x.dtype)
@@ -174,6 +171,8 @@ def quantize_encoder_int8(params: Params) -> Params:
     bf16 path remains the default."""
 
     blocks = params["encoder"]["blocks"]
+    if "w8" in blocks["attn"]["q"]:
+        return params  # idempotent: already quantized
 
     def quant_stacked(dense):
         # stacked (L, din, dout) weights: per (layer, out-channel) scale
@@ -305,7 +304,12 @@ def _cross_attn_mode() -> str:
         return "xla"
     if mode in ("mxu", "int8mxu"):
         return "mxu"
-    return "pallas"
+    if mode in ("1", "on", "true", "pallas"):
+        return "pallas"
+    # a typo must not silently select the slowest implementation
+    raise ValueError(
+        f"WCA_CROSS_ATTN={mode!r} is not a known mode; use one of "
+        "auto / mxu / pallas / xla (off)")
 
 
 def _pallas_kernel_enabled(env_var: str) -> bool:

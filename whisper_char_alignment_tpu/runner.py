@@ -54,21 +54,24 @@ def _align_step(params, dims: ModelDims, xa, tokens, token_len, frame_len,
                 *, medfilt_width: int, qk_scale, aggregation: str, topk: int,
                 w_colnorm, w_rownorm, w_coverage, sot_len: int,
                 compute_dtype=jnp.float32, return_matrix: bool = False,
-                cross_kv=None, kernel_modes=("xla", False, "scan")):
+                cross_kv=None, kernel_modes=(False, "scan")):
     """Fused capture + head-select + aggregate + DTW for one padded batch.
 
     ``xa`` are the encoder states from the transcription pass — the 24-layer
     encoder runs once per batch, not twice (decode + capture); ``cross_kv``
     (when reusable) are the decode loop's K/V stacks, skipping the per-layer
-    cross projections too. ``kernel_modes`` is the (attn_mode, qkpost,
-    dtw_impl) tuple resolved by :func:`_kernel_modes` OUTSIDE this jit so the
-    WCA_* kernel flags key the cached trace."""
-    attn_mode, qkpost, dtw_impl = kernel_modes
+    cross projections too. ``kernel_modes`` is the (qkpost, dtw_impl) tuple
+    resolved by :func:`_kernel_modes` OUTSIDE this jit so the WCA_* kernel
+    flags key the cached trace. The encoder never executes here (xa or
+    cross_kv is always supplied), so WCA_ENC_ATTN is deliberately NOT part of
+    this program's cache key — flipping it must not recompile the capture
+    step (attn_mode below is an inert constant)."""
+    qkpost, dtw_impl = kernel_modes
     attn, _ = timing.get_attentions(
         params, dims, None, tokens, token_len, frame_len,
         medfilt_width=medfilt_width, qk_scale=qk_scale,
         compute_dtype=compute_dtype, return_logits=False, xa=xa,
-        cross_kv=cross_kv, attn_mode=attn_mode, qkpost=qkpost)
+        cross_kv=cross_kv, attn_mode="xla", qkpost=qkpost)
     jump_frames, matrix, scores = timing.force_align_batch(
         attn, token_len, frame_len, sot_len, aggregation, topk,
         w_colnorm, w_rownorm, w_coverage, dtw_impl=dtw_impl)
@@ -77,12 +80,15 @@ def _align_step(params, dims: ModelDims, xa, tokens, token_len, frame_len,
 
 
 def _kernel_modes():
-    """(attn_mode, qkpost, dtw_impl) resolved from the WCA_* env flags at call
-    time — passed into _align_step as one hashable static argument."""
+    """(qkpost, dtw_impl) resolved from the WCA_* env flags at call time —
+    passed into _align_step as one hashable static argument. WCA_ENC_ATTN is
+    intentionally excluded: the align step never runs the encoder, so adding
+    it would only force spurious multi-minute recompiles of the largest jit
+    program when the flag flips."""
     from .align.timing import _dtw_impl
-    from .models.whisper import _encoder_attn_mode, _use_fused_qkpost
+    from .models.whisper import _use_fused_qkpost
 
-    return (_encoder_attn_mode(), _use_fused_qkpost(), _dtw_impl())
+    return (_use_fused_qkpost(), _dtw_impl())
 
 
 def _mel_step(audio, dims: ModelDims, compute_dtype=jnp.float32,
@@ -117,6 +123,32 @@ def _cross_kv_bytes(dims: ModelDims, batch: int, compute_dtype) -> int:
     """HBM bytes of the decode loop's cross K/V stacks (K and V, all layers)."""
     return (2 * dims.n_text_layer * batch * dims.n_text_state
             * dims.n_audio_ctx * jnp.dtype(compute_dtype).itemsize)
+
+
+def pack_fixed_batch(items, utts, b_pad: int, t_bucket: int, eot: int,
+                     n_audio_ctx: int):
+    """Fixed-shape packing shared by the runner's align dispatch and the
+    probe CLI (one copy keeps the shapes provably equal to the reference's
+    physical slicing — docs/DESIGN.md §1).
+
+    ``items``: list of ``(utt, tokens, max_frames)`` for the live (non-skip)
+    utterances; ``utts`` the original batch order (encoder-state rows).
+    Returns (tokens_arr, token_len, frame_len, xa_idx) NumPy arrays; rows
+    >= len(items) are pad rows whose outputs are discarded.
+    """
+    tokens_arr = np.full((b_pad, t_bucket), eot, np.int32)
+    token_len = np.ones((b_pad,), np.int32)
+    frame_len = np.ones((b_pad,), np.int32)
+    utt_index = {u.fid: j for j, u in enumerate(utts)}
+    xa_idx = np.zeros((b_pad,), np.int32)
+    for i, (u, toks, max_frames) in enumerate(items):
+        tokens_arr[i, :len(toks)] = toks
+        token_len[i] = len(toks)
+        # clip to the model window (relevant only for sub-30s test dims;
+        # real dims skip overlong inputs via MAX_FRAMES upstream)
+        frame_len[i] = min(max(int(max_frames), 1), n_audio_ctx)
+        xa_idx[i] = utt_index[u.fid]
+    return tokens_arr, token_len, frame_len, xa_idx
 
 
 def _wire_audio(audio: np.ndarray) -> np.ndarray:
@@ -303,19 +335,10 @@ class AlignmentPipeline:
             t_max = max(len(p[4]) for p in live)
             t_bucket = min(self.dims.n_text_ctx,
                            mesh_lib.pad_to_multiple(t_max, self.token_bucket))
-            tokens_arr = np.full((b_pad, t_bucket), tok.eot, np.int32)
-            token_len = np.ones((b_pad,), np.int32)
-            frame_len = np.ones((b_pad,), np.int32)
             # encoder-state rows follow the original utts order; gather live rows
-            utt_index = {u.fid: j for j, u in enumerate(utts)}
-            xa_idx = np.zeros((b_pad,), np.int32)
-            for i, p in enumerate(live):
-                tokens_arr[i, :len(p[4])] = p[4]
-                token_len[i] = len(p[4])
-                # clip to the model window (relevant only for sub-30s test dims;
-                # real dims skip overlong inputs via MAX_FRAMES above)
-                frame_len[i] = min(max(p[5], 1), self.dims.n_audio_ctx)
-                xa_idx[i] = utt_index[p[0].fid]
+            tokens_arr, token_len, frame_len, xa_idx = pack_fixed_batch(
+                [(p[0], p[4], p[5]) for p in live], utts, b_pad, t_bucket,
+                tok.eot, self.dims.n_audio_ctx)
             # cross-K/V reuse needs the live rows in decode order (skip-guards
             # reorder them; gathering the multi-GB (L, B, ...) stacks would cost
             # more than recomputing). Rows >= len(live) are pad rows whose
