@@ -160,6 +160,12 @@ def main():
     cfg = AlignConfig.recommended(model=model_name, batch_size=BATCH,
                                   use_gt_transcript=True,
                                   decode_frame_bucket=BUCKET,
+                                  # BASELINE config #3 variant: subword units
+                                  # with 'mean' aggregation
+                                  aligned_unit_type=os.environ.get(
+                                      "WCA_BENCH_UNIT", "char"),
+                                  aggr=os.environ.get("WCA_BENCH_AGGR",
+                                                      "topk"),
                                   pipeline_depth=int(os.environ.get(
                                       "WCA_BENCH_DEPTH", "2")),
                                   encoder_int8=os.environ.get(
