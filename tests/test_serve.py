@@ -85,6 +85,16 @@ def test_unknown_route_and_bad_body(server):
         assert r.status == 200
 
 
+def test_warmup_precompiles_buckets():
+    """--warmup runs one dummy align per audio bucket (tiny model: durations
+    beyond the model window collapse into the single full-window bucket)."""
+    from whisper_char_alignment_tpu.cli.serve import warmup
+
+    model = api.test_model()
+    n = warmup(model, seconds=(0.2, 0.4))
+    assert n == 2
+
+
 def test_oversized_body_rejected_413(server, monkeypatch):
     """A Content-Length beyond the cap is refused BEFORE the body is read —
     the host must not buffer an arbitrarily large POST."""

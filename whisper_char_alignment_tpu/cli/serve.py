@@ -153,12 +153,37 @@ def serve(model: api.Model, host: str = "127.0.0.1", port: int = 8200,
     return ThreadingHTTPServer((host, port), handler)
 
 
+def warmup(model: api.Model, compute_dtype=jnp.float32,
+           seconds=(4.9, 9.9, 29.5)) -> int:
+    """Pre-compile the /align jit signatures before accepting traffic.
+
+    The runner buckets uploaded audio to 5 s steps, so each previously-unseen
+    length bucket costs a fresh compile on the first request that hits it —
+    minutes on a remote-compile backend. One dummy align per requested
+    duration moves that cost to boot. Returns the number of warmup runs."""
+    n_samples = 2 * model.dims.n_audio_ctx * 160
+    n = 0
+    for sec in seconds:
+        take = min(int(sec * 16000), n_samples)
+        if take <= 0:
+            continue
+        audio = np.zeros((take,), np.float32)
+        api.align(model, audio, compute_dtype=compute_dtype)
+        n += 1
+        print(f"warmup: {sec:.1f}s bucket compiled", file=sys.stderr)
+    return n
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8200)
     p.add_argument("--model", type=str, default="medium")
     p.add_argument("--n_mels", type=int, default=80)
+    p.add_argument("--warmup", action="store_true",
+                   help="pre-compile the /align signatures for 5/10/30 s "
+                        "audio buckets before accepting traffic (first "
+                        "requests otherwise stall on multi-minute compiles)")
     common.add_tpu_flags(p)
     args = p.parse_args(argv)
     params, dims, tok = common.load_model_and_tokenizer(args)
@@ -166,6 +191,8 @@ def main(argv=None) -> int:
     params = jax.tree.map(lambda x: x.astype(dtype), params)
     name = "tiny-test" if args.test_model else args.model
     model = api.Model(params=params, dims=dims, tokenizer=tok, name=name)
+    if args.warmup:
+        warmup(model, compute_dtype=dtype)
     srv = serve(model, args.host, args.port, compute_dtype=dtype)
     print(f"serving {args.model} on http://{args.host}:{args.port}",
           file=sys.stderr)
