@@ -166,6 +166,13 @@ def main():
                                       "WCA_BENCH_UNIT", "char"),
                                   aggr=os.environ.get("WCA_BENCH_AGGR",
                                                       "topk"),
+                                  # default ON: duration-homogeneous batches
+                                  # (identical per-utterance results, only
+                                  # output order changes — tested) measured
+                                  # 35.5 vs 35.2 utts/s and the lowest
+                                  # pass-to-pass variance (2.70-2.71 s)
+                                  sort_by_duration=os.environ.get(
+                                      "WCA_BENCH_SORT", "1") == "1",
                                   pipeline_depth=int(os.environ.get(
                                       "WCA_BENCH_DEPTH", "2")),
                                   encoder_int8=os.environ.get(
