@@ -224,6 +224,11 @@ def main():
         f"(vs 1-core measured ref: {throughput / BASELINE_1CORE:.0f}x; "
         f"vs 16-core linear-scaling model: {throughput / BASELINE:.0f}x)")
 
+    # self-describing artifact (VERDICT r03 #6): the one line carries its own
+    # run configuration, the best-pass stage split, and the known worst-case
+    # caveat so BENCH_r{N}.json needs no stderr context to interpret
+    stage_split = {stage: round(s["total_s"], 3)
+                   for stage, s in pipeline.timers.summary().items()}
     print(json.dumps({
         "metric": f"e2e_pipeline_utts_per_sec_per_chip_whisper_{model_name}",
         "value": round(throughput, 3),
@@ -232,6 +237,21 @@ def main():
         # compare different workloads
         "vs_baseline": (round(throughput / BASELINE, 1)
                         if model_name == "medium" else None),
+        "n_utts": n_aligned,
+        "batch": BATCH,
+        "passes": int(os.environ.get("WCA_BENCH_PASSES", "3")),
+        "pipeline_depth": cfg.pipeline_depth,
+        "sort_by_duration": cfg.sort_by_duration,
+        "reuse_cross_kv": cfg.reuse_cross_kv,
+        # decode_len=32 is a real-transcript-length proxy (random weights
+        # never emit eot; real checkpoints early-exit near transcript length).
+        # The published sample_len=224 with no early exit measures 8.4 utts/s
+        # (DESIGN.md bench variants) — re-measure via WCA_BENCH_DECODE_LEN=224
+        # whenever the decode path changes.
+        "decode_len": DECODE_LEN,
+        "decode_len224_worst_case_utts_per_sec": 8.4,
+        "stage_split_s": stage_split,
+        "best_pass_wall_s": round(wall, 3),
     }))
 
 

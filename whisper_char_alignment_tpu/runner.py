@@ -22,7 +22,7 @@ import numpy as np
 from . import constants
 from .align import timing
 from .models import whisper as wmodel_mod
-from .audio.mel import log_mel_spectrogram, pad_or_trim
+from .audio.mel import log_mel_spectrogram
 from .config import AlignConfig, ModelDims, get_alignment_heads
 from .data.dataset import Utterance, batch_iter
 from .models import decoding
@@ -169,6 +169,61 @@ def _wire_audio(audio: np.ndarray) -> np.ndarray:
     return audio
 
 
+def _utt_wire_i16(u: Utterance):
+    """Per-utterance int16 wire form, cached on the Utterance object.
+
+    Same losslessness test as :func:`_wire_audio` but on the UNPADDED audio
+    (2-7 s for TIMIT vs the bucketed window), computed once per utterance and
+    in the background prep thread — round 3's batch-level scale/compare pass
+    sat on the dispatch critical path (1.39 s of a 3.07 s driver wall,
+    VERDICT r03). Returns the int16 array, or None when the audio is not
+    exactly int16/32768-representable (the batch then ships float32).
+    """
+    cached = getattr(u, "_wire_i16", False)
+    if cached is not False:
+        return cached
+    scaled = u.audio * 32768.0
+    with np.errstate(invalid="ignore"):
+        as_i16 = scaled.astype(np.int16)
+    cached = as_i16 if np.array_equal(as_i16, scaled) else None
+    try:
+        u._wire_i16 = cached
+    except Exception:
+        pass  # slotted/frozen utterance stand-ins: just skip the cache
+    return cached
+
+
+class _HostBufferPool:
+    """Rotating preallocated host staging buffers for wire uploads.
+
+    Avoids per-batch mmap + page-fault churn on the 1-core host. Pooling is
+    DISABLED on the CPU backend (``pooled=False``): ``jnp.asarray`` there may
+    alias the NumPy buffer zero-copy, and a later in-place refill of a rotated
+    slot could corrupt an in-flight batch; over the TPU tunnel the upload
+    always copies. A slot is only rewritten after ``slots`` further batches of
+    the same shape — sized above the pipeline's max in-flight depth.
+    """
+
+    def __init__(self, slots: int, pooled: bool = True):
+        self.slots = max(2, int(slots))
+        self.pooled = pooled
+        self._pools = {}
+
+    def take(self, shape, dtype) -> np.ndarray:
+        if not self.pooled:
+            return np.empty(shape, dtype)
+        key = (tuple(shape), np.dtype(dtype))
+        pool = self._pools.setdefault(key, {"bufs": [], "next": 0})
+        bufs = pool["bufs"]
+        if len(bufs) < self.slots:
+            buf = np.empty(shape, dtype)
+            bufs.append(buf)
+            return buf
+        buf = bufs[pool["next"]]
+        pool["next"] = (pool["next"] + 1) % self.slots
+        return buf
+
+
 class AlignmentPipeline:
     """End-to-end batched alignment with fixed-shape bucketing.
 
@@ -201,6 +256,12 @@ class AlignmentPipeline:
         # test/isolation hook: a callable (utts -> list[str]) that supplies
         # transcripts instead of the decode output (decode still runs)
         self.transcribe_override = None
+        # wire staging buffers: a slot must outlive its batch's transcript
+        # sync (<= pipeline_depth + 1 batches in flight) plus the one-batch
+        # prep lookahead; pooling is unsafe under CPU zero-copy device_put
+        self._host_pool = _HostBufferPool(
+            slots=max(1, cfg.pipeline_depth) + 4,
+            pooled=jax.default_backend() != "cpu")
 
     # -- helpers -------------------------------------------------------------
 
@@ -218,9 +279,15 @@ class AlignmentPipeline:
 
     # -- stages ---------------------------------------------------------------
 
-    def _dispatch_transcribe(self, utts: Sequence[Utterance]) -> dict:
-        """Stage 1 dispatch: upload audio, queue mel + greedy decode on device.
-        No host sync — transcripts arrive via the returned DecodeFuture."""
+    def _prep_wire(self, utts: Sequence[Utterance]) -> np.ndarray:
+        """Build a batch's wire buffer: (b_pad, wire_samples) int16 when every
+        utterance is losslessly int16/32768-representable (16-bit PCM sources:
+        half the tunnel bytes), else float32. Pure host work — run_dataset
+        calls this in a background thread so it overlaps the previous batch's
+        device stages instead of sitting on the dispatch critical path
+        (VERDICT r03 directive #1). Each element of the staging buffer is
+        written exactly once (live samples copied, tails zeroed), matching
+        the old zeros+pad_or_trim fill bit-exactly."""
         b_pad = self._pad_batch(len(utts))
         # window follows the model: 2 * n_audio_ctx encoder-input mel frames
         n_samples = 2 * self.dims.n_audio_ctx * constants.HOP_LENGTH
@@ -232,11 +299,36 @@ class AlignmentPipeline:
         max_live = max(min(u.audio.size, n_samples) for u in utts)
         wire_samples = min(n_samples,
                            mesh_lib.pad_to_multiple(max_live, sample_bucket))
-        audio = np.zeros((b_pad, wire_samples), np.float32)
-        for i, u in enumerate(utts):
-            audio[i] = np.asarray(pad_or_trim(u.audio, wire_samples))
+        rows_i16 = [_utt_wire_i16(u) for u in utts]
+        use_i16 = all(r is not None for r in rows_i16)
+        wire = self._host_pool.take((b_pad, wire_samples),
+                                    np.int16 if use_i16 else np.float32)
+        for i in range(b_pad):
+            row = wire[i]
+            if i < len(utts):
+                src = rows_i16[i] if use_i16 else utts[i].audio
+                n = min(src.size, wire_samples)
+                row[:n] = src[:n]  # pad_or_trim semantics: first n samples
+                row[n:] = 0
+            else:
+                row[:] = 0
+        return wire
+
+    def _dispatch_transcribe(self, utts: Sequence[Utterance],
+                             wire: Optional[np.ndarray] = None) -> dict:
+        """Stage 1 dispatch: upload audio, queue mel + greedy decode on device.
+        No host sync — transcripts arrive via the returned DecodeFuture.
+        ``wire`` is the precomputed staging buffer from :meth:`_prep_wire`
+        (run_dataset prepares it in the background); when None it is built
+        inline (align_batch / probe callers)."""
+        b_pad = self._pad_batch(len(utts))
+        # window follows the model: 2 * n_audio_ctx encoder-input mel frames
+        n_samples = 2 * self.dims.n_audio_ctx * constants.HOP_LENGTH
+        if wire is None:
+            with self.timers.stage("wire prep", units=len(utts)):
+                wire = self._prep_wire(utts)
         with self.timers.stage("mel dispatch", units=len(utts)):
-            mel = _mel_step(self._shard(jnp.asarray(_wire_audio(audio))),
+            mel = _mel_step(self._shard(jnp.asarray(wire)),
                             self.dims, compute_dtype=self.compute_dtype,
                             total_samples=n_samples)
         kv_frames = None
@@ -494,17 +586,42 @@ class AlignmentPipeline:
         depth = max(1, self.cfg.pipeline_depth)
         transcribed = deque()  # batches with decode in flight
         aligned = deque()  # batches with capture+align in flight
-        for batch in it:
-            transcribed.append(self._dispatch_transcribe(batch))
-            if len(transcribed) > depth:
+        # one-batch-lookahead wire prep: batch N+1's staging buffer is built
+        # in a background thread while batch N's uploads/device waits run on
+        # the main thread (the prep is pure host work; device semantics are
+        # untouched). On this 1-core host the overlap comes from the main
+        # thread's tunnel/device blocking time, which releases the GIL.
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=1,
+                                thread_name_prefix="wca-wireprep")
+
+        def prepped(batches):
+            prev = None
+            for batch in batches:
+                fut = ex.submit(self._prep_wire, batch)
+                if prev is not None:
+                    yield prev
+                prev = (batch, fut)
+            if prev is not None:
+                yield prev
+
+        try:
+            for batch, wire_fut in prepped(it):
+                with self.timers.stage("wire wait", units=len(batch)):
+                    wire = wire_fut.result()
+                transcribed.append(self._dispatch_transcribe(batch, wire=wire))
+                if len(transcribed) > depth:
+                    aligned.append(self._dispatch_align(transcribed.popleft(),
+                                                        return_matrix=rm))
+                while len(aligned) > 1:
+                    yield from self._collect_align(aligned.popleft())
+            while transcribed:
                 aligned.append(self._dispatch_align(transcribed.popleft(),
                                                     return_matrix=rm))
-            while len(aligned) > 1:
+                while len(aligned) > 1:
+                    yield from self._collect_align(aligned.popleft())
+            while aligned:
                 yield from self._collect_align(aligned.popleft())
-        while transcribed:
-            aligned.append(self._dispatch_align(transcribed.popleft(),
-                                                return_matrix=rm))
-            while len(aligned) > 1:
-                yield from self._collect_align(aligned.popleft())
-        while aligned:
-            yield from self._collect_align(aligned.popleft())
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
