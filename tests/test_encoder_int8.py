@@ -78,3 +78,40 @@ def test_pipeline_encoder_int8_smoke(tmp_path, setup):
         assert not r.skipped
         assert len(r.start_times) == len(r.words) - 1
         assert (np.diff(r.end_times) >= -1e-9).all()
+
+
+def test_cast_params_preserves_quantized_leaves(setup):
+    """Regression (ADVICE r03, medium): serve/transcribe cast params to the
+    compute dtype AFTER load-time quantization; a blanket astype destroyed the
+    int8 w8 leaves (silently degrading to a float dot) and bf16-rounded the
+    f32 scales. cast_params must keep w8 int8 and s f32, cast the rest, and
+    produce encoder states identical to quantize-after-cast."""
+    from whisper_char_alignment_tpu.cli import common
+
+    tok, dims, params = setup
+    q = wmodel.quantize_encoder_int8(params)
+    cast = common.cast_params(q, jnp.bfloat16)
+    blocks = cast["encoder"]["blocks"]
+    assert blocks["attn"]["q"]["w8"].dtype == jnp.int8
+    assert blocks["attn"]["q"]["s"].dtype == jnp.float32
+    assert blocks["mlp"]["fc1"]["w8"].dtype == jnp.int8
+    # non-quantized leaves did cast
+    assert cast["decoder"]["tok_emb"].dtype == jnp.bfloat16
+    # the quantized codes themselves are untouched by the cast (same w8/s
+    # bits — the cast must not re-derive them from rounded weights)
+    np.testing.assert_array_equal(
+        np.asarray(blocks["attn"]["q"]["w8"]),
+        np.asarray(q["encoder"]["blocks"]["attn"]["q"]["w8"]))
+    np.testing.assert_array_equal(
+        np.asarray(blocks["attn"]["q"]["s"]),
+        np.asarray(q["encoder"]["blocks"]["attn"]["q"]["s"]))
+    # and the encoder still runs the int8 path within the int8 error budget
+    # of the unquantized f32 forward (a destroyed w8 tree errors or diverges)
+    mel = jnp.asarray(np.random.default_rng(3).normal(
+        0, 1, (1, dims.n_mels, 2 * dims.n_audio_ctx)), jnp.float32)
+    exact = np.asarray(wmodel.encode_audio(params, dims, mel), np.float32)
+    got = np.asarray(wmodel.encode_audio(cast, dims, mel,
+                                         compute_dtype=jnp.bfloat16),
+                     np.float32)
+    rel = np.abs(got - exact).max() / (np.abs(exact).max() + 1e-9)
+    assert rel < 0.06, rel

@@ -88,7 +88,14 @@ def add_pipeline_flags(parser: argparse.ArgumentParser) -> None:
                              "transcript's decode steps; changes output order")
     parser.add_argument("--decode_kv_int8", action="store_true",
                         help="int8-quantize decode cross-attention K/V (halves "
-                             "the decode HBM stream; small accuracy risk)")
+                             "the decode HBM stream; small accuracy risk). On "
+                             "single-chip TPU this defaults to the int8-MXU "
+                             "attention (WCA_CROSS_ATTN=auto->mxu), which also "
+                             "row-quantizes q and the softmax probabilities: "
+                             "up to ~2.4%% relative error vs the dequant "
+                             "numerics in the diffuse-softmax worst case "
+                             "(scripts/verify_kernels_on_device.py); set "
+                             "WCA_CROSS_ATTN=xla for the round-2 dequant path")
     parser.add_argument("--decode_sample_len", type=int, default=0,
                         help="cap sampled decode steps per utterance (0 = "
                              "published default, n_text_ctx // 2)")
@@ -133,6 +140,28 @@ def load_model_and_tokenizer(args) -> Tuple[dict, ModelDims, WhisperTokenizer]:
     tok = get_tokenizer(multilingual, language="English",
                         tokenizer_dir=args.tokenizer_dir)
     return _maybe_quantize(params, args), dims, tok
+
+
+def cast_params(params, dtype):
+    """Compute-dtype cast that PRESERVES the int8 quantized encoder leaves.
+
+    A blanket ``astype(dtype)`` silently destroys ``quantize_encoder_int8``'s
+    pytree: the int8 ``w8`` weights become float (the dense layer still routes
+    via the 'w8' key, so the dot runs a degraded float path instead of the
+    advertised int8-MXU one) and the f32 ``s`` scales pick up bf16 rounding
+    drift (ADVICE r03, medium). Integer leaves keep their dtype; 's' scale
+    leaves stay f32; everything else casts to ``dtype``.
+    """
+    import jax.tree_util as jtu
+
+    def cast(path, x):
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return x
+        if path and isinstance(path[-1], jtu.DictKey) and path[-1].key == "s":
+            return x  # quantization scales: keep f32
+        return x.astype(dtype)
+
+    return jtu.tree_map_with_path(cast, params)
 
 
 def _maybe_quantize(params, args):

@@ -188,7 +188,7 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
     params, dims, tok = common.load_model_and_tokenizer(args)
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
-    params = jax.tree.map(lambda x: x.astype(dtype), params)
+    params = common.cast_params(params, dtype)  # int8 leaves survive the cast
     name = "tiny-test" if args.test_model else args.model
     model = api.Model(params=params, dims=dims, tokenizer=tok, name=name)
     if args.warmup:

@@ -75,7 +75,7 @@ def main(argv=None) -> int:
     args = parse_args(argv)
     params, dims, tok = common.load_model_and_tokenizer(args)
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
-    params = jax.tree.map(lambda x: x.astype(dtype), params)
+    params = common.cast_params(params, dtype)  # int8 leaves survive the cast
 
     # published CLI: the fallback ladder climbs from --temperature by
     # --temperature_increment_on_fallback up to 1.0

@@ -283,7 +283,15 @@ def _conv1d(p, x, stride):
 
 def _cross_attn_mode() -> str:
     """Decode cross-attention implementation for int8 K/V (WCA_CROSS_ATTN).
-    Only consulted when the K/V are quantized (cfg.decode_kv_int8):
+    Only consulted when the K/V are quantized (cfg.decode_kv_int8).
+
+    NOTE (ADVICE r03): "auto" resolves to "mxu" on single-chip TPU, which
+    adds q- and probability-row quantization ON TOP of the K/V quantization —
+    up to ~2.4% relative error vs the "xla" dequant numerics in the
+    diffuse-softmax worst case (scripts/verify_kernels_on_device.py). This is
+    a deliberate perf default for an already-not-parity-true opt-in flag; it
+    is documented in the --decode_kv_int8 CLI help, and WCA_CROSS_ATTN=xla
+    restores the round-2 dequant numerics exactly.
 
     - "mxu": int8 MXU matmuls — q and the v-scaled probabilities are
       quantized per-row so BOTH dots consume the int8 tensors directly from
