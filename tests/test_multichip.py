@@ -89,3 +89,36 @@ def test_pipeline_with_mesh(eight_devices, tmp_path):
     assert len(res) == 3
     for r in res:
         assert len(r.start_times) == len(r.end_times)
+
+
+def test_pipeline_tensor_parallel_matches_single_device(eight_devices, tmp_path):
+    """VERDICT r03 #2: the PRODUCTION pipeline on a (4x2) (data, model) mesh —
+    tensor-parallel weight layout via parallel/mesh.py::shard_params — must be
+    bit-equal to the single-device pipeline on the same corpus."""
+    from tests.test_pipeline_e2e import make_timit_fixture
+    from whisper_char_alignment_tpu.data.dataset import TIMIT
+    from whisper_char_alignment_tpu.runner import AlignmentPipeline
+    from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+
+    scp = make_timit_fixture(str(tmp_path), n_utts=4, seconds=0.5)
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=32, n_text_ctx=32,
+                          state=16, head=2, layers=2)
+    params = wmodel.init_params(jax.random.PRNGKey(1), dims)
+    cfg = AlignConfig.recommended(topk=2, batch_size=4,
+                                  use_gt_transcript=True,
+                                  decode_sample_len=4)
+
+    def run(mesh):
+        pipe = AlignmentPipeline(params, dims, tok, cfg, mesh=mesh)
+        return list(pipe.run_dataset(TIMIT(scp), progress=False))
+
+    ref = run(None)
+    mesh = mesh_lib.make_mesh(4, n_model=2)
+    assert mesh.shape == {"data": 4, "model": 2}
+    got = run(mesh)
+    assert len(got) == len(ref) == 4
+    for a, b in zip(ref, got):
+        assert a.fid == b.fid and a.words == b.words
+        np.testing.assert_array_equal(a.start_times, b.start_times)
+        np.testing.assert_array_equal(a.end_times, b.end_times)

@@ -78,6 +78,12 @@ def add_pipeline_flags(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--batch_size", type=int, default=8)
     parser.add_argument("--data_parallel", type=int, default=0,
                         help="devices on the batch mesh axis (0 = all)")
+    parser.add_argument("--tensor_parallel", type=int, default=0,
+                        help="devices on the 'model' mesh axis: shards "
+                             "q/k/v + fc1 weight columns and out/fc2 rows "
+                             "(the multichip-dryrun layout, parity-exact). "
+                             "Use when per-chip HBM is the constraint "
+                             "(large-v3); 0/1 = off")
     parser.add_argument("--decode_frame_bucket", type=int, default=0,
                         help="bucket decode cross-attention K/V to the batch's "
                              "true frames rounded up to this multiple (0 = full "

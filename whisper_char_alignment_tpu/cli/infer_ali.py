@@ -32,7 +32,9 @@ def infer_dataset(args) -> dict:
 
     params, dims, tok = common.load_model_and_tokenizer(args)
     cfg = common.config_from_args(args)
-    mesh = make_mesh(args.data_parallel or None) if args.data_parallel >= 0 else None
+    tp = max(1, getattr(args, "tensor_parallel", 0))
+    mesh = (make_mesh(args.data_parallel or None, n_model=tp)
+            if args.data_parallel >= 0 or tp > 1 else None)
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     pipe = AlignmentPipeline(params, dims, tok, cfg, mesh=mesh,
                              compute_dtype=dtype)

@@ -184,6 +184,11 @@ class AlignConfig:
     checkpoint: Optional[str] = None  # path to .pt/.safetensors/.npz weights
     tokenizer_dir: Optional[str] = None  # dir with vocab/merges assets
     data_parallel: int = 1  # devices on the batch mesh axis
+    # devices on the 'model' mesh axis (tensor parallelism: q/k/v + fc1 weight
+    # columns and out/fc2 rows sharded; 0/1 = off). The lever for models whose
+    # per-chip HBM budget gates cross-K/V reuse off (large-v3 — DESIGN.md);
+    # parity-exact vs single-device (tests/test_multichip.py)
+    tensor_parallel: int = 0
     # opt-in decode speedup: bucket cross-attention K/V to the batch's true
     # frame count rounded up to this multiple (0 = attend over the full padded
     # 30 s window, exactly like the reference)

@@ -1,10 +1,13 @@
-"""Device mesh + sharding helpers (data parallelism over utterances).
+"""Device mesh + sharding helpers (data and tensor parallelism).
 
 The reference has no parallelism at all (SURVEY.md §2c: batch_size=1, single
-device). Here the batch axis is the one semantically-meaningful parallel axis:
-a 1-D mesh over ICI, inputs sharded on axis 0, params replicated — XLA partitions
-every jitted step (mel, decode, teacher-forced capture, DTW) across chips with no
-code changes, and metric counters reduce with ``psum`` where they live on device.
+device). Here the batch axis is the primary parallel axis: a mesh over ICI,
+inputs sharded on axis 0, params replicated — XLA partitions every jitted step
+(mel, decode, teacher-forced capture, DTW) across chips with no code changes,
+and metric counters reduce with ``psum`` where they live on device. An optional
+'model' axis additionally shards the attention/FFN weight columns (tensor
+parallelism — the lever for large-v3, where per-chip HBM gates cross-K/V reuse
+off and the teacher-forced forward dominates; docs/DESIGN.md round-4 note).
 """
 
 from __future__ import annotations
@@ -16,14 +19,32 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def make_mesh(n_data: Optional[int] = None) -> Mesh:
+def make_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
+    """(data,) mesh, or (data, model) when ``n_model > 1``.
+
+    The 1-D shape is kept for the pure-data-parallel case so every existing
+    caller/cache key is unchanged; ``P('data', ...)`` specs work on both.
+    """
     # under a multi-process (jax.distributed) run, each process builds a mesh
     # over its OWN devices: data parallelism across processes happens by scp
     # sharding (cli/infer_ali --multihost), not by a global mesh
     devices = (jax.local_devices() if jax.process_count() > 1
                else jax.devices())
-    n = n_data or len(devices)
-    return Mesh(np.array(devices[:n]), ("data",))
+    n_model = max(1, n_model)
+    if n_model == 1:
+        n = n_data or len(devices)
+        return Mesh(np.array(devices[:n]), ("data",))
+    n = n_data or len(devices) // n_model
+    if n * n_model > len(devices):
+        raise ValueError(f"mesh ({n}x{n_model}) needs {n * n_model} devices, "
+                         f"have {len(devices)}")
+    return Mesh(np.array(devices[:n * n_model]).reshape(n, n_model),
+                ("data", "model"))
+
+
+def data_size(mesh: Mesh) -> int:
+    """Devices on the batch ('data') axis — the batch-padding multiple."""
+    return mesh.shape.get("data", mesh.devices.size)
 
 
 def shard_batch(tree, mesh: Mesh):
@@ -38,6 +59,37 @@ def replicate(tree, mesh: Mesh):
     """Replicate params across the mesh."""
     return jax.tree.map(
         lambda x: jax.device_put(x, NamedSharding(mesh, P())), tree)
+
+
+def tensor_parallel_spec(path, x) -> P:
+    """Weight PartitionSpec for the 'model' axis (the layout proven parity-
+    exact by ``__graft_entry__.dryrun_multichip`` since round 2): q/k/v and
+    fc1 split on OUTPUT columns (each chip computes its head/FFN slice with
+    no collective), out-proj and fc2 split on INPUT rows (XLA inserts one
+    all-reduce per block after each); everything else — convs, layer norms,
+    embeddings, biases — replicated. Stacked (L, d_in, d_out) layout."""
+    names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+    if "attn" in names or "cross_attn" in names:
+        if "w" in names and names[-2] in ("q", "k", "v"):
+            return P(None, None, "model")
+        if "w" in names and names[-2] == "out":
+            return P(None, "model", None)
+    if "mlp" in names and "w" in names:
+        if "fc1" in names:
+            return P(None, None, "model")
+        if "fc2" in names:
+            return P(None, "model", None)
+    return P()
+
+
+def shard_params(tree, mesh: Mesh):
+    """Lay out the weight pytree for the mesh: tensor-parallel over a >1
+    'model' axis, plain replication otherwise."""
+    if "model" not in mesh.axis_names or mesh.shape["model"] == 1:
+        return replicate(tree, mesh)
+    return jax.tree_util.tree_map_with_path(
+        lambda path, x: jax.device_put(
+            x, NamedSharding(mesh, tensor_parallel_spec(path, x))), tree)
 
 
 def pad_to_multiple(n: int, m: int) -> int:

@@ -245,7 +245,11 @@ class AlignmentPipeline:
             # through the int8-MXU path — no signature changes downstream
             params = wmodel_mod.quantize_encoder_int8(params)
         if mesh is not None:
-            params = mesh_lib.replicate(params, mesh)
+            # replicated on a pure-data mesh; tensor-parallel weight layout
+            # (q/k/v/fc1 columns, out/fc2 rows on 'model') when the mesh has
+            # a >1 model axis — the exact spec the multichip dryrun proves
+            # parity-exact (parallel/mesh.py::tensor_parallel_spec)
+            params = mesh_lib.shard_params(params, mesh)
         self.params = params
         self.sot_len = len(tokenizer.sot_sequence)
         self.options = decoding.DecodingOptions(
@@ -271,10 +275,11 @@ class AlignmentPipeline:
         return mesh_lib.shard_batch(tree, self.mesh)
 
     def _pad_batch(self, n: int) -> int:
-        """Pad the batch count to a full batch (and a mesh multiple)."""
+        """Pad the batch count to a full batch (and a data-axis multiple —
+        a 'model' axis shards weights, not the batch)."""
         b = self.cfg.batch_size
         if self.mesh is not None:
-            b = max(b, self.mesh.devices.size)
+            b = max(b, mesh_lib.data_size(self.mesh))
         return b
 
     # -- stages ---------------------------------------------------------------
