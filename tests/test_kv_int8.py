@@ -91,3 +91,104 @@ def test_int8_decode_runs_and_is_close(setup):
     for a, b in zip(base, q):
         if a.tokens and b.tokens:
             assert a.tokens[0] == b.tokens[0]
+
+
+# ---------------------------------------------------------------------------
+# guarded int8 mode (VERDICT r03 #4): margin-tracked decode + exact re-decode
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def guard_setup():
+    """A wider batch so the guard's per-row merge is exercised."""
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=32, n_text_ctx=48,
+                          state=16, head=2, layers=2)
+    params = wmodel.init_params(jax.random.PRNGKey(3), dims)
+    mel = np.random.default_rng(3).normal(
+        0, 1, (8, dims.n_mels, 2 * dims.n_audio_ctx)).astype(np.float32)
+    opts = decoding.DecodingOptions(language="en", sample_len=16)
+    return tok, dims, params, jnp.asarray(mel), opts
+
+
+def _token_lists(results):
+    return [r.tokens for r in results]
+
+
+def test_guard_all_flagged_equals_exact(guard_setup):
+    """guard=inf flags every row -> the merged output must be BIT-identical to
+    the un-quantized decode (transcripts, sum_logprobs, no_speech_probs): the
+    re-decode + np.where merge path end to end."""
+    tok, dims, params, mel, opts = guard_setup
+    exact = decoding.decode(params, dims, tok, mel, opts)
+    guarded = decoding.decode(params, dims, tok, mel, opts, kv_int8_guard=1e9)
+    assert _token_lists(exact) == _token_lists(guarded)
+    for a, b in zip(exact, guarded):
+        np.testing.assert_allclose(a.avg_logprob, b.avg_logprob, rtol=1e-6)
+        np.testing.assert_allclose(a.no_speech_prob, b.no_speech_prob,
+                                   rtol=1e-6)
+
+
+def test_guard_zero_equals_plain_int8(guard_setup):
+    """guard=0 flags nothing -> identical to the plain int8 path (the margin
+    tracking itself must not perturb the decode)."""
+    tok, dims, params, mel, opts = guard_setup
+    plain = decoding.decode(params, dims, tok, mel, opts, kv_int8=True)
+    guarded = decoding.decode(params, dims, tok, mel, opts, kv_int8_guard=0.0)
+    assert _token_lists(plain) == _token_lists(guarded)
+
+
+def test_guard_async_future_matches_sync(guard_setup):
+    """The production pipeline consumes guarded decodes through DecodeFuture;
+    a triggered re-decode at .result() time must give the sync answer."""
+    tok, dims, params, mel, opts = guard_setup
+    sync = decoding.decode(params, dims, tok, mel, opts, kv_int8_guard=1e9)
+    fut = decoding.decode(params, dims, tok, mel, opts, kv_int8_guard=1e9,
+                          async_results=True)
+    assert _token_lists(sync) == _token_lists(fut.result())
+
+
+def test_guard_catches_injected_quantization_flips(guard_setup, monkeypatch):
+    """Oracle test for the guard itself. The natural int8 half-step error is
+    far below this tiny model's margins (no flips observed even at 3-bit
+    resolution), so inject a deliberately destructive TERNARY quantizer
+    (values in {-1, 0, 1}, ~127x the error) through the same
+    precompute_cross_kv seam the decode loop traces. The ternary path flips
+    every transcript in the batch; the guarded decode under the SAME
+    quantizer must be transcript-identical to the exact path, because every
+    flip happens at a sampled step whose top1-top2 margin (measured <=0.01
+    here) is far below the guard."""
+    tok, dims, params, mel, opts = guard_setup
+    exact = decoding.decode(params, dims, tok, mel, opts)
+
+    orig = wmodel.precompute_cross_kv
+
+    def coarse(params_, dims_, xa, compute_dtype=jnp.float32, quantize=False):
+        if not quantize:
+            return orig(params_, dims_, xa, compute_dtype)
+        ks, vs = orig(params_, dims_, xa, compute_dtype)
+
+        def quant(x):
+            amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=3,
+                           keepdims=True)
+            scale = jnp.where(amax == 0, 1.0, amax)
+            q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -1, 1)
+            return q.astype(jnp.int8), scale
+
+        return quant(ks), quant(vs)
+
+    monkeypatch.setattr(wmodel, "precompute_cross_kv", coarse)
+    # the loop binds precompute_cross_kv at TRACE time: drop cached traces so
+    # the coarse quantizer is actually compiled in (and again after, so later
+    # tests don't run the coarse path from this cache)
+    decoding._decode_loop.clear_cache()
+    try:
+        plain = decoding.decode(params, dims, tok, mel, opts, kv_int8=True)
+        guarded = decoding.decode(
+            params, dims, tok, mel, opts,
+            kv_int8_guard=decoding.default_guard_margin())
+    finally:
+        monkeypatch.undo()
+        decoding._decode_loop.clear_cache()
+    flipped = sum(a.tokens != b.tokens for a, b in zip(exact, plain))
+    assert flipped >= 1, "coarse quantizer was expected to flip a transcript"
+    assert _token_lists(guarded) == _token_lists(exact)

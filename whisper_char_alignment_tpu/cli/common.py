@@ -102,6 +102,12 @@ def add_pipeline_flags(parser: argparse.ArgumentParser) -> None:
                              "numerics in the diffuse-softmax worst case "
                              "(scripts/verify_kernels_on_device.py); set "
                              "WCA_CROSS_ATTN=xla for the round-2 dequant path")
+    parser.add_argument("--decode_kv_int8_guarded", action="store_true",
+                        help="int8 K/V decode with a transcript-parity guard: "
+                             "each step's top1-top2 logit margin is tracked "
+                             "and any utterance whose min margin falls below "
+                             "the bound (WCA_KV_INT8_GUARD_MARGIN) is "
+                             "re-decoded exactly, reusing its encoder states")
     parser.add_argument("--decode_sample_len", type=int, default=0,
                         help="cap sampled decode steps per utterance (0 = "
                              "published default, n_text_ctx // 2)")

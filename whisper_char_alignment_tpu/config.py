@@ -196,6 +196,12 @@ class AlignConfig:
     # opt-in decode speedup: int8-quantized cross-attention K/V (halves the
     # decode loop's HBM stream; small transcript-accuracy risk)
     decode_kv_int8: bool = False
+    # guarded variant (VERDICT r03 #4): decode with int8 K/V while tracking
+    # each sampled step's top1-top2 filtered-logit margin; utterances whose
+    # minimum margin falls below the calibrated guard re-decode exactly
+    # (encoder skipped via the saved states) — most of the int8 decode win
+    # with transcript parity (oracle-tested in tests/test_kv_int8.py)
+    decode_kv_int8_guarded: bool = False
     # opt-in encoder speedup: per-channel int8 encoder projections/MLP on the
     # int8 MXU path (2x matmul throughput; NOT parity-true — perturbs the
     # encoder states at the ~1% quantization level)

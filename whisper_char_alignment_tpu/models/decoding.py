@@ -143,7 +143,8 @@ def apply_logit_filters(logits, cur_len, tokens, has_ts, last_ts_tok,
 @functools.partial(jax.jit, static_argnames=(
     "dims", "sample_begin", "max_steps", "ts_begin", "eot", "no_timestamps",
     "no_speech", "max_initial_ts_index", "use_timestamps", "compute_dtype",
-    "kv_frames", "kv_int8", "sot_index", "attn_mode", "cross_mode"))
+    "kv_frames", "kv_int8", "sot_index", "attn_mode", "cross_mode",
+    "track_margin"))
 def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
                  *, sample_begin: int, max_steps: int, ts_begin: int, eot: int,
                  no_timestamps: int, no_speech: int,
@@ -151,20 +152,28 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
                  use_timestamps: bool, compute_dtype=jnp.float32,
                  kv_frames: Optional[int] = None, kv_int8: bool = False,
                  sot_index: int = 0, attn_mode: str = "xla",
-                 cross_mode: str = "xla"):
+                 cross_mode: str = "xla", track_margin: bool = False,
+                 xa_in=None):
     """Returns (tokens (B, total), sum_logprobs (B,), no_speech_probs (B,),
     n_steps (scalar: body iterations executed), xa (B, n_audio_ctx, d),
-    cross_kv). xa is the UNSLICED encoder states even when kv_frames trims the
-    K/V; cross_kv is the per-layer cross K/V exactly as the loop used it
-    (sliced/quantized under kv_frames/kv_int8 — reusable by the teacher-forced
-    capture pass only in the parity-true full-frame f32/bf16 configuration)."""
+    cross_kv, min_margin (B,)). xa is the UNSLICED encoder states even when
+    kv_frames trims the K/V; cross_kv is the per-layer cross K/V exactly as
+    the loop used it (sliced/quantized under kv_frames/kv_int8 — reusable by
+    the teacher-forced capture pass only in the parity-true full-frame
+    f32/bf16 configuration). With ``track_margin`` each sampled step's
+    top1-top2 filtered-logit gap is tracked and min_margin is the smallest
+    over the utterance's sampled steps (+inf otherwise) — the guarded-int8
+    re-decode trigger. ``xa_in`` supplies precomputed encoder states so a
+    guarded re-decode skips the encoder pass."""
     b = mel.shape[0]
     n_vocab = dims.n_vocab
     total = sample_begin + max_steps
     vocab_ids = jnp.arange(n_vocab)
 
-    xa = wmodel.encode_audio(params, dims, mel, compute_dtype=compute_dtype,
-                             attn_mode=attn_mode)
+    xa = (xa_in if xa_in is not None
+          else wmodel.encode_audio(params, dims, mel,
+                                   compute_dtype=compute_dtype,
+                                   attn_mode=attn_mode))
     xa_kv = xa
     if kv_frames is not None and kv_frames < xa.shape[1]:
         # opt-in: attend only to the first kv_frames encoder positions. The
@@ -192,11 +201,11 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
             use_timestamps=use_timestamps)
 
     def cond(state):
-        i, _, _, finished, _, _, _, _ = state
-        return (i < total) & ~jnp.all(finished)
+        return (state[0] < total) & ~jnp.all(state[3])
 
     def body(state):
-        i, tokens, cache, finished, sum_lp, has_ts, last_ts_tok, ns_prob = state
+        (i, tokens, cache, finished, sum_lp, has_ts, last_ts_tok, ns_prob,
+         min_margin) = state
         tok_in = jax.lax.dynamic_slice(tokens, (0, i - 1), (b, 1))
         logits, cache = wmodel.decode_step(params, dims, tok_in, i - 1, cache,
                                            cross_kv, compute_dtype=compute_dtype,
@@ -212,6 +221,14 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
         is_prompt = i < sample_begin
         filtered = apply_filters(logits, i, tokens, has_ts, last_ts_tok)
         next_sampled = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
+        if track_margin:
+            # top1-top2 gap of the row the argmax decided on: the distance a
+            # logit perturbation must exceed to flip this step's token
+            top2, _ = jax.lax.top_k(filtered.astype(jnp.float32), 2)
+            margin = top2[:, 0] - top2[:, 1]
+            active = ~is_prompt & ~finished
+            min_margin = jnp.where(active,
+                                   jnp.minimum(min_margin, margin), min_margin)
         # greedy picks the max, so its log-softmax value is max - logsumexp:
         # two row reductions instead of materializing (B, V) logprobs + gather
         max_lp = filtered.max(axis=-1)
@@ -227,19 +244,20 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
         tokens = jax.lax.dynamic_update_slice(
             tokens, next_tok[:, None], (0, jnp.minimum(i, total - 1)))
         return (i + 1, tokens, cache, new_finished, sum_lp, has_ts, last_ts_tok,
-                ns_prob)
+                ns_prob, min_margin)
 
     state = (jnp.int32(1), tokens0, cache, jnp.zeros((b,), bool),
              jnp.zeros((b,), jnp.float32), jnp.zeros((b,), bool),
-             jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.float32))
+             jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.float32),
+             jnp.full((b,), jnp.inf, jnp.float32))
     # consume the first prompt token outside the loop to fill position 0's cache —
     # handled inside the loop by starting at i=1 after seeding tokens0
-    i, tokens, cache, finished, sum_lp, has_ts, last_ts_tok, ns_prob = (
-        jax.lax.while_loop(cond, body, state))
+    (i, tokens, cache, finished, sum_lp, has_ts, last_ts_tok, ns_prob,
+     min_margin) = jax.lax.while_loop(cond, body, state)
     # xa (unsliced) and cross_kv ride along so callers can reuse the encoder
     # states AND the per-layer cross K/V projections for the teacher-forced QK
     # capture without recomputing either
-    return tokens, sum_lp, ns_prob, i - 1, xa, cross_kv
+    return tokens, sum_lp, ns_prob, i - 1, xa, cross_kv, min_margin
 
 
 class DecodeFuture:
@@ -267,11 +285,28 @@ class DecodeFuture:
         return self._results
 
 
+# Default min-margin threshold for the guarded int8 K/V mode (logit units).
+# An utterance re-decodes exactly unless EVERY sampled step's top1-top2
+# filtered-logit gap exceeds this. tests/test_kv_int8.py calibrates the actual
+# teacher-forced logit perturbation of int8 K/V and asserts guarded decode is
+# transcript-identical to the exact path; override via
+# WCA_KV_INT8_GUARD_MARGIN when a deployment has measured its own bound.
+DEFAULT_KV_INT8_GUARD_MARGIN = 2.0
+
+
+def default_guard_margin() -> float:
+    import os
+
+    return float(os.environ.get("WCA_KV_INT8_GUARD_MARGIN",
+                                DEFAULT_KV_INT8_GUARD_MARGIN))
+
+
 def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
            options: Optional[DecodingOptions] = None,
            compute_dtype=jnp.float32,
            kv_frames: Optional[int] = None,
            kv_int8: bool = False,
+           kv_int8_guard: Optional[float] = None,
            return_xa: bool = False,
            return_cross_kv: bool = False,
            async_results: bool = False,
@@ -387,14 +422,14 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         # cross-K/V reuse gate) instead of crashing a pipeline that combines
         # decode_frame_bucket/kv_int8 with beam/sampling options. Loud so a
         # perf A/B doesn't silently measure the wrong path.
-        if kv_frames is not None or kv_int8:
+        if kv_frames is not None or kv_int8 or kv_int8_guard is not None:
             import warnings
 
             warnings.warn(
                 "kv_frames / kv_int8 are greedy-decode-only speedups; "
                 "falling back to the full-window un-quantized path for "
                 "beam/sampling decoding", stacklevel=2)
-        kv_frames, kv_int8 = None, False
+        kv_frames, kv_int8, kv_int8_guard = None, False, None
         from . import beam as beam_mod
 
         langs = (detected_langs if detected_langs is not None
@@ -410,24 +445,54 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
             single=single, return_xa=return_xa,
             return_cross_kv=return_cross_kv, async_results=async_results)
 
-    tokens_d, sum_lp_d, ns_prob_d, n_steps_d, xa, cross_kv = _decode_loop(
-        params, dims, jnp.asarray(mel), jnp.asarray(prompt_arr),
-        jnp.asarray(suppress_mask), jnp.asarray(blank_mask),
+    if kv_int8_guard is not None:
+        kv_int8 = True  # the guard is a mode of the int8 path
+    loop_kwargs = dict(
         sample_begin=sample_begin, max_steps=sample_len,
         ts_begin=tokenizer.timestamp_begin, eot=tokenizer.eot,
         no_timestamps=tokenizer.no_timestamps, no_speech=tokenizer.no_speech,
         max_initial_ts_index=max_initial_ts_index,
         use_timestamps=not options.without_timestamps,
-        compute_dtype=compute_dtype, kv_frames=kv_frames, kv_int8=kv_int8,
-        sot_index=sot_index,
+        compute_dtype=compute_dtype, sot_index=sot_index,
         # kernel-mode env flags resolve here, outside the jit, and key the trace
-        attn_mode=wmodel._encoder_attn_mode(),
-        # cross_mode only matters for quantized K/V — keep it a constant
-        # otherwise so flipping WCA_CROSS_ATTN cannot force a spurious
-        # recompile of the un-quantized loop
-        cross_mode=wmodel._cross_attn_mode() if kv_int8 else "xla")
+        attn_mode=wmodel._encoder_attn_mode())
+    mel_j = jnp.asarray(mel)
+    prompt_j = jnp.asarray(prompt_arr)
+    suppress_j = jnp.asarray(suppress_mask)
+    blank_j = jnp.asarray(blank_mask)
+    tokens_d, sum_lp_d, ns_prob_d, n_steps_d, xa, cross_kv, margin_d = \
+        _decode_loop(
+            params, dims, mel_j, prompt_j, suppress_j, blank_j,
+            kv_frames=kv_frames, kv_int8=kv_int8,
+            track_margin=kv_int8_guard is not None,
+            # cross_mode only matters for quantized K/V — keep it a constant
+            # otherwise so flipping WCA_CROSS_ATTN cannot force a spurious
+            # recompile of the un-quantized loop
+            cross_mode=wmodel._cross_attn_mode() if kv_int8 else "xla",
+            **loop_kwargs)
 
-    def finalize(tokens, sum_lp, ns_prob, n_steps):
+    def redecode_exact(flagged):
+        """Guarded int8: exact re-decode (skipping the encoder via the saved
+        xa) for the whole batch; callers merge only the flagged rows."""
+        et, es, en, _, _, _, _ = _decode_loop(
+            params, dims, mel_j, prompt_j, suppress_j, blank_j,
+            kv_frames=kv_frames, kv_int8=False, xa_in=xa, cross_mode="xla",
+            **loop_kwargs)
+        return np.asarray(et), np.asarray(es), np.asarray(en)
+
+    def finalize(tokens, sum_lp, ns_prob, n_steps, margin=None):
+        if margin is not None and kv_int8_guard is not None:
+            # any utterance whose smallest sampled-step top1-top2 margin is
+            # below the guard could have had a token flipped by the K/V
+            # quantization error: re-decode those rows exactly. Rows above
+            # the guard keep the int8 transcript (their every step's decision
+            # had more headroom than the calibrated perturbation bound).
+            flagged = margin < kv_int8_guard
+            if flagged.any():
+                et, es, en = redecode_exact(flagged)
+                tokens = np.where(flagged[:, None], et, tokens)
+                sum_lp = np.where(flagged, es, sum_lp)
+                ns_prob = np.where(flagged, en, ns_prob)
         n_steps = int(n_steps)
         results = []
         for k in range(tokens.shape[0]):
@@ -449,11 +514,15 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
                 compression_ratio=ratio, n_steps=n_steps))
         return results[0] if single else results
 
+    arrays = (tokens_d, sum_lp_d, ns_prob_d, n_steps_d)
+    if kv_int8_guard is not None:
+        arrays = arrays + (margin_d,)
     if async_results:
-        out = DecodeFuture((tokens_d, sum_lp_d, ns_prob_d, n_steps_d), finalize)
+        # in guarded mode a triggered re-decode runs at .result() time — the
+        # pipeline's dispatch stays sync-free either way
+        out = DecodeFuture(arrays, finalize)
     else:
-        out = finalize(np.asarray(tokens_d), np.asarray(sum_lp_d),
-                       np.asarray(ns_prob_d), np.asarray(n_steps_d))
+        out = finalize(*[np.asarray(a) for a in arrays])
     if return_cross_kv:
         return out, xa, cross_kv
     return (out, xa) if return_xa else out

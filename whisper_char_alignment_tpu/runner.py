@@ -358,7 +358,9 @@ class AlignmentPipeline:
         # 3 x 4.7 GB OOM'd in round 2). Override via WCA_REUSE_KV_MAX_BYTES.
         n_live = max(1, self.cfg.pipeline_depth) + 1
         reuse_kv = (self.cfg.reuse_cross_kv and kv_frames is None
-                    and not self.cfg.decode_kv_int8 and self.mesh is None
+                    and not self.cfg.decode_kv_int8
+                    and not self.cfg.decode_kv_int8_guarded
+                    and self.mesh is None
                     and _cross_kv_bytes(self.dims, b_pad, self.compute_dtype)
                     * n_live
                     <= int(float(os.environ.get("WCA_REUSE_KV_MAX_BYTES",
@@ -373,7 +375,11 @@ class AlignmentPipeline:
                 future, xa = decoding.decode(
                     self.params, self.dims, self.tokenizer, mel, self.options,
                     compute_dtype=self.compute_dtype, kv_frames=kv_frames,
-                    kv_int8=self.cfg.decode_kv_int8,
+                    kv_int8=(self.cfg.decode_kv_int8
+                             or self.cfg.decode_kv_int8_guarded),
+                    kv_int8_guard=(decoding.default_guard_margin()
+                                   if self.cfg.decode_kv_int8_guarded
+                                   else None),
                     return_xa=True, async_results=True)
                 cross_kv = None
         return dict(utts=utts, future=future, mel=mel, xa=xa,
