@@ -75,7 +75,7 @@ def main():
             "--hit_within", str(min(10, dims.n_text_layer * dims.n_text_head)),
             "--batch_size", str(BATCH), "--use_gt_transcript",
             "--decode_sample_len", str(DECODE_LEN),
-            "--compute_dtype", "bfloat16"]
+            "--compute_dtype", "bfloat16", "--profile"]
     args = probe_oracle.parse_args(argv)
 
     # the probe CLI prints its per-run results dict to stdout; this script's

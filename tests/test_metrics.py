@@ -97,3 +97,28 @@ def test_dtw_timestamp_identical():
 def test_count_transitions():
     c, pos = metrics.count_transitions([0, 0, 1, 1, 0])
     assert c == 2 and pos == [2, 4]
+
+
+def test_eval_n1_strict_many_equals_loop():
+    """The probe's vectorized per-head strict eval must equal row-by-row
+    eval_n1_strict exactly (same greedy claim order), including repeated
+    words, out-of-tolerance preds, and pred/gt length mismatches."""
+    import numpy as np
+    from whisper_char_alignment_tpu.align.metrics import (eval_n1_strict,
+                                                          eval_n1_strict_many)
+
+    rng = np.random.default_rng(7)
+    words = "the cat sat on the mat the end".split()
+    gts = np.cumsum(rng.uniform(0.1, 0.5, len(words)))
+    for n_pred_words, n_sets in [(len(words), 40), (5, 17), (11, 8), (0, 3)]:
+        words_hat = (words * 2)[:n_pred_words]
+        y_hat_many = rng.uniform(0, gts[-1] + 0.5,
+                                 (n_sets, max(n_pred_words, 1)))
+        if n_pred_words == 0:
+            y_hat_many = y_hat_many[:, :0]
+        tp_v, fp_v, fn_v = eval_n1_strict_many(gts, y_hat_many, words,
+                                               words_hat, tolerance=0.2)
+        for s in range(n_sets):
+            tp, fp, fn = eval_n1_strict(gts, y_hat_many[s], words, words_hat,
+                                        tolerance=0.2)
+            assert (tp, fp, fn) == (tp_v[s], fp_v[s], fn_v[s]), s

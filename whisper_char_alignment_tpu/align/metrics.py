@@ -90,6 +90,45 @@ def eval_n1_strict(y, y_hat, words, words_hat, tolerance=1):
     return tp, fp, fn
 
 
+def eval_n1_strict_many(y, y_hat_many, words, words_hat, tolerance=1):
+    """Vectorized :func:`eval_n1_strict` over MANY prediction sets sharing one
+    word list (the probe's per-head sweep: 384 candidate boundary sets per
+    utterance, identical transcript). Returns (tp, fp, fn) int arrays of shape
+    (n_sets,). Bit-equivalent to looping eval_n1_strict row by row (tested):
+    the greedy claim scan runs over predictions in order, each claiming the
+    FIRST unclaimed word-matching ground truth within tolerance — here as
+    n_pred NumPy steps over (n_sets, n_gt) masks instead of
+    n_sets * n_pred * n_gt Python iterations."""
+    import numpy as np
+
+    gt_words = _normalize_words(words)
+    pred_words = _normalize_words(words_hat)
+    yh = np.asarray(y_hat_many, np.float64)
+    if yh.ndim == 1:
+        yh = yh[None]
+    n_sets = yh.shape[0]
+    gt_t = np.asarray(y, np.float64)
+    n_gt = len(gt_t)
+    n_pred = min(len(pred_words), yh.shape[1])
+    claimed = np.zeros((n_sets, n_gt), bool)
+    tp = np.zeros((n_sets,), np.int64)
+    # word-identity match is prediction-set-independent
+    match = np.array([[gw == pw for gw in gt_words] for pw in pred_words],
+                     bool) if n_gt else np.zeros((len(pred_words), 0), bool)
+    for i in range(n_pred):
+        if n_gt == 0:
+            break
+        ok = (~claimed & match[i][None, :]
+              & (np.abs(gt_t[None, :] - yh[:, i:i + 1]) <= tolerance))
+        any_ok = ok.any(axis=1)
+        first = ok.argmax(axis=1)  # first eligible gt index per set
+        claimed[np.arange(n_sets)[any_ok], first[any_ok]] = True
+        tp += any_ok
+    fp = yh.shape[1] - tp
+    fn = n_gt - claimed.sum(axis=1)
+    return tp, fp, fn
+
+
 def get_seg_metrics(correct_predict, correct_retrieve, total_predict, total_gold):
     """Precision / recall / F1 / R-value (reference: metrics.py:74-86).
 

@@ -35,7 +35,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..align import timing
-from ..align.metrics import eval_n1, eval_n1_strict, get_seg_metrics
+from ..align.metrics import (eval_n1, eval_n1_strict, eval_n1_strict_many,
+                             get_seg_metrics)
 from ..constants import AUDIO_SAMPLES_PER_TOKEN, MAX_FRAMES, MAX_LENGTH
 from ..data.dataset import DATASETS
 from ..parallel import distributed, mesh as mesh_lib
@@ -43,7 +44,8 @@ from ..runner import AlignmentPipeline, pack_fixed_batch
 from . import common
 
 
-def _per_head_jump_frames(attn, token_len, frame_len, sot_len: int):
+def _per_head_jump_frames(attn, token_len, frame_len, sot_len: int,
+                          frame_slice: int = 0):
     """attn (L, B, H, T, F) -> jump frames per head (B, L*H, N+1): every
     utterance x head 'mean'-aggregated (column-normalized) map through the
     batched DTW. WCA_DTW_IMPL resolves here, outside the jit.
@@ -53,9 +55,19 @@ def _per_head_jump_frames(attn, token_len, frame_len, sot_len: int):
     is ~3072 (T, 1500) maps plus an int32 trace — measured RESOURCE_EXHAUSTED
     on the 16 GB chip. Chunks of <=1024 (utterance, head) rows fit with the
     attention stack; signatures stay bounded (all chunks share one shape).
-    Override rows-per-chunk sizing with WCA_PROBE_LAYER_CHUNK (layers)."""
+    Override rows-per-chunk sizing with WCA_PROBE_LAYER_CHUNK (layers).
+
+    ``frame_slice`` (host int, a static shape) drops the frame axis to the
+    batch's bucketed max frame_len before the column-normalize + DTW: frames
+    >= frame_len are ZERO in the capture output (masked — the r1 slicing
+    proof), the column normalizer treats columns independently, and the DTW
+    recurrence never reads past frame_len, so the sliced result is exactly
+    the full-width one while the wavefront runs T+frame_slice rather than
+    T+1500 sequential steps (the probe roofline's dominant term)."""
     import os
 
+    if frame_slice and frame_slice < attn.shape[-1]:
+        attn = attn[..., :frame_slice]
     l, b, h = attn.shape[:3]
     dtw_impl = timing._dtw_impl()
     chunk = int(os.environ.get("WCA_PROBE_LAYER_CHUNK", "0"))
@@ -117,17 +129,19 @@ def infer_dataset(args) -> dict:
                  n_seen=0)
     sot_len = len(tok.sot_sequence)
 
-    def process_batch(tp):
-        """Sync one batch's transcripts, capture attention for ALL its
-        utterances in one launch, DTW every (utterance, head) pair in one
-        launch, then score per utterance on host (reference semantics,
-        probe_oracle.py:59-122, with the committed scoring bug fixed)."""
+    def dispatch_batch(tp):
+        """Sync one batch's transcripts, then DISPATCH the capture + saliency
+        + per-head DTW launches and return without a device sync — the host
+        scoring of the previous batch overlaps this batch's device work
+        (reference semantics, probe_oracle.py:59-122, with the committed
+        scoring bug fixed)."""
         utts = tp["utts"]
         xa = tp["xa"]
         if cfg.use_gt_transcript:
             transcripts = [u.text for u in utts]
         else:
-            results = tp["future"].result()
+            with pipe.timers.stage("transcripts sync", units=len(utts)):
+                results = tp["future"].result()
             transcripts = [r.text for r in results[:len(utts)]]
 
         prepared = []
@@ -146,7 +160,7 @@ def infer_dataset(args) -> dict:
                 continue
             prepared.append((u, text_tokens, tokens, int(max_frames)))
         if not prepared:
-            return
+            return None
         state["n_seen"] += len(prepared)
 
         # fixed shapes: batch padded to the pipeline's batch size, tokens to
@@ -164,46 +178,86 @@ def infer_dataset(args) -> dict:
         xa_live = jnp.take(xa, jnp.asarray(xa_idx), axis=0)
         tl = jnp.asarray(token_len)
         fl = jnp.asarray(frame_len)
-        attn, _ = timing.get_attentions(
-            params, dims, None, jnp.asarray(tokens_arr), tl, fl,
-            medfilt_width=args.medfilt_width, qk_scale=1.0, xa=xa_live,
-            return_logits=False, compute_dtype=pipe.compute_dtype)
+        # stage attribution: jnp calls only DISPATCH; device time surfaces at
+        # the np.asarray syncs, so "capture+saliency sync" covers the
+        # teacher-forced QK capture + head_scores, "head-DTW sync" the
+        # chunked per-head DTW launches (dispatched before the first sync so
+        # they queue behind the capture), "host scoring" the pure-Python
+        # per-head F1 loop
+        with pipe.timers.stage("capture dispatch", units=len(prepared)):
+            attn, _ = timing.get_attentions(
+                params, dims, None, jnp.asarray(tokens_arr), tl, fl,
+                medfilt_width=args.medfilt_width, qk_scale=1.0, xa=xa_live,
+                return_logits=False, compute_dtype=pipe.compute_dtype)
 
         # saliency ranking of ALL heads (reference probe_oracle.py:83) and one
-        # batched launch of every (utterance, head) DTW
-        scores_all = np.asarray(timing.head_scores(attn, fl))  # (B, L, H)
-        jf_all = np.asarray(_per_head_jump_frames(attn, tl, fl, sot_len))
+        # batched launch of every (utterance, head) DTW, frame-sliced to the
+        # batch's bucketed max frame_len (exactness argument in
+        # _per_head_jump_frames; the bucket bounds jit signatures to <= 6)
+        f_slice = min(dims.n_audio_ctx,
+                      mesh_lib.pad_to_multiple(
+                          int(frame_len[:len(prepared)].max()), 256))
+        with pipe.timers.stage("dtw dispatch", units=len(prepared)):
+            scores_dev = timing.head_scores(attn, fl)  # (B, L, H)
+            jf_dev = _per_head_jump_frames(attn, tl, fl, sot_len,
+                                           frame_slice=f_slice)
+        for arr in (scores_dev, jf_dev):
+            try:
+                arr.copy_to_host_async()
+            except Exception:
+                pass
+        return dict(prepared=prepared, scores_dev=scores_dev, jf_dev=jf_dev)
+
+    def collect_batch(cp):
+        """Sync one dispatched batch's device outputs and score on host."""
+        if cp is None:
+            return
+        prepared = cp["prepared"]
+        with pipe.timers.stage("capture+saliency sync", units=len(prepared)):
+            scores_all = np.asarray(cp["scores_dev"])
+        with pipe.timers.stage("head-DTW sync", units=len(prepared)):
+            jf_all = np.asarray(cp["jf_dev"])
+        with pipe.timers.stage("host scoring", units=len(prepared)):
+            _score_batch(prepared, scores_all, jf_all)
+
+    def _score_batch(prepared, scores_all, jf_all):
+        from ..constants import TOKENS_PER_SECOND
 
         for bi, (u, text_tokens, tokens, max_frames) in enumerate(prepared):
             scores_blh = scores_all[bi]
-            entries = sorted(
-                (float(scores_blh[l, h]), (l, h))
-                for l in range(scores_blh.shape[0])
-                for h in range(scores_blh.shape[1]))
+            n_layers, n_heads = scores_blh.shape
             words, word_tokens, wb = timing.words_and_boundaries(
                 text_tokens, tok, args.aligned_unit_type)
             if wb is None:
                 continue
             words_flat = " ".join(words[:-1]).split()
-            n_heads = scores_blh.shape[1]
 
-            best_score = -1.0
-            best_ends_hat = None
-            best_saliency = None
-            for saliency, (l, h) in entries:  # ascending; ties -> higher wins
-                jf = jf_all[bi, l * n_heads + h][:len(text_tokens) + 1]
-                starts_hat, ends_hat = timing.jump_frames_to_times(jf, wb)
-                tp_, fp_, fn_ = eval_n1_strict(
-                    u.ends, ends_hat, u.text.split(), words_flat,
-                    args.tolerance)
-                _, _, f1, _, _ = get_seg_metrics(tp_, tp_, len(ends_hat),
-                                                 len(u.ends))
-                if f1 >= best_score:
-                    best_score = f1
-                    best_ends_hat = ends_hat
-                    best_saliency = saliency
+            # ascending saliency with (l, h) tie-break — np.lexsort is the
+            # vectorized twin of the reference's sorted((score, (l, h)))
+            flat = scores_blh.reshape(-1).astype(np.float64)
+            l_idx = np.repeat(np.arange(n_layers), n_heads)
+            h_idx = np.tile(np.arange(n_heads), n_layers)
+            order = np.lexsort((h_idx, l_idx, flat))
+            # every head's end boundaries at once (jump_frames_to_times over
+            # a leading head axis), then one vectorized strict-F1 sweep
+            jf = jf_all[bi][:, :len(text_tokens) + 1]
+            jt = jf.astype(np.float64) / TOKENS_PER_SECOND
+            ends_hat_all = jt[:, wb[1:]][order]  # (L*H, n_words) in rank order
+            tp_v, _, _ = eval_n1_strict_many(
+                u.ends, ends_hat_all, u.text.split(), words_flat,
+                args.tolerance)
+            # identical float ops to get_seg_metrics(tp, tp, n_pred, n_gt)
+            eps = 1e-7
+            prec = tp_v / (ends_hat_all.shape[1] + eps)
+            rec = tp_v / (len(u.ends) + eps)
+            f1_v = 2 * (prec * rec) / (prec + rec + eps)
+            # the scalar loop keeps f1 >= best over ascending rank, so the
+            # winner is the LAST occurrence of the max
+            bi_best = len(f1_v) - 1 - int(np.argmax(f1_v[::-1]))
+            best_ends_hat = ends_hat_all[bi_best]
+            best_saliency = flat[order][bi_best]
 
-            if best_saliency > entries[-args.hit_within][0]:
+            if best_saliency > flat[order][-args.hit_within]:
                 state["if_include_best"] += 1
 
             if not args.strict:
@@ -227,10 +281,13 @@ def infer_dataset(args) -> dict:
         indices = range(len(dataset))
 
     # software pipeline: fill batches with eligible utterances; keep up to
-    # pipeline_depth batches' decodes in flight while capture+scoring runs
+    # pipeline_depth batches' decodes in flight while capture+scoring runs,
+    # and one dispatched capture+DTW batch in flight while the previous
+    # batch's host scoring runs (its device work executes under the sync)
     depth = max(1, cfg.pipeline_depth)
     buf = []
     pending = deque()
+    captured = deque()
     for i in indices:
         utt = dataset[i]
         if len(utt.text.split()) < 18:
@@ -240,11 +297,17 @@ def infer_dataset(args) -> dict:
             pending.append(pipe._dispatch_transcribe(buf))
             buf = []
             if len(pending) > depth:
-                process_batch(pending.popleft())
+                captured.append(dispatch_batch(pending.popleft()))
+            while len(captured) > 1:
+                collect_batch(captured.popleft())
     if buf:
         pending.append(pipe._dispatch_transcribe(buf))
     while pending:
-        process_batch(pending.popleft())
+        captured.append(dispatch_batch(pending.popleft()))
+        while len(captured) > 1:
+            collect_batch(captured.popleft())
+    while captured:
+        collect_batch(captured.popleft())
 
     corrects = state["corrects"]
     total_preds = state["total_preds"]
@@ -268,6 +331,11 @@ def infer_dataset(args) -> dict:
     # probe_oracle.py:129 divides by the loader length, not n_seen)
     results = dict(precision=precision, recall=recall, f1=f1, r_value=r_value,
                    hit_rate=if_include_best / max(global_len, 1))
+    if getattr(args, "profile", False):
+        import sys as _sys
+        for stage, s in pipe.timers.summary().items():
+            print(f"stage {stage:>22s}: {s['total_s']:.3f}s total, "
+                  f"{s['units_per_s']:.1f} utts/s", file=_sys.stderr)
     print(results)
     import jax as _jax
     if not multihost or _jax.process_index() == 0:
