@@ -1,80 +1,103 @@
 """Character/subword re-tokenization and text normalization.
 
-Re-implements the reference's retokenize module (reference: retokenize.py) on top of
-our tokenizer. ``encode`` emits a char-level token stream with explicit space tokens
-between words; ``split_tokens_on_spaces`` inverts unicode-split tokens back into
-words; ``remove_punctuation`` strips punctuation (keeping apostrophes) and spells out
-digit-only words.
+Re-implements the reference's retokenize module (reference: retokenize.py) on
+top of our tokenizer. ``encode`` emits a char-level token stream with explicit
+space tokens between words; ``split_tokens_on_spaces`` inverts unicode-split
+tokens back into words; ``remove_punctuation`` strips punctuation (keeping
+apostrophes) and spells out digit-only words.
+
+Every quirk here is a tested parity contract (tests/test_text.py): the
+explicit-space char stream, the char-mode grouping that ignores punctuation,
+and the double-translate that strips the number-speller's hyphens/commas.
 """
 
 from __future__ import annotations
 
 import string
+from typing import Iterable, Iterator, List, Tuple
 
 from .numwords import num_to_words
 
+_UNIT_TYPES = ("char", "subword")
 
-def encode(text, tokenizer, aligned_unit_type: str = "subword"):
-    """Tokenize ``text`` as subwords or as per-character tokens with explicit space
-    tokens between words (reference: retokenize.py:5-17)."""
-    assert aligned_unit_type in ("char", "subword")
-    if aligned_unit_type == "subword":
-        return tokenizer.encode(text)
-    tokens = []
-    space_id = tokenizer.encode(" ")
-    wrds = text.split()
-    for i, wrd in enumerate(wrds):
-        for c in wrd:
-            tokens += tokenizer.encode(c)
-        if i < len(wrds) - 1:
-            tokens += space_id
-    return tokens
-
-
-def split_tokens_on_spaces(tokens, tokenizer, aligned_unit_type: str = "subword"):
-    """Group unicode-split tokens back into words (reference: retokenize.py:19-39).
-
-    Subword mode delegates to the tokenizer's word splitter. Char mode starts a new
-    word on special tokens and exact-space subwords (note: unlike the tokenizer's own
-    ``split_tokens_on_spaces``, punctuation does NOT start a new word here — the
-    reference computes ``punctuation`` at retokenize.py:31 but never uses it, and we
-    preserve that behavior).
-    """
-    assert aligned_unit_type in ("char", "subword")
-    if aligned_unit_type == "subword":
-        return tokenizer.split_to_word_tokens(tokens)
-
-    subwords, subword_tokens_list = tokenizer.split_tokens_on_unicode(tokens)
-    words = []
-    word_tokens = []
-    for subword, subword_tokens in zip(subwords, subword_tokens_list):
-        special = subword_tokens[0] >= tokenizer.eot
-        with_space = subword == " "
-        if special or with_space or len(words) == 0:
-            words.append(subword)
-            word_tokens.append(list(subword_tokens))
-        else:
-            words[-1] = words[-1] + subword
-            word_tokens[-1].extend(subword_tokens)
-    return words, word_tokens
-
-
+# punctuation table with apostrophes retained (reference: retokenize.py:42) —
+# built once at import instead of per call
 _PUNCT_NO_APOSTROPHE = string.punctuation.replace("'", "")
 _DELETE_PUNCT = str.maketrans("", "", _PUNCT_NO_APOSTROPHE)
 
 
-def remove_punctuation(text: str) -> str:
-    """Strip punctuation (keeping apostrophes) and normalize digit-only words to
-    spelled-out English (reference: retokenize.py:41-50).
+def _char_pieces(words: List[str]) -> Iterator[str]:
+    """Yield the char-mode piece stream: each character of each word, with a
+    single explicit " " piece between consecutive words (never trailing)."""
+    for i, word in enumerate(words):
+        if i:
+            yield " "
+        yield from word
 
-    The trailing translate also strips hyphens/commas introduced by the number
-    speller ("42" -> "forty-two" -> "fortytwo"), matching the reference exactly.
+
+def encode(text, tokenizer, aligned_unit_type: str = "subword"):
+    """Tokenize ``text`` as subwords, or per-character with explicit space
+    tokens between words (reference: retokenize.py:5-17)."""
+    assert aligned_unit_type in _UNIT_TYPES
+    if aligned_unit_type == "subword":
+        return tokenizer.encode(text)
+    # char mode: every piece (single char or the separator space) is encoded
+    # independently, so multi-token chars keep their full token runs
+    return [tok
+            for piece in _char_pieces(text.split())
+            for tok in tokenizer.encode(piece)]
+
+
+def _char_word_starts(pieces, piece_tokens, eot: int) -> List[bool]:
+    """Char-mode word-boundary flags: a new word starts at a special token or
+    at an exact-space piece. Deliberately NOT at punctuation — the reference
+    computes a ``punctuation`` predicate (retokenize.py:31) but never tests
+    it, and that unused-variable behavior is part of the parity contract."""
+    flags = []
+    for piece, toks in zip(pieces, piece_tokens):
+        flags.append(not flags or toks[0] >= eot or piece == " ")
+    return flags
+
+
+def split_tokens_on_spaces(tokens, tokenizer,
+                           aligned_unit_type: str = "subword"
+                           ) -> Tuple[list, list]:
+    """Group unicode-split tokens back into words (reference:
+    retokenize.py:19-39). Subword mode delegates to the tokenizer's own word
+    splitter; char mode merges every piece into the current word unless a
+    boundary flag (see :func:`_char_word_starts`) opens a new one."""
+    assert aligned_unit_type in _UNIT_TYPES
+    if aligned_unit_type == "subword":
+        return tokenizer.split_to_word_tokens(tokens)
+
+    pieces, piece_tokens = tokenizer.split_tokens_on_unicode(tokens)
+    starts = _char_word_starts(pieces, piece_tokens, tokenizer.eot)
+    words: List[str] = []
+    word_tokens: List[list] = []
+    for piece, toks, is_start in zip(pieces, piece_tokens, starts):
+        if is_start:
+            words.append(piece)
+            word_tokens.append(list(toks))  # defensive copy of the run
+        else:
+            words[-1] += piece
+            word_tokens[-1].extend(toks)
+    return words, word_tokens
+
+
+def _respell_numbers(words: Iterable[str]) -> Iterator[str]:
+    """Digit-only words become spelled-out English; every word is then
+    stripped of leading/trailing punctuation (reference: retokenize.py:44-47).
     """
-    text = text.translate(_DELETE_PUNCT)
-    normalized = []
-    for wrd in text.split():
-        if wrd.isdigit():
-            wrd = num_to_words(int(wrd))
-        normalized.append(wrd.strip(string.punctuation))
-    text = " ".join(normalized)
-    return text.translate(_DELETE_PUNCT)
+    for word in words:
+        spelled = num_to_words(int(word)) if word.isdigit() else word
+        yield spelled.strip(string.punctuation)
+
+
+def remove_punctuation(text: str) -> str:
+    """Strip punctuation (keeping apostrophes) and normalize digit-only words
+    to spelled-out English (reference: retokenize.py:41-50). The SECOND
+    translate is load-bearing: it deletes the hyphens/commas the number
+    speller introduces ("42" -> "forty-two" -> "fortytwo")."""
+    cleaned = text.translate(_DELETE_PUNCT)
+    respelled = " ".join(_respell_numbers(cleaned.split()))
+    return respelled.translate(_DELETE_PUNCT)
