@@ -16,13 +16,22 @@ from whisper_char_alignment_tpu.cli.serve import serve
 
 
 @pytest.fixture(scope="module")
-def server():
+def srv_obj():
     model = api.test_model()
-    srv = serve(model, host="127.0.0.1", port=0)  # ephemeral port
+    # long linger so concurrent test clients reliably coalesce into one
+    # micro-batch on a 1-core host (production default is 5 ms)
+    srv = serve(model, host="127.0.0.1", port=0,  # ephemeral port
+                batch_size=4, linger_ms=300.0)
     t = threading.Thread(target=srv.serve_forever, daemon=True)
     t.start()
-    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    yield srv
     srv.shutdown()
+    srv.batcher.close()
+
+
+@pytest.fixture(scope="module")
+def server(srv_obj):
+    return f"http://127.0.0.1:{srv_obj.server_address[1]}"
 
 
 def _wav_bytes(seconds=0.6, seed=0, sr=16000):
@@ -60,6 +69,7 @@ def test_align_endpoint(server):
     assert len(out["start_times"]) == len(out["end_times"])
 
 
+@pytest.mark.slow
 def test_transcribe_endpoint(server):
     status, out = _post(
         f"{server}/transcribe?language=en&sample_len=6&without_timestamps=1",
@@ -83,6 +93,64 @@ def test_unknown_route_and_bad_body(server):
     # still healthy afterwards
     with urllib.request.urlopen(f"{server}/healthz", timeout=60) as r:
         assert r.status == 200
+
+
+def test_concurrent_aligns_micro_batch_and_match_solo(server, srv_obj):
+    """VERDICT r03 #5: concurrent /align requests coalesce into shared device
+    launches AND each response is identical to the same request served alone.
+    Three distinct audios are posted solo first (each its own launch), then
+    six requests (the three audios twice) land concurrently; every concurrent
+    response must equal its solo twin bit-for-bit, and the batcher must have
+    used fewer launches than requests."""
+    bodies = {s: _wav_bytes(seconds=0.4 + 0.2 * s, seed=s) for s in range(3)}
+    solo = {}
+    for s, body in bodies.items():
+        status, out = _post(f"{server}/align?topk=3", body)
+        assert status == 200
+        solo[s] = out
+
+    launches0 = srv_obj.batcher.n_launches
+    reqs0 = srv_obj.batcher.n_reqs
+    results = {}
+    errors = []
+
+    def client(i, s):
+        try:
+            results[i] = (s, _post(f"{server}/align?topk=3", bodies[s]))
+        except Exception as e:  # pragma: no cover - surfaced via errors
+            errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(i, i % 3))
+               for i in range(6)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors and len(results) == 6
+    for s, (status, out) in results.values():
+        assert status == 200
+        assert out == solo[s]
+    assert srv_obj.batcher.n_reqs - reqs0 == 6
+    assert srv_obj.batcher.n_launches - launches0 < 6  # batching happened
+
+
+def test_mixed_recipe_keys_never_share_a_batch(server, srv_obj):
+    """Requests with different align options must not cross-contaminate: a
+    topk=3 and a topk=1 request posted concurrently each match their solo
+    answer (different keys form separate launches by construction)."""
+    body = _wav_bytes(seconds=0.5, seed=7)
+    solo = {q: _post(f"{server}/align?topk={q}", body)[1] for q in (3, 1)}
+    out = {}
+
+    def client(q):
+        out[q] = _post(f"{server}/align?topk={q}", body)[1]
+
+    threads = [threading.Thread(target=client, args=(q,)) for q in (3, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert out[3] == solo[3] and out[1] == solo[1]
 
 
 def test_warmup_precompiles_buckets():

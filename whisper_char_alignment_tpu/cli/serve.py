@@ -12,23 +12,30 @@ Endpoints (WAV bytes in, JSON out):
   word_timestamps, without_timestamps
 - ``GET /healthz``      -> {"ok": true, "model": ...}
 
-Serving notes: requests are handled on a thread pool but DEVICE work is
-serialized behind one lock — a single accelerator executes one batch at a
-time anyway, and concurrent jit dispatch from multiple host threads buys
-nothing (axon serializes processes too, CLAUDE.md). First request per
-(endpoint, audio-length bucket) pays the jit compile; subsequent requests
-reuse the cache. This is an extension (no reference analog) aimed at the
-production-serving story; batching across requests is a client concern here.
+Serving notes: requests are handled on a thread pool; DEVICE work is
+serialized behind one lock (a single accelerator executes one batch at a
+time, and axon serializes processes too, CLAUDE.md). Concurrent /align
+requests are MICRO-BATCHED: a dispatcher thread collects requests that share
+one recipe (aligned_unit_type, aggregation, topk, medfilt_width) for up to
+--serve_linger_ms or --serve_batch_size items and runs them as ONE device
+launch — the serving-side twin of the runner's batch-the-device thesis.
+Results are bit-identical to serving each request alone (the fixed-shape
+masking proofs, docs/DESIGN.md §1; locked by tests/test_serve.py). First
+request per (endpoint, audio-length bucket) pays the jit compile;
+subsequent requests reuse the cache. This is an extension (no reference
+analog) aimed at the production-serving story.
 """
 
 from __future__ import annotations
 
 import argparse
+import collections
 import json
 import os
 import sys
 import tempfile
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from urllib.parse import parse_qs, urlparse
 
@@ -37,6 +44,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from .. import api
+from ..config import AlignConfig
+from ..data.dataset import Utterance
+from ..runner import AlignmentPipeline
 from . import common
 
 _TRUE = ("1", "true", "True", "yes")
@@ -58,7 +68,135 @@ def _q(qs, name, default=None, cast=str):
     return cast(vals[0])
 
 
-def make_handler(model: api.Model, compute_dtype, lock: threading.Lock):
+class _AlignRequest:
+    __slots__ = ("audio", "key", "event", "result", "error")
+
+    def __init__(self, audio, key):
+        self.audio = audio
+        self.key = key
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+class AlignBatcher:
+    """Cross-request micro-batching for /align.
+
+    Handler threads :meth:`submit` and block; one dispatcher thread drains the
+    queue, groups requests sharing a recipe key, lingers up to ``linger_ms``
+    for the batch to fill (the first request pays the linger; under load the
+    batch fills before the deadline), and runs ONE padded device launch
+    through the same AlignmentPipeline.align_batch the offline CLI uses — so
+    the fixed-shape masking proofs make a batched request's boundaries
+    bit-identical to a solo one's. Requests with a different recipe key stay
+    queued and form the next launch. ``device_lock`` is shared with
+    /transcribe so the two endpoints never interleave device work."""
+
+    def __init__(self, model: api.Model, compute_dtype,
+                 batch_size: int = 8, linger_ms: float = 5.0,
+                 device_lock: "threading.Lock | None" = None):
+        self.model = model
+        self.compute_dtype = compute_dtype
+        self.batch_size = max(1, batch_size)
+        self.linger_s = max(0.0, linger_ms) / 1000.0
+        self.device_lock = device_lock or threading.Lock()
+        self._pipes: dict = {}
+        self._queue: "collections.deque[_AlignRequest]" = collections.deque()
+        self._cv = threading.Condition()
+        self._stop = False
+        self.n_launches = 0
+        self.n_reqs = 0
+        self._thread = threading.Thread(target=self._loop, daemon=True,
+                                        name="align-batcher")
+        self._thread.start()
+
+    def _pipe(self, key) -> AlignmentPipeline:
+        pipe = self._pipes.get(key)
+        if pipe is None:
+            unit, aggr, topk, medfilt = key
+            cfg = AlignConfig(aligned_unit_type=unit, aggr=aggr, topk=topk,
+                              medfilt_width=medfilt,
+                              batch_size=self.batch_size,
+                              model=self.model.name)
+            pipe = AlignmentPipeline(self.model.params, self.model.dims,
+                                     self.model.tokenizer, cfg,
+                                     compute_dtype=self.compute_dtype)
+            self._pipes[key] = pipe
+        return pipe
+
+    def submit(self, audio: np.ndarray, key, timeout: float = 600.0):
+        """Queue one request and block until its batch completes."""
+        req = _AlignRequest(audio, key)
+        with self._cv:
+            self._queue.append(req)
+            self._cv.notify_all()
+        if not req.event.wait(timeout):
+            raise TimeoutError("align request timed out in the batch queue")
+        if req.error is not None:
+            raise req.error
+        return req.result
+
+    def close(self):
+        with self._cv:
+            self._stop = True
+            self._cv.notify_all()
+        self._thread.join(timeout=5)
+
+    def _take_batch(self):
+        """Under the cv: pop the oldest request plus up to batch_size-1 more
+        sharing its key, lingering until the deadline while short."""
+        first = self._queue.popleft()
+        batch = [first]
+        deadline = time.monotonic() + self.linger_s
+
+        def drain():
+            keep = collections.deque()
+            while self._queue and len(batch) < self.batch_size:
+                r = self._queue.popleft()
+                (batch if r.key == first.key else keep).append(r)
+            # unmatched keys keep their arrival order for the next launch
+            self._queue.extendleft(reversed(keep))
+
+        drain()
+        while len(batch) < self.batch_size and not self._stop:
+            remaining = deadline - time.monotonic()
+            if remaining <= 0:
+                break
+            self._cv.wait(remaining)
+            drain()
+        return batch
+
+    def _loop(self):
+        while True:
+            with self._cv:
+                while not self._queue and not self._stop:
+                    self._cv.wait()
+                if self._stop:
+                    for r in self._queue:
+                        r.error = RuntimeError("server shutting down")
+                        r.event.set()
+                    return
+                batch = self._take_batch()
+            try:
+                pipe = self._pipe(batch[0].key)
+                utts = [Utterance(audio=r.audio.astype(np.float32),
+                                  duration=r.audio.size, text="", starts=[],
+                                  ends=[], fid="utterance") for r in batch]
+                with self.device_lock:
+                    results = pipe.align_batch(utts, return_matrix=True)
+                for r, res in zip(batch, results):
+                    r.result = res
+                    r.event.set()
+                self.n_launches += 1
+                self.n_reqs += len(batch)
+            except Exception as e:  # fan the failure out to every waiter
+                for r in batch:
+                    r.error = e
+                    r.event.set()
+
+
+def make_handler(model: api.Model, compute_dtype, lock: threading.Lock,
+                 batcher: "AlignBatcher | None" = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
             print(f"{self.address_string()} {fmt % args}", file=sys.stderr)
@@ -100,15 +238,19 @@ def make_handler(model: api.Model, compute_dtype, lock: threading.Lock):
             try:
                 audio = self._read_wav()
                 if url.path == "/align":
-                    with lock:
-                        res = api.align(
-                            model, audio,
-                            aligned_unit_type=_q(qs, "aligned_unit_type",
-                                                 "char"),
-                            aggregation=_q(qs, "aggregation", "topk"),
-                            topk=_q(qs, "topk", 10, int),
-                            medfilt_width=_q(qs, "medfilt_width", 3, int),
-                            compute_dtype=compute_dtype)
+                    key = (_q(qs, "aligned_unit_type", "char"),
+                           _q(qs, "aggregation", "topk"),
+                           _q(qs, "topk", 10, int),
+                           _q(qs, "medfilt_width", 3, int))
+                    if batcher is not None:
+                        res = batcher.submit(audio, key)
+                    else:
+                        with lock:
+                            res = api.align(
+                                model, audio,
+                                aligned_unit_type=key[0], aggregation=key[1],
+                                topk=key[2], medfilt_width=key[3],
+                                compute_dtype=compute_dtype)
                     return self._json(200, {
                         "fid": res.fid,
                         "words": res.words,
@@ -147,20 +289,33 @@ def make_handler(model: api.Model, compute_dtype, lock: threading.Lock):
 
 
 def serve(model: api.Model, host: str = "127.0.0.1", port: int = 8200,
-          compute_dtype=jnp.float32) -> ThreadingHTTPServer:
-    """Build the server (caller invokes serve_forever / shutdown)."""
-    handler = make_handler(model, compute_dtype, threading.Lock())
-    return ThreadingHTTPServer((host, port), handler)
+          compute_dtype=jnp.float32, batch_size: int = 8,
+          linger_ms: float = 5.0) -> ThreadingHTTPServer:
+    """Build the server (caller invokes serve_forever / shutdown).
+
+    ``batch_size`` > 1 enables /align micro-batching (see AlignBatcher);
+    ``batch_size=1`` serves each request as its own launch (still through one
+    dispatcher thread, so device work stays serialized)."""
+    lock = threading.Lock()
+    batcher = AlignBatcher(model, compute_dtype, batch_size=batch_size,
+                           linger_ms=linger_ms, device_lock=lock)
+    handler = make_handler(model, compute_dtype, lock, batcher)
+    srv = ThreadingHTTPServer((host, port), handler)
+    srv.batcher = batcher  # tests/shutdown paths reach it here
+    return srv
 
 
 def warmup(model: api.Model, compute_dtype=jnp.float32,
-           seconds=(4.9, 9.9, 29.5)) -> int:
+           seconds=(4.9, 9.9, 29.5),
+           batcher: "AlignBatcher | None" = None) -> int:
     """Pre-compile the /align jit signatures before accepting traffic.
 
     The runner buckets uploaded audio to 5 s steps, so each previously-unseen
     length bucket costs a fresh compile on the first request that hits it —
     minutes on a remote-compile backend. One dummy align per requested
-    duration moves that cost to boot. Returns the number of warmup runs."""
+    duration moves that cost to boot. When ``batcher`` is given the warmup
+    runs THROUGH it, so the compiled signatures carry the server's actual
+    padded batch shape. Returns the number of warmup runs."""
     n_samples = 2 * model.dims.n_audio_ctx * 160
     n = 0
     for sec in seconds:
@@ -168,7 +323,10 @@ def warmup(model: api.Model, compute_dtype=jnp.float32,
         if take <= 0:
             continue
         audio = np.zeros((take,), np.float32)
-        api.align(model, audio, compute_dtype=compute_dtype)
+        if batcher is not None:
+            batcher.submit(audio, ("char", "topk", 10, 3))
+        else:
+            api.align(model, audio, compute_dtype=compute_dtype)
         n += 1
         print(f"warmup: {sec:.1f}s bucket compiled", file=sys.stderr)
     return n
@@ -184,6 +342,12 @@ def main(argv=None) -> int:
                    help="pre-compile the /align signatures for 5/10/30 s "
                         "audio buckets before accepting traffic (first "
                         "requests otherwise stall on multi-minute compiles)")
+    p.add_argument("--serve_batch_size", type=int, default=8,
+                   help="micro-batch size for concurrent /align requests "
+                        "(one device launch per batch; 1 disables batching)")
+    p.add_argument("--serve_linger_ms", type=float, default=5.0,
+                   help="max time the align dispatcher waits for a "
+                        "micro-batch to fill before launching short")
     common.add_tpu_flags(p)
     args = p.parse_args(argv)
     params, dims, tok = common.load_model_and_tokenizer(args)
@@ -191,9 +355,11 @@ def main(argv=None) -> int:
     params = common.cast_params(params, dtype)  # int8 leaves survive the cast
     name = "tiny-test" if args.test_model else args.model
     model = api.Model(params=params, dims=dims, tokenizer=tok, name=name)
+    srv = serve(model, args.host, args.port, compute_dtype=dtype,
+                batch_size=args.serve_batch_size,
+                linger_ms=args.serve_linger_ms)
     if args.warmup:
-        warmup(model, compute_dtype=dtype)
-    srv = serve(model, args.host, args.port, compute_dtype=dtype)
+        warmup(model, compute_dtype=dtype, batcher=srv.batcher)
     print(f"serving {args.model} on http://{args.host}:{args.port}",
           file=sys.stderr)
     try:
