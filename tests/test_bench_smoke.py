@@ -7,6 +7,7 @@ import json
 import os
 import subprocess
 import sys
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -20,6 +21,7 @@ def _run(cmd, extra_env):
                           text=True, timeout=900)
 
 
+@pytest.mark.slow
 def test_bench_tiny_prints_one_json_line():
     r = _run([sys.executable, "bench.py"],
              {"WCA_BENCH_TINY": "1", "WCA_BENCH_PASSES": "1"})
@@ -27,11 +29,32 @@ def test_bench_tiny_prints_one_json_line():
     lines = [l for l in r.stdout.splitlines() if l.strip()]
     assert len(lines) == 1, r.stdout
     payload = json.loads(lines[0])
-    assert set(payload) == {"metric", "value", "unit", "vs_baseline"}
+    # the one-line contract: core keys plus self-describing run metadata
+    assert {"metric", "value", "unit", "vs_baseline",
+            "stage_split_s", "decode_len", "pipeline_depth"} <= set(payload)
     assert payload["unit"] == "utts/sec" and payload["value"] > 0
     # tiny dims are not the measured-baseline workload: no ratio claimed
     assert payload["vs_baseline"] is None
     assert "pass:" in r.stderr  # logs went to stderr, not stdout
+
+
+@pytest.mark.slow
+def test_asset_gates_metrics_parser():
+    """The scoreboard's stdout parser must survive the CLIs' dict repr with
+    np.float64 wrappers and ignore chatter lines."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "asset_gates", os.path.join(REPO, "scripts", "asset_gates.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    out = ("Namespace(model='medium')\nsome log line\n"
+           "{'precision': 0.91, 'recall': 0.88, 'f1': 0.895, "
+           "'r_value': np.float64(0.9012), 'hit_rate': 1.0}\n")
+    m = mod._parse_metrics(out)
+    assert m == {"precision": 0.91, "recall": 0.88, "f1": 0.895,
+                 "r_value": 0.9012, "hit_rate": 1.0}
+    assert mod._parse_metrics("no metrics here\n") is None
 
 
 def test_asset_gates_refuses_without_assets():
@@ -46,6 +69,7 @@ def test_asset_gates_refuses_without_assets():
     assert "Traceback" not in r.stderr
 
 
+@pytest.mark.slow
 def test_bench_probe_tiny_prints_one_json_line():
     r = _run([sys.executable, "scripts/bench_probe.py"],
              {"WCA_PROBE_TINY": "1", "WCA_PROBE_PASSES": "1"})

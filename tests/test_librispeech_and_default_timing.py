@@ -63,6 +63,24 @@ def test_librispeech_parsing(tmp_path):
     assert u.audio.size == 8000
 
 
+@pytest.mark.slow
+def test_infer_cli_librispeech_alignment_file_flag(tmp_path, monkeypatch):
+    """--alignment_file feeds an EXPLICIT Kaldi alignment path through the
+    CLI (asset-gate #4's invocation shape) instead of the layout-discovered
+    default."""
+    from whisper_char_alignment_tpu.cli import infer_ali
+
+    scp, ali_file = make_librispeech_fixture(str(tmp_path))
+    moved = str(tmp_path / "moved_alignments.txt")
+    os.replace(ali_file, moved)
+    monkeypatch.chdir(tmp_path)
+    rc = infer_ali.main([
+        "--dataset", "LibriSpeech", "--scp", scp, "--alignment_file", moved,
+        "--test_model", "--batch_size", "2", "--aligned_unit_type", "char",
+        "--output_dir", str(tmp_path / "out")])
+    assert isinstance(rc, dict) and "f1" in rc
+
+
 def test_librispeech_rejects_malicious_alignment(tmp_path):
     """ast.literal_eval must refuse code (the reference used eval())."""
     from whisper_char_alignment_tpu.data.dataset import LibriSpeech
@@ -74,6 +92,7 @@ def test_librispeech_rejects_malicious_alignment(tmp_path):
         LibriSpeech(scp, alignment_file=ali_file)
 
 
+@pytest.mark.slow
 def test_default_whisper_timing_cli(tmp_path):
     from tests.test_pipeline_e2e import make_timit_fixture
     from whisper_char_alignment_tpu.cli import infer_ali
@@ -87,6 +106,7 @@ def test_default_whisper_timing_cli(tmp_path):
     assert set(results) == {"precision", "recall", "f1", "r_value"}
 
 
+@pytest.mark.slow
 def test_default_timing_word_probabilities(tmp_path):
     """The baseline path reports per-word probabilities (timing.py:181-184)."""
     import jax

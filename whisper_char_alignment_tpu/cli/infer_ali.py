@@ -39,7 +39,13 @@ def infer_dataset(args) -> dict:
     pipe = AlignmentPipeline(params, dims, tok, cfg, mesh=mesh,
                              compute_dtype=dtype)
 
-    dataset = DATASETS[args.dataset](args.scp, n_mels=args.n_mels)
+    ds_kwargs = {}
+    if getattr(args, "alignment_file", None):
+        # LibriSpeech Kaldi word alignments at an explicit path (the default
+        # discovers ls_alignment_{split}.txt from the corpus layout, ref
+        # dataset.py:67-122); TIMIT reads .wrd files and takes no such flag
+        ds_kwargs["alignment_file"] = args.alignment_file
+    dataset = DATASETS[args.dataset](args.scp, n_mels=args.n_mels, **ds_kwargs)
     if multihost:
         # each process aligns its round-robin shard of the scp entries
         dataset.entries = distributed.shard_entries(dataset.entries)
@@ -134,6 +140,10 @@ def parse_args(argv=None):
     parser.add_argument("--w_coverage", type=float, default=0.0)
     parser.add_argument("--save_prediction", action="store_true")
     parser.add_argument("--default_whisper_timing", action="store_true")
+    parser.add_argument("--alignment_file", type=str, default=None,
+                        help="explicit Kaldi word-alignment file for "
+                             "--dataset LibriSpeech (default: discovered "
+                             "from the corpus layout)")
     common.add_tpu_flags(parser)
     common.add_pipeline_flags(parser)
     return parser.parse_args(argv)
