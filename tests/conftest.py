@@ -21,3 +21,22 @@ import jax
 
 if not os.environ.get("WCA_TEST_TPU"):
     jax.config.update("jax_platforms", "cpu")
+
+# persistent compilation cache: the suite's long tail is CPU jit compiles;
+# warm runs of the fast tier (`pytest -m "not slow"`) reuse them. Subprocess
+# tests (bench smoke, multihost) set their own cache dir. The dir is keyed by
+# the host CPU's feature set: XLA:CPU AOT executables compiled on a machine
+# with different features load with a SIGILL warning, so a cache written on
+# one fleet host must never be read on another.
+if not os.environ.get("WCA_TEST_NO_CACHE"):
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            cpu_sig = next((l for l in f if l.startswith("flags")), "")
+    except OSError:
+        cpu_sig = ""
+    tag = hashlib.sha1(cpu_sig.encode()).hexdigest()[:12]
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser(f"~/.cache/jax_wca_cputests_{tag}"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

@@ -84,7 +84,7 @@ def _fake_utterance(rng, n_layers=3, n_heads=4, n_text=14, max_frames=90):
 
 
 @pytest.mark.parametrize("aggregation,topk", [("topk", 5), ("mean", -1)])
-@pytest.mark.parametrize("medfilt_width", [3, 7])
+@pytest.mark.parametrize("medfilt_width", [3, pytest.param(7, marks=pytest.mark.slow)])
 def test_batched_masked_path_equals_sliced_oracle(aggregation, topk, medfilt_width):
     rng = np.random.default_rng(0)
     qk, sot_len, t = _fake_utterance(rng)
@@ -155,6 +155,7 @@ def test_single_utterance_force_align_wrapper():
     assert len(scores) == 4
 
 
+@pytest.mark.slow
 def test_grad_norm_passthrough_aggregation():
     """'grad_norm' takes a pre-aggregated (T, F) matrix straight to DTW
     (reference timing.py:99-100)."""
@@ -193,6 +194,7 @@ def test_filter_attention_reference_compat():
     np.testing.assert_allclose(np.concatenate(sel, 0), sel_o, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_coverage_penalty_weight_changes_selection_consistently():
     rng = np.random.default_rng(3)
     qk, sot_len, t = _fake_utterance(rng)

@@ -25,6 +25,7 @@ def test_align_from_array():
         assert len(res.words) - 1 == len(res.end_times)
 
 
+@pytest.mark.slow
 def test_align_from_wav_file(tmp_path):
     from whisper_char_alignment_tpu import api
     from whisper_char_alignment_tpu.audio import wav as wav_mod
@@ -59,6 +60,7 @@ def test_load_model_requires_checkpoint(monkeypatch):
         api.load_model("medium")
 
 
+@pytest.mark.slow
 def test_align_long_chunks_and_offsets():
     """align_long splits >window audio into 30s-equivalent windows, aligns each
     and offsets boundaries by the window start (extension: the reference skips

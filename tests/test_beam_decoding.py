@@ -137,9 +137,9 @@ def naive_beam_decode(params, dims, tok, mel_1, options, sample_len):
 
 @pytest.mark.parametrize("beam_size,without_timestamps,patience,alpha", [
     (2, False, None, None),
-    (3, False, None, 0.5),
+    pytest.param(3, False, None, 0.5, marks=pytest.mark.slow),
     (2, True, None, None),
-    (3, False, 1.5, None),
+    pytest.param(3, False, 1.5, None, marks=pytest.mark.slow),
 ])
 def test_beam_matches_naive_oracle(setup, beam_size, without_timestamps,
                                    patience, alpha):
@@ -271,7 +271,9 @@ def naive_initial_tokens(tok, dims, options):
 
 
 @pytest.mark.parametrize("use_prompt,use_prefix", [
-    (True, False), (False, True), (True, True)])
+    pytest.param(True, False, marks=pytest.mark.slow),
+    pytest.param(False, True, marks=pytest.mark.slow),
+    (True, True)])  # fast tier: the combined case exercises both paths
 def test_prompt_and_prefix_conditioning(setup, use_prompt, use_prefix):
     """Greedy decode under prompt/prefix conditioning must equal the naive
     oracle running from the published initial-token construction, and the
@@ -334,6 +336,7 @@ def test_empty_prompt_and_prefix_are_skipped(setup):
         assert [r.tokens for r in res] == [r.tokens for r in base], kw
 
 
+@pytest.mark.slow
 def test_beam_with_kv_speedups_falls_back(setup):
     """kv_frames / kv_int8 are greedy-loop-only speedups: combined with beam
     or sampling options they must gracefully fall back to the full-window
@@ -401,6 +404,7 @@ def test_sampling_step_accounting(setup):
         assert r.n_steps <= len(tok.sot_sequence) + 1 + 8
 
 
+@pytest.mark.slow
 def test_beam_stress_wide_and_long(setup):
     """Wider/longer beam search with patience banking across multiple steps
     and full length penalty still matches the published-algorithm oracle."""

@@ -32,6 +32,7 @@ def make_assets(tmp_path):
     return ckpt, tok_dir
 
 
+@pytest.mark.slow
 def test_infer_cli_with_npz_and_tiktoken_assets(tmp_path):
     from tests.test_pipeline_e2e import make_timit_fixture
     from whisper_char_alignment_tpu.cli import infer_ali

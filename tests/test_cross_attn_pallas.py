@@ -28,7 +28,8 @@ def _quant(x):
     return q, scale
 
 
-@pytest.mark.parametrize("frames", [96, 250])
+@pytest.mark.parametrize("frames", [
+    pytest.param(96, marks=pytest.mark.slow), 250])
 def test_bf16_kernel_matches_reference(frames):
     b, h, hd = 3, 4, 64
     rng = np.random.default_rng(0)

@@ -70,7 +70,8 @@ def _make_utts(rng, texts, seconds):
     return utts
 
 
-@pytest.mark.parametrize("default_timing", [False, True])
+@pytest.mark.parametrize("default_timing", [
+    False, pytest.param(True, marks=pytest.mark.slow)])
 def test_pipeline_reuse_flag_is_invisible(setup, default_timing):
     tok, dims, params = setup
     rng = np.random.default_rng(1)
@@ -118,6 +119,7 @@ def test_pipeline_reuse_falls_back_on_skip_reorder(setup):
         np.testing.assert_array_equal(a.end_times, b.end_times)
 
 
+@pytest.mark.slow
 def test_pipeline_with_beam_options(setup):
     """Beam decoding slots into the production pipeline's async decode path
     (DecodeFuture + cross-KV reuse request falls back to xa-only cleanly)."""
@@ -139,6 +141,7 @@ def test_pipeline_with_beam_options(setup):
     assert len(texts) == 2
 
 
+@pytest.mark.slow
 def test_kv_size_gate(setup, monkeypatch):
     """The reuse path auto-disables when the K/V stacks would exceed the HBM
     budget (measured OOM at medium B=32 on a 16 GB chip); results are

@@ -39,6 +39,7 @@ def test_small_bucket_runs(setup):
     assert len(res) == 2 and all(isinstance(r.text, str) for r in res)
 
 
+@pytest.mark.slow
 def test_pipeline_bucket_flag(tmp_path):
     from tests.test_pipeline_e2e import make_timit_fixture
     from whisper_char_alignment_tpu.config import AlignConfig

@@ -184,6 +184,7 @@ def test_suppress_set_construction(setup):
     assert 5 in s2 and 7 in s2 and not (set(tok.non_speech_tokens) - {5, 7}) <= set(s2)
 
 
+@pytest.mark.slow
 def test_long_decode_224_steps_matches_naive_oracle():
     """The published decode default is sample_len = n_text_ctx // 2 = 224 with
     early exit (reference infer_ali.py:26 caps MAX_LENGTH=448). Exercise the

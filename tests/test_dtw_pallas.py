@@ -11,7 +11,10 @@ from whisper_char_alignment_tpu.ops import dtw as dtw_ops
 from whisper_char_alignment_tpu.ops import dtw_pallas
 
 
-@pytest.mark.parametrize("shape", [(3, 7, 23), (8, 12, 40), (9, 30, 90)])
+@pytest.mark.parametrize("shape", [
+    pytest.param((3, 7, 23), marks=pytest.mark.slow),
+    pytest.param((8, 12, 40), marks=pytest.mark.slow),
+    (9, 30, 90)])  # fast tier keeps the largest (most wavefronts)
 def test_trace_parity_vs_scan(shape):
     rng = np.random.default_rng(0)
     b, n, m = shape

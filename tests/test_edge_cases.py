@@ -11,6 +11,7 @@ from whisper_char_alignment_tpu.data.dataset import Utterance
 from whisper_char_alignment_tpu.models import whisper as wmodel
 from whisper_char_alignment_tpu.runner import AlignmentPipeline
 from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+import pytest
 
 
 def _pipe(batch_size=2):
@@ -45,6 +46,7 @@ def test_empty_transcription_yields_empty_alignment(monkeypatch):
         assert r.words == [] and len(r.end_times) == 0
 
 
+@pytest.mark.slow
 def test_device_trace_writes_files(tmp_path):
     from whisper_char_alignment_tpu.utils.profiling import device_trace
 

@@ -19,7 +19,10 @@ def _xla_reference(q, k, v):
                       preferred_element_type=jnp.float32).astype(q.dtype)
 
 
-@pytest.mark.parametrize("t,n_valid", [(256, 256), (300, 300), (300, 250)])
+@pytest.mark.parametrize("t,n_valid", [
+    pytest.param(256, 256, marks=pytest.mark.slow),
+    pytest.param(300, 300, marks=pytest.mark.slow),
+    (300, 250)])  # fast tier: the masked non-multiple case subsumes the rest
 def test_fused_kernel_matches_xla(t, n_valid):
     b, h, hd = 2, 3, 64
     rng = np.random.default_rng(0)
@@ -35,7 +38,8 @@ def test_fused_kernel_matches_xla(t, n_valid):
                                rtol=2e-5, atol=2e-5)
 
 
-@pytest.mark.parametrize("t,n_valid", [(256, 256), (300, 250)])
+@pytest.mark.parametrize("t,n_valid", [
+    pytest.param(256, 256, marks=pytest.mark.slow), (300, 250)])
 def test_kt_variant_matches_xla(t, n_valid):
     from whisper_char_alignment_tpu.ops.encoder_attn_pallas import (
         encoder_self_attention_kt)

@@ -59,6 +59,7 @@ def test_quantized_encoder_states_close(setup):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+@pytest.mark.slow
 def test_pipeline_encoder_int8_smoke(tmp_path, setup):
     """cfg.encoder_int8 end-to-end through the batched pipeline: coherent
     boundary arrays on a synthetic corpus."""

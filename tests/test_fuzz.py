@@ -12,7 +12,9 @@ from whisper_char_alignment_tpu.ops.medfilt import median_filter_masked, \
 from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
 
 
-@pytest.mark.parametrize("seed", range(20))
+@pytest.mark.parametrize("seed", [
+    s if s < 4 else pytest.param(s, marks=pytest.mark.slow)
+    for s in range(20)])
 def test_dtw_fuzz(seed):
     rng = np.random.default_rng(1000 + seed)
     n = int(rng.integers(1, 40))
@@ -32,7 +34,9 @@ def test_dtw_fuzz(seed):
     np.testing.assert_array_equal(tj, tj_np)
 
 
-@pytest.mark.parametrize("seed", range(10))
+@pytest.mark.parametrize("seed", [
+    s if s < 3 else pytest.param(s, marks=pytest.mark.slow)
+    for s in range(10)])
 def test_masked_medfilt_fuzz(seed):
     rng = np.random.default_rng(2000 + seed)
     width = int(rng.choice([3, 5, 7, 9]))
@@ -50,7 +54,9 @@ def test_masked_medfilt_fuzz(seed):
         np.testing.assert_array_equal(got[i][..., :m], expect)
 
 
-@pytest.mark.parametrize("seed", range(10))
+@pytest.mark.parametrize("seed", [
+    s if s < 3 else pytest.param(s, marks=pytest.mark.slow)
+    for s in range(10)])
 def test_tokenizer_roundtrip_fuzz(seed):
     tok = get_test_tokenizer()
     rng = np.random.default_rng(3000 + seed)

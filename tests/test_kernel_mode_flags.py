@@ -16,6 +16,8 @@ from whisper_char_alignment_tpu.config import tiny_test_dims
 from whisper_char_alignment_tpu.models import whisper as wmodel
 from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
 
+pytestmark = pytest.mark.slow  # heavy integration: excluded from the fast tier
+
 
 def _cache_size(jitted):
     return jitted._cache_size()

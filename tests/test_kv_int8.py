@@ -147,6 +147,7 @@ def test_guard_async_future_matches_sync(guard_setup):
     assert _token_lists(sync) == _token_lists(fut.result())
 
 
+@pytest.mark.slow
 def test_guard_catches_injected_quantization_flips(guard_setup, monkeypatch):
     """Oracle test for the guard itself. The natural int8 half-step error is
     far below this tiny model's margins (no flips observed even at 3-bit

@@ -252,6 +252,7 @@ def test_safetensors_roundtrip_with_shape_inference(tmp_path, hf_model, converte
         np.testing.assert_allclose(fa[k], fb[k], atol=1e-6, err_msg=k)
 
 
+@pytest.mark.slow
 def test_orbax_roundtrip(tmp_path, converted):
     params, dims = converted
     p = jax.tree.map(np.asarray, params)

@@ -70,6 +70,7 @@ def test_data_parallel_alignment_matches_single_device(eight_devices):
     np.testing.assert_allclose(mx_s, mx_m, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_pipeline_with_mesh(eight_devices, tmp_path):
     """Full AlignmentPipeline over an 8-device mesh on a synthetic corpus."""
     from tests.test_pipeline_e2e import make_timit_fixture
@@ -91,6 +92,7 @@ def test_pipeline_with_mesh(eight_devices, tmp_path):
         assert len(r.start_times) == len(r.end_times)
 
 
+@pytest.mark.slow
 def test_pipeline_tensor_parallel_matches_single_device(eight_devices, tmp_path):
     """VERDICT r03 #2: the PRODUCTION pipeline on a (4x2) (data, model) mesh —
     tensor-parallel weight layout via parallel/mesh.py::shard_params — must be

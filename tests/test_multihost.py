@@ -17,6 +17,8 @@ import pytest
 
 from whisper_char_alignment_tpu.data.synthetic import make_timit_corpus
 
+pytestmark = pytest.mark.slow  # heavy integration: excluded from the fast tier
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -15,6 +15,8 @@ import pytest
 from whisper_char_alignment_tpu.audio import wav
 from whisper_char_alignment_tpu.data.dataset import TIMIT, batch_iter
 
+pytestmark = pytest.mark.slow  # heavy integration: excluded from the fast tier
+
 
 def make_timit_fixture(root, n_utts=5, seconds=1.0):
     """Thin wrapper over the shared generator (data/synthetic.py), which is also

@@ -59,7 +59,9 @@ def single_utterance_flow(tok, dims, params, utt, transcription,
 
 
 @pytest.mark.parametrize("unit,aggr,topk", [
-    ("char", "topk", 3), ("subword", "mean", -1)])
+    ("char", "topk", 3),
+    # the second recipe covers the same contract; fast tier keeps one
+    pytest.param("subword", "mean", -1, marks=pytest.mark.slow)])
 def test_batched_pipeline_equals_single_flow(setup, unit, aggr, topk, monkeypatch):
     tok, dims, params, utts = setup
     cfg = AlignConfig(aligned_unit_type=unit, aggr=aggr, topk=topk,

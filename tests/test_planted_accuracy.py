@@ -82,7 +82,8 @@ def _fake_get_attentions(sot_len):
     return fake
 
 
-@pytest.mark.parametrize("aggr,topk", [("topk", 2), ("mean", -1)])
+@pytest.mark.parametrize("aggr,topk", [
+    pytest.param("topk", 2, marks=pytest.mark.slow), ("mean", -1)])
 def test_planted_attention_scores_perfect_f1(tmp_path, monkeypatch, aggr,
                                              topk):
     from whisper_char_alignment_tpu.cli import common, infer_ali
@@ -114,6 +115,7 @@ def test_planted_attention_scores_perfect_f1(tmp_path, monkeypatch, aggr,
     assert results["precision"] > 0.9999 and results["recall"] > 0.9999
 
 
+@pytest.mark.slow
 def test_planted_oracle_head_through_probe_cli(tmp_path, monkeypatch):
     """probe_oracle accuracy gate: plant ONE banded head (layer 1, head 1)
     among all-zero heads. The probe must pick it as the oracle head (best F1

@@ -72,6 +72,7 @@ def _make_same_bucket_corpus(root, texts):
     return scp
 
 
+@pytest.mark.slow
 def test_probe_capture_signatures_bounded(tmp_path, monkeypatch):
     """Distinct transcript lengths inside one 32-token bucket must share ONE
     jit signature for the capture and for the per-head DTW launch — remote
@@ -110,6 +111,7 @@ def test_probe_capture_signatures_bounded(tmp_path, monkeypatch):
     assert probe_oracle._per_head_jump_frames_jit._cache_size() - dtw_before == 1
 
 
+@pytest.mark.slow
 def test_per_head_dtw_chunking_equals_single_launch(monkeypatch):
     """WCA_PROBE_LAYER_CHUNK (memory chunking of the per-head DTW sweep) is a
     launch-shape knob only: chunked results must equal the single launch,
@@ -146,6 +148,7 @@ def test_plot_attn(tmp_path):
     assert os.path.exists(out) and os.path.getsize(out) > 1000
 
 
+@pytest.mark.slow
 def test_infer_cli_plot_flag(tmp_path, monkeypatch):
     """Full plot plumbing through the CLI; the random test model transcribes to
     empty text, so pin the transcription stage to a fixed string."""

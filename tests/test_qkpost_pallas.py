@@ -22,8 +22,8 @@ def _rand_case(seed, b=3, h=2, t=16, f=160):
     return jnp.asarray(qk), jnp.asarray(frame_len), jnp.asarray(token_len)
 
 
-@pytest.mark.parametrize("width", [3, 7])
-@pytest.mark.parametrize("seed", [0, 1])
+@pytest.mark.parametrize("width", [3, pytest.param(7, marks=pytest.mark.slow)])
+@pytest.mark.parametrize("seed", [0, pytest.param(1, marks=pytest.mark.slow)])
 def test_fused_qkpost_matches_xla(width, seed):
     qk, fl, tl = _rand_case(seed)
     want = np.asarray(qk_to_attention(qk, fl, tl, width, qk_scale=1.0))
@@ -32,6 +32,7 @@ def test_fused_qkpost_matches_xla(width, seed):
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_fused_qkpost_edge_lengths():
     """Per-item true-edge reflect + short-input passthrough + full-length item."""
     b, h, t, f = 4, 1, 8, 64
@@ -47,6 +48,7 @@ def test_fused_qkpost_edge_lengths():
     np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_fused_qkpost_dtw_jumps_identical():
     """End metric: DTW over the aggregated map must take the same path."""
     qk, fl, tl = _rand_case(7, b=2, h=3, t=12, f=96)
@@ -62,6 +64,7 @@ def test_fused_qkpost_dtw_jumps_identical():
             np.testing.assert_array_equal(dtw_np(ma)[1], dtw_np(mb)[1])
 
 
+@pytest.mark.slow
 def test_fused_qkpost_long_transcript_blocked_grid():
     """T=224 (the published sample_len bucket) exercises the T-gridded path
     (T_blk=112, 2 blocks) that keeps VMEM bounded for long transcripts."""

@@ -47,6 +47,7 @@ def test_invalid_rates():
         rs.resample(np.zeros(10, np.float32), 0)
 
 
+@pytest.mark.slow
 def test_api_align_accepts_non_16k(tmp_path):
     from whisper_char_alignment_tpu import api
 

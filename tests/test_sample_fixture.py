@@ -4,6 +4,7 @@ through the pipeline (smoke; golden boundary parity needs real weights)."""
 import os
 
 import numpy as np
+import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -21,6 +22,7 @@ def test_sample_loads_via_timit():
     assert u.audio.size == int(2.2 * 16000)
 
 
+@pytest.mark.slow
 def test_sample_regeneration_is_deterministic(tmp_path):
     import subprocess
     import sys

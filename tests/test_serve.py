@@ -95,6 +95,7 @@ def test_unknown_route_and_bad_body(server):
         assert r.status == 200
 
 
+@pytest.mark.slow
 def test_concurrent_aligns_micro_batch_and_match_solo(server, srv_obj):
     """VERDICT r03 #5: concurrent /align requests coalesce into shared device
     launches AND each response is identical to the same request served alone.
@@ -134,6 +135,7 @@ def test_concurrent_aligns_micro_batch_and_match_solo(server, srv_obj):
     assert srv_obj.batcher.n_launches - launches0 < 6  # batching happened
 
 
+@pytest.mark.slow
 def test_mixed_recipe_keys_never_share_a_batch(server, srv_obj):
     """Requests with different align options must not cross-contaminate: a
     topk=3 and a topk=1 request posted concurrently each match their solo

@@ -96,6 +96,7 @@ def test_fallback_ladder_reaches_last_temperature(setup):
     assert all(s["temperature"] == 0.7 for s in out["segments"])
 
 
+@pytest.mark.slow
 def test_prompt_conditioning_plumbing(setup, monkeypatch):
     """The second window's decode must receive the first window's tokens as
     its conditioning prompt (and none when conditioning is off); an
@@ -153,6 +154,7 @@ def test_no_speech_skip(setup, monkeypatch):
     assert out["text"] == ""
 
 
+@pytest.mark.slow
 def test_word_timestamps(setup):
     """word_timestamps attaches per-word intervals that tile the segment
     tokens, with probabilities on the published default-heads path and the
@@ -207,6 +209,7 @@ def test_merge_punctuations_unit():
     assert out[0]["tokens"] == [1, 2, 3]
 
 
+@pytest.mark.slow
 def test_user_prompt_kwarg_is_dropped(setup):
     """The loop owns the conditioning prompt (published behavior overwrites a
     caller-supplied one); passing prompt= must not crash."""
@@ -219,6 +222,7 @@ def test_user_prompt_kwarg_is_dropped(setup):
     assert "segments" in out
 
 
+@pytest.mark.slow
 def test_prompt_bucketing_bounds_signatures(setup, monkeypatch):
     """Conditioning context is kept in prompt_bucket-token steps (bounded jit
     signatures); prompt_bucket=1 keeps exact lengths."""
@@ -279,6 +283,7 @@ def test_cli_str2bool():
         str2bool("nope")
 
 
+@pytest.mark.slow
 def test_transcribe_with_beam_multi_window(setup):
     """Beam search composes with the long-form seek loop (published: the
     fallback ladder keeps beam options only at t=0) and with conditioning."""

@@ -74,6 +74,7 @@ def test_get_writer_all(tmp_path):
         writers.get_writer("mp4", str(tmp_path))
 
 
+@pytest.mark.slow
 def test_transcribe_cli_end_to_end(tmp_path):
     from whisper_char_alignment_tpu.audio.wav import save as wav_save
     from whisper_char_alignment_tpu.cli.transcribe import main
