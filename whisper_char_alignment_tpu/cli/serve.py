@@ -94,9 +94,11 @@ class AlignBatcher:
 
     def __init__(self, model: api.Model, compute_dtype,
                  batch_size: int = 8, linger_ms: float = 5.0,
-                 device_lock: "threading.Lock | None" = None):
+                 device_lock: "threading.Lock | None" = None,
+                 config_overrides: "dict | None" = None):
         self.model = model
         self.compute_dtype = compute_dtype
+        self.config_overrides = dict(config_overrides or {})
         self.batch_size = max(1, batch_size)
         self.linger_s = max(0.0, linger_ms) / 1000.0
         self.device_lock = device_lock or threading.Lock()
@@ -117,7 +119,8 @@ class AlignBatcher:
             cfg = AlignConfig(aligned_unit_type=unit, aggr=aggr, topk=topk,
                               medfilt_width=medfilt,
                               batch_size=self.batch_size,
-                              model=self.model.name)
+                              model=self.model.name,
+                              **self.config_overrides)
             pipe = AlignmentPipeline(self.model.params, self.model.dims,
                                      self.model.tokenizer, cfg,
                                      compute_dtype=self.compute_dtype)
@@ -290,15 +293,19 @@ def make_handler(model: api.Model, compute_dtype, lock: threading.Lock,
 
 def serve(model: api.Model, host: str = "127.0.0.1", port: int = 8200,
           compute_dtype=jnp.float32, batch_size: int = 8,
-          linger_ms: float = 5.0) -> ThreadingHTTPServer:
+          linger_ms: float = 5.0,
+          config_overrides: "dict | None" = None) -> ThreadingHTTPServer:
     """Build the server (caller invokes serve_forever / shutdown).
 
     ``batch_size`` > 1 enables /align micro-batching (see AlignBatcher);
     ``batch_size=1`` serves each request as its own launch (still through one
-    dispatcher thread, so device work stays serialized)."""
+    dispatcher thread, so device work stays serialized). ``config_overrides``
+    are extra AlignConfig fields for the batcher's pipelines (e.g.
+    ``decode_sample_len`` to bound per-request decode cost)."""
     lock = threading.Lock()
     batcher = AlignBatcher(model, compute_dtype, batch_size=batch_size,
-                           linger_ms=linger_ms, device_lock=lock)
+                           linger_ms=linger_ms, device_lock=lock,
+                           config_overrides=config_overrides)
     handler = make_handler(model, compute_dtype, lock, batcher)
     srv = ThreadingHTTPServer((host, port), handler)
     srv.batcher = batcher  # tests/shutdown paths reach it here
@@ -348,6 +355,10 @@ def main(argv=None) -> int:
     p.add_argument("--serve_linger_ms", type=float, default=5.0,
                    help="max time the align dispatcher waits for a "
                         "micro-batch to fill before launching short")
+    p.add_argument("--decode_sample_len", type=int, default=0,
+                   help="cap /align decode steps per request (0 = published "
+                        "default, n_text_ctx // 2) — bounds worst-case "
+                        "per-request device time")
     common.add_tpu_flags(p)
     args = p.parse_args(argv)
     params, dims, tok = common.load_model_and_tokenizer(args)
@@ -357,7 +368,10 @@ def main(argv=None) -> int:
     model = api.Model(params=params, dims=dims, tokenizer=tok, name=name)
     srv = serve(model, args.host, args.port, compute_dtype=dtype,
                 batch_size=args.serve_batch_size,
-                linger_ms=args.serve_linger_ms)
+                linger_ms=args.serve_linger_ms,
+                config_overrides=(
+                    {"decode_sample_len": args.decode_sample_len}
+                    if args.decode_sample_len else None))
     if args.warmup:
         warmup(model, compute_dtype=dtype, batcher=srv.batcher)
     print(f"serving {args.model} on http://{args.host}:{args.port}",
