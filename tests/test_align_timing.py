@@ -83,7 +83,8 @@ def _fake_utterance(rng, n_layers=3, n_heads=4, n_text=14, max_frames=90):
     return qk, sot_len, t
 
 
-@pytest.mark.parametrize("aggregation,topk", [("topk", 5), ("mean", -1)])
+@pytest.mark.parametrize("aggregation,topk", [
+    pytest.param("topk", 5, marks=pytest.mark.slow), ("mean", -1)])
 @pytest.mark.parametrize("medfilt_width", [3, pytest.param(7, marks=pytest.mark.slow)])
 def test_batched_masked_path_equals_sliced_oracle(aggregation, topk, medfilt_width):
     rng = np.random.default_rng(0)

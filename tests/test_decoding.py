@@ -128,6 +128,7 @@ def test_first_sampled_token_is_timestamp_within_cap(setup):
             assert first_full <= tok.timestamp_begin + 50
 
 
+@pytest.mark.slow
 def test_language_none_autodetects(setup):
     """language=None triggers detection, and decoding proceeds with each item's
     detected language token in its sot sequence (published decode behavior)."""

@@ -155,6 +155,7 @@ def test_mixed_recipe_keys_never_share_a_batch(server, srv_obj):
     assert out[3] == solo[3] and out[1] == solo[1]
 
 
+@pytest.mark.slow
 def test_warmup_precompiles_buckets():
     """--warmup runs one dummy align per audio bucket (tiny model: durations
     beyond the model window collapse into the single full-window bucket)."""

@@ -52,6 +52,7 @@ def test_single_window_matches_direct_decode(setup):
     assert out["text"] == tok.decode([t for t in cat if t < tok.eot])
 
 
+@pytest.mark.slow
 def test_multi_window_covers_audio(setup):
     tok, dims, params = setup
     window_samples = 2 * dims.n_audio_ctx * constants.HOP_LENGTH
