@@ -127,8 +127,16 @@ class AlignBatcher:
             self._pipes[key] = pipe
         return pipe
 
-    def submit(self, audio: np.ndarray, key, timeout: float = 600.0):
-        """Queue one request and block until its batch completes."""
+    def submit(self, audio: np.ndarray, key, timeout: "float | None" = None):
+        """Queue one request and block until its batch completes.
+
+        The default timeout must tolerate a first-request jit compile, which
+        on a remote-compile backend can take tens of minutes
+        (WCA_SERVE_SUBMIT_TIMEOUT_S overrides; --warmup moves the cost to
+        boot)."""
+        if timeout is None:
+            timeout = float(os.environ.get("WCA_SERVE_SUBMIT_TIMEOUT_S",
+                                           "3600"))
         req = _AlignRequest(audio, key)
         with self._cv:
             self._queue.append(req)
