@@ -75,7 +75,7 @@ def _parse_metrics(stdout: str):
     """The CLIs print their results dict as the last stdout line (repr with
     np.float64 wrappers); extract the numeric fields robustly."""
     for line in reversed(stdout.strip().splitlines()):
-        if line.startswith("{") and "precision" in line or "hit_rate" in line:
+        if line.startswith("{") and ("precision" in line or "hit_rate" in line):
             pairs = re.findall(r"'(\w+)':\s*(?:np\.float64\()?([-0-9.e+]+)",
                                line)
             if pairs:

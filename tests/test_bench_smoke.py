@@ -55,6 +55,11 @@ def test_asset_gates_metrics_parser():
     assert m == {"precision": 0.91, "recall": 0.88, "f1": 0.895,
                  "r_value": 0.9012, "hit_rate": 1.0}
     assert mod._parse_metrics("no metrics here\n") is None
+    # a trailing chatter line that MENTIONS hit_rate (with parseable pairs)
+    # must not shadow the real dict line above it — `A and (B or C)`, not
+    # `(A and B) or C` (round-4 review finding)
+    noisy = out + "note: 'hit_rate': 0.0 computed over the full corpus\n"
+    assert mod._parse_metrics(noisy)["hit_rate"] == 1.0
 
 
 def test_asset_gates_refuses_without_assets():

@@ -25,6 +25,20 @@ def test_dryrun_multichip_entrypoint(eight_devices):
     g.dryrun_multichip(8)
 
 
+def test_make_mesh_rejects_negative_counts(eight_devices):
+    """The CLI's `--data_parallel -1` sentinel means "no data mesh" and is
+    normalized to None BEFORE make_mesh; a negative count reaching make_mesh
+    must raise instead of slicing devices[:-k] into a silently-smaller mesh
+    (round-4 review finding: `--data_parallel -1 --tensor_parallel 2`)."""
+    with pytest.raises(ValueError, match="n_data"):
+        mesh_lib.make_mesh(-1)
+    with pytest.raises(ValueError, match="n_data"):
+        mesh_lib.make_mesh(-1, n_model=2)
+    # the auto forms still work
+    assert mesh_lib.make_mesh(None, n_model=2).shape["model"] == 2
+    assert mesh_lib.data_size(mesh_lib.make_mesh(None)) == 8
+
+
 def test_entry_compiles_single_chip_tinyshapes(eight_devices):
     """entry() must be jittable; compile-check with tiny dims to keep CPU time
     sane (the driver compile-checks the real medium shapes on TPU)."""

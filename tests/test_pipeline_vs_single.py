@@ -79,3 +79,37 @@ def test_batched_pipeline_equals_single_flow(setup, unit, aggr, topk, monkeypatc
                                       err_msg=f"{utt.fid} starts")
         np.testing.assert_array_equal(res.end_times, ends,
                                       err_msg=f"{utt.fid} ends")
+
+
+def test_duplicate_fids_do_not_cross_wire(setup):
+    """Round-4 regression: _collect_align once keyed device rows by fid, so a
+    batch whose utterances all share one fid — exactly what serve's
+    micro-batcher submits — gave every utterance the LAST row's jump times and
+    the FIRST row's matrix. Device rows must be consumed positionally: a
+    duplicate-fid batch must equal the identical unique-fid batch field by
+    field."""
+    import dataclasses
+
+    tok, dims, params, utts = setup
+    cfg = AlignConfig(aligned_unit_type="char", aggr="topk", topk=3,
+                      medfilt_width=3, batch_size=3)
+    pipe = AlignmentPipeline(params, dims, tok, cfg)
+    pipe.transcribe_override = lambda batch: TRANSCRIPTS[:len(batch)]
+
+    unique = pipe.align_batch(utts, return_matrix=True)
+    dup_utts = [dataclasses.replace(u, fid="utterance") for u in utts]
+    dup = pipe.align_batch(dup_utts, return_matrix=True)
+
+    # guard against a vacuous comparison: rows must actually differ
+    assert not np.array_equal(unique[0].end_times, unique[1].end_times) or \
+        not np.array_equal(unique[0].start_times, unique[1].start_times) or \
+        unique[0].words != unique[1].words or \
+        not np.array_equal(unique[0].matrix, unique[1].matrix)
+    for a, b in zip(unique, dup):
+        assert a.words == b.words
+        np.testing.assert_array_equal(a.start_times, b.start_times)
+        np.testing.assert_array_equal(a.end_times, b.end_times)
+        np.testing.assert_array_equal(a.matrix, b.matrix)
+        np.testing.assert_array_equal(a.scores[0], b.scores[0])
+        np.testing.assert_array_equal(a.scores[1], b.scores[1])
+        assert a.word_probabilities == b.word_probabilities

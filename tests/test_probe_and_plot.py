@@ -132,6 +132,33 @@ def test_per_head_dtw_chunking_equals_single_launch(monkeypatch):
     np.testing.assert_array_equal(single, chunked)
 
 
+def test_per_head_dtw_frame_slice_equals_full_width(monkeypatch):
+    """CLAUDE.md invariant: fixed-shape fast paths must stay PROVABLY equal to
+    physical slicing, enforced bit-exactly. The probe's frame_slice fast path
+    (slice the frame axis to the batch's bucketed max frame_len before
+    column-normalize + DTW) relied on a prose-only argument; this test pins
+    it: with frames >= frame_len zeroed — the capture output's guarantee
+    (qk_to_attention masks them to exactly 0) — the sliced sweep's jump
+    frames equal the full-width sweep's for every (utterance, head)."""
+    import jax.numpy as jnp
+    from whisper_char_alignment_tpu.cli import probe_oracle
+
+    rng = np.random.default_rng(3)
+    l, b, h, t, f = 2, 3, 2, 10, 48
+    attn = rng.random((l, b, h, t, f)).astype(np.float32)
+    fl = np.array([17, 9, 23], np.int32)
+    attn *= (np.arange(f)[None, None, None, None, :]
+             < fl[None, :, None, None, None])
+    tl = np.array([t, t - 2, t - 1], np.int32)
+    attn, tl, fl = jnp.asarray(attn), jnp.asarray(tl), jnp.asarray(fl)
+    monkeypatch.delenv("WCA_PROBE_LAYER_CHUNK", raising=False)
+    full = np.asarray(
+        probe_oracle._per_head_jump_frames(attn, tl, fl, 3, frame_slice=0))
+    sliced = np.asarray(
+        probe_oracle._per_head_jump_frames(attn, tl, fl, 3, frame_slice=24))
+    np.testing.assert_array_equal(full, sliced)
+
+
 def test_plot_attn(tmp_path):
     from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
     from whisper_char_alignment_tpu.text.retokenize import encode

@@ -95,6 +95,21 @@ def test_unknown_route_and_bad_body(server):
         assert r.status == 200
 
 
+def _pin_transcripts(pipe):
+    """Deterministic per-utterance fake transcripts (keyed on the audio's
+    sample count) so every aligned request has NON-EMPTY words: the
+    random-weight test model transcribes to empty text, which made a
+    batched-vs-solo comparison pass vacuously and masked a real
+    cross-request alignment mix-up (round-4 review finding)."""
+    words = ("alpha", "beta", "gamma", "delta", "epsilon")
+
+    def fake(utts):
+        return [f"{words[u.duration % 5]} {words[(u.duration // 3) % 5]}"
+                for u in utts]
+
+    pipe.transcribe_override = fake
+
+
 @pytest.mark.slow
 def test_concurrent_aligns_micro_batch_and_match_solo(server, srv_obj):
     """VERDICT r03 #5: concurrent /align requests coalesce into shared device
@@ -103,12 +118,22 @@ def test_concurrent_aligns_micro_batch_and_match_solo(server, srv_obj):
     six requests (the three audios twice) land concurrently; every concurrent
     response must equal its solo twin bit-for-bit, and the batcher must have
     used fewer launches than requests."""
+    srv_obj.batcher.pipe_hook = _pin_transcripts
+    for pipe in srv_obj.batcher._pipes.values():
+        _pin_transcripts(pipe)
     bodies = {s: _wav_bytes(seconds=0.4 + 0.2 * s, seed=s) for s in range(3)}
     solo = {}
     for s, body in bodies.items():
         status, out = _post(f"{server}/align?topk=3", body)
         assert status == 200
         solo[s] = out
+    # the comparison below must not be vacuous: every solo answer has words
+    # and boundaries, and the three answers are pairwise distinct (so a
+    # cross-wired batch CANNOT reproduce them)
+    for s in range(3):
+        assert len(solo[s]["words"]) >= 2
+        assert len(solo[s]["end_times"]) >= 2
+    assert len({json.dumps(solo[s], sort_keys=True) for s in range(3)}) == 3
 
     launches0 = srv_obj.batcher.n_launches
     reqs0 = srv_obj.batcher.n_reqs

@@ -33,7 +33,11 @@ def infer_dataset(args) -> dict:
     params, dims, tok = common.load_model_and_tokenizer(args)
     cfg = common.config_from_args(args)
     tp = max(1, getattr(args, "tensor_parallel", 0))
-    mesh = (make_mesh(args.data_parallel or None, n_model=tp)
+    # --data_parallel: -1 = no data mesh (the historical sentinel), 0 = all
+    # devices, N = exactly N. With --tensor_parallel > 1 a mesh always exists;
+    # -1/0 then mean "infer the data axis from the device count".
+    dp = args.data_parallel if args.data_parallel > 0 else None
+    mesh = (make_mesh(dp, n_model=tp)
             if args.data_parallel >= 0 or tp > 1 else None)
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     pipe = AlignmentPipeline(params, dims, tok, cfg, mesh=mesh,

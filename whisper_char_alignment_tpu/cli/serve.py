@@ -103,6 +103,10 @@ class AlignBatcher:
         self.linger_s = max(0.0, linger_ms) / 1000.0
         self.device_lock = device_lock or threading.Lock()
         self._pipes: dict = {}
+        # test seam: called with each newly built pipeline (e.g. to install a
+        # deterministic transcribe_override so batched-vs-solo checks compare
+        # real, non-empty alignments)
+        self.pipe_hook = None
         self._queue: "collections.deque[_AlignRequest]" = collections.deque()
         self._cv = threading.Condition()
         self._stop = False
@@ -124,6 +128,8 @@ class AlignBatcher:
             pipe = AlignmentPipeline(self.model.params, self.model.dims,
                                      self.model.tokenizer, cfg,
                                      compute_dtype=self.compute_dtype)
+            if self.pipe_hook is not None:
+                self.pipe_hook(pipe)
             self._pipes[key] = pipe
         return pipe
 
@@ -190,9 +196,13 @@ class AlignBatcher:
                 batch = self._take_batch()
             try:
                 pipe = self._pipe(batch[0].key)
+                # unique fids per request: _collect_align indexes device rows
+                # positionally, but duplicate fids must never be load-bearing
+                # again (they cross-wired batched alignments in round 4)
                 utts = [Utterance(audio=r.audio.astype(np.float32),
                                   duration=r.audio.size, text="", starts=[],
-                                  ends=[], fid="utterance") for r in batch]
+                                  ends=[], fid=f"req{j}")
+                        for j, r in enumerate(batch)]
                 with self.device_lock:
                     results = pipe.align_batch(utts, return_matrix=True)
                 for r, res in zip(batch, results):
@@ -263,7 +273,10 @@ def make_handler(model: api.Model, compute_dtype, lock: threading.Lock,
                                 topk=key[2], medfilt_width=key[3],
                                 compute_dtype=compute_dtype)
                     return self._json(200, {
-                        "fid": res.fid,
+                        # the internal fid encodes the batch slot (req0, req1,
+                        # ...); a response must not depend on which slot the
+                        # batcher happened to assign
+                        "fid": "utterance",
                         "words": res.words,
                         "start_times": [float(t) for t in res.start_times],
                         "end_times": [float(t) for t in res.end_times],

@@ -30,6 +30,11 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
     # sharding (cli/infer_ali --multihost), not by a global mesh
     devices = (jax.local_devices() if jax.process_count() > 1
                else jax.devices())
+    if n_data is not None and n_data < 1:
+        # callers encode "no mesh"/"auto" as None BEFORE calling; a negative
+        # count must not slice devices[:-k] into a silently-smaller mesh
+        # (round-4 review finding: `--data_parallel -1 --tensor_parallel 2`)
+        raise ValueError(f"n_data must be >= 1 or None (auto), got {n_data}")
     n_model = max(1, n_model)
     if n_model == 1:
         n = n_data or len(devices)

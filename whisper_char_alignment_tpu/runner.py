@@ -139,7 +139,12 @@ def pack_fixed_batch(items, utts, b_pad: int, t_bucket: int, eot: int,
     tokens_arr = np.full((b_pad, t_bucket), eot, np.int32)
     token_len = np.ones((b_pad,), np.int32)
     frame_len = np.ones((b_pad,), np.int32)
-    utt_index = {u.fid: j for j, u in enumerate(utts)}
+    # match rows to encoder states by OBJECT IDENTITY, never by fid: fids are
+    # not unique (serve's micro-batcher submits a whole batch with one fid),
+    # and a fid-keyed map pointed every duplicate at the LAST row's encoder
+    # states (round-4 review finding; tests/test_pipeline_vs_single.py locks
+    # this). Both call sites pass ``items`` drawn from ``utts`` itself.
+    utt_index = {id(u): j for j, u in enumerate(utts)}
     xa_idx = np.zeros((b_pad,), np.int32)
     for i, (u, toks, max_frames) in enumerate(items):
         tokens_arr[i, :len(toks)] = toks
@@ -147,7 +152,7 @@ def pack_fixed_batch(items, utts, b_pad: int, t_bucket: int, eot: int,
         # clip to the model window (relevant only for sub-30s test dims;
         # real dims skip overlong inputs via MAX_FRAMES upstream)
         frame_len[i] = min(max(int(max_frames), 1), n_audio_ctx)
-        xa_idx[i] = utt_index[u.fid]
+        xa_idx[i] = utt_index[id(u)]
     return tokens_arr, token_len, frame_len, xa_idx
 
 
@@ -501,9 +506,9 @@ class AlignmentPipeline:
         prepared, live = ap["prepared"], ap["live"]
         return_matrix = ap["return_matrix"]
         out: List[UttAlignment] = []
-        jump_map = {}
-        sel_map = {}
-        probs_map = {}
+        jump_frames = None
+        token_probs_np = None
+        sel = None
         matrix_np = None
         if live:
             with self.timers.stage("collect sync", units=len(live)):
@@ -515,13 +520,13 @@ class AlignmentPipeline:
             sel = ap["sel_dev"]
             if sel is not None:
                 sel = (np.asarray(sel[0]), np.asarray(sel[1]))
-            for i, p in enumerate(live):
-                jump_map[p[0].fid] = jump_frames[i]
-                if sel is not None:
-                    sel_map[p[0].fid] = (sel[0][i], sel[1][i])
-                if token_probs_np is not None:
-                    probs_map[p[0].fid] = token_probs_np[i]
 
+        # device rows follow `live` (= prepared minus skips, order preserved),
+        # so index them POSITIONALLY with a running live counter. fids are NOT
+        # unique keys here: batched serve requests all arrive as "utterance",
+        # and keying by fid silently cross-wired their alignments (round-4
+        # review finding, regression-tested in tests/test_serve.py).
+        live_i = -1
         for idx, (u, tr_norm, text_norm, text_tokens, tokens, max_frames,
                   skip) in enumerate(prepared):
             if skip:
@@ -530,6 +535,7 @@ class AlignmentPipeline:
                     end_times=np.array([]), transcription=tr_norm,
                     text=text_norm, starts=u.starts, ends=u.ends, skipped=True))
                 continue
+            live_i += 1  # this entry owns device row `live_i`, even if wb=None
             if cfg.default_whisper_timing:
                 # the baseline path always groups with the tokenizer's own word
                 # splitter (reference timing.py:167)
@@ -549,22 +555,23 @@ class AlignmentPipeline:
                     end_times=np.array([]), transcription=tr_norm,
                     text=text_norm, starts=u.starts, ends=u.ends))
                 continue
-            jf = jump_map[u.fid][:len(text_tokens) + 1]
+            jf = jump_frames[live_i][:len(text_tokens) + 1]
             starts, ends = timing.jump_frames_to_times(jf, wb)
             word_probs = None
-            if u.fid in probs_map:
-                tp_row = probs_map[u.fid][:len(text_tokens)]
+            if token_probs_np is not None:
+                tp_row = token_probs_np[live_i][:len(text_tokens)]
                 word_probs = [float(np.mean(tp_row[i:j]))
                               for i, j in zip(wb[:-1], wb[1:])]
             m = None
             if return_matrix and matrix_np is not None:
-                live_idx = [p[0].fid for p in live].index(u.fid)
-                m = matrix_np[live_idx][self.sot_len:len(tokens) - 1,
-                                        :max_frames]
+                m = matrix_np[live_i][self.sot_len:len(tokens) - 1,
+                                      :max_frames]
             out.append(UttAlignment(
                 fid=u.fid, words=words, start_times=starts, end_times=ends,
                 transcription=tr_norm, text=text_norm, starts=u.starts,
-                ends=u.ends, matrix=m, scores=sel_map.get(u.fid),
+                ends=u.ends, matrix=m,
+                scores=(None if sel is None
+                        else (sel[0][live_i], sel[1][live_i])),
                 word_probabilities=word_probs))
         return out
 
