@@ -420,3 +420,39 @@ def test_beam_stress_wide_and_long(setup):
         np.testing.assert_allclose(
             results[k].avg_logprob, expect_lp / (len(expect_tokens) + 1),
             rtol=1e-4, atol=1e-4)
+
+
+def test_sampling_temperature_is_traced_not_static(setup):
+    """Round-4 review: transcribe()'s fallback ladder walks up to five
+    temperatures per window; a static temperature recompiled _sample_loop per
+    rung (minutes per signature on the remote-compile backend). The scalar is
+    only ever a divisor — it must be traced: same signature across rungs."""
+    tok, dims, params, mel = setup
+
+    def opts(t):
+        return decoding.DecodingOptions(temperature=t, sample_len=3,
+                                        without_timestamps=True)
+
+    decoding.decode(params, dims, tok, jnp.asarray(mel), opts(0.3))
+    n0 = beam._sample_loop._cache_size()
+    decoding.decode(params, dims, tok, jnp.asarray(mel), opts(0.7))
+    assert beam._sample_loop._cache_size() == n0
+
+
+def test_beam_and_sampling_handle_no_speech_none(setup):
+    """Round-4 review twin of the greedy-loop case: both beam and sampling
+    loops must trace with a no_speech-less tokenizer and report NaN."""
+    import copy
+
+    tok, dims, params, mel = setup
+    tok2 = copy.copy(tok)
+    tok2.no_speech = None
+    rs = decoding.decode(params, dims, tok2, jnp.asarray(mel),
+                         decoding.DecodingOptions(temperature=0.5,
+                                                  sample_len=3,
+                                                  without_timestamps=True))
+    assert all(np.isnan(x.no_speech_prob) for x in rs)
+    rb = decoding.decode(params, dims, tok2, jnp.asarray(mel),
+                         decoding.DecodingOptions(beam_size=2, sample_len=3,
+                                                  without_timestamps=True))
+    assert all(np.isnan(x.no_speech_prob) for x in rb)

@@ -233,3 +233,56 @@ def test_detect_language_runs(setup):
     code, probs = decoding.detect_language(params, dims, tok, jnp.asarray(mel[0]))
     assert code in tok.all_language_codes
     assert abs(sum(probs.values()) - 1.0) < 1e-3
+
+
+def test_suppress_tokens_published_semantics(setup):
+    """Round-4 review: '-1' ANYWHERE in the set expands to the non-speech
+    symbols and the -1 itself never reaches the mask build (numpy would
+    negative-index the LAST vocab entry — the highest timestamp token); int
+    iterables are accepted like the published API."""
+    tok, dims, params, mel = setup
+    base = set(decoding._get_suppress_tokens(tok, decoding.DecodingOptions()))
+    assert set(tok.non_speech_tokens) <= base and -1 not in base
+    mixed = decoding._get_suppress_tokens(
+        tok, decoding.DecodingOptions(suppress_tokens="-1,123"))
+    assert -1 not in mixed
+    assert set(mixed) == base | {123}
+    assert decoding._get_suppress_tokens(
+        tok, decoding.DecodingOptions(suppress_tokens=[-1, 123])) == mixed
+    # no -1 -> the non-speech set is NOT added (only specials + no_speech)
+    bare = set(decoding._get_suppress_tokens(
+        tok, decoding.DecodingOptions(suppress_tokens=None)))
+    assert bare < base
+
+
+def test_language_full_names_resolve_and_junk_raises(setup):
+    """Round-4 review: language='English' must decode as 'en' (published
+    TO_LANGUAGE_CODE behavior), and an unknown language must raise instead of
+    silently decoding in the tokenizer's construction-time default."""
+    tok, dims, params, mel = setup
+    lt_name, tt = decoding.resolved_special_tokens(tok, "English", "translate")
+    lt_code, _ = decoding.resolved_special_tokens(tok, "en", None)
+    assert (lt_name == lt_code
+            == tok.sot + 1 + tok.all_language_codes.index("en"))
+    assert tt == tok.translate
+    with pytest.raises(ValueError, match="language"):
+        decoding.resolved_special_tokens(tok, "klingon", None)
+    with pytest.raises(ValueError, match="language"):
+        decoding.decode(params, dims, tok, jnp.asarray(mel),
+                        decoding.DecodingOptions(language="klingon",
+                                                 sample_len=2))
+
+
+def test_decode_handles_tokenizer_without_no_speech(setup):
+    """Round-4 review: _get_suppress_tokens supports no_speech=None but the
+    decode loop crashed at trace time on it; the published result for that
+    tokenizer shape is no_speech_prob=NaN."""
+    import copy
+
+    tok, dims, params, mel = setup
+    tok2 = copy.copy(tok)
+    tok2.no_speech = None
+    r = decoding.decode(params, dims, tok2, jnp.asarray(mel),
+                        decoding.DecodingOptions(without_timestamps=True,
+                                                 sample_len=3))
+    assert all(np.isnan(x.no_speech_prob) for x in r)

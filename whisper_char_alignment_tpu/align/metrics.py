@@ -99,8 +99,6 @@ def eval_n1_strict_many(y, y_hat_many, words, words_hat, tolerance=1):
     FIRST unclaimed word-matching ground truth within tolerance — here as
     n_pred NumPy steps over (n_sets, n_gt) masks instead of
     n_sets * n_pred * n_gt Python iterations."""
-    import numpy as np
-
     gt_words = _normalize_words(words)
     pred_words = _normalize_words(words_hat)
     yh = np.asarray(y_hat_many, np.float64)

@@ -124,10 +124,11 @@ def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
                                            cross_kv,
                                            compute_dtype=compute_dtype,
                                            cross_mode=cross_mode)
-        ns_prob = jax.lax.cond(
-            i == sot_index + 1,
-            lambda lg: jax.nn.softmax(lg, axis=-1)[:, no_speech],
-            lambda lg: ns_prob, logits)
+        if no_speech is not None:  # a no_speech-less tokenizer: stays NaN
+            ns_prob = jax.lax.cond(
+                i == sot_index + 1,
+                lambda lg: jax.nn.softmax(lg, axis=-1)[:, no_speech],
+                lambda lg: ns_prob, logits)
         is_prompt = i < sample_begin
         sampled = i - sample_begin
 
@@ -196,12 +197,14 @@ def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
         return (i + 1, tokens, cache, sum_lp, has_ts, last_ts_tok, fin_tok,
                 fin_lp, fin_cnt, ns_prob)
 
+    ns_prob0 = (jnp.zeros((rows,), jnp.float32) if no_speech is not None
+                else jnp.full((rows,), jnp.nan, jnp.float32))
     state = (jnp.int32(1), tokens0, cache, jnp.zeros((rows,), jnp.float32),
              jnp.zeros((rows,), bool), jnp.zeros((rows,), jnp.int32),
              jnp.full((b_audio, max_candidates, total), eot, jnp.int32),
              jnp.full((b_audio, max_candidates), _NEG_INF, jnp.float32),
              jnp.zeros((b_audio,), jnp.int32),
-             jnp.zeros((rows,), jnp.float32))
+             ns_prob0)
     (i, tokens, _, sum_lp, _, _, fin_tok, fin_lp, fin_cnt, ns_prob) = (
         jax.lax.while_loop(cond, body, state))
     return tokens, sum_lp, fin_tok, fin_lp, fin_cnt, ns_prob, i - 1, xa
@@ -214,18 +217,22 @@ def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
 @functools.partial(jax.jit, static_argnames=(
     "dims", "sample_begin", "max_steps", "ts_begin", "eot", "no_timestamps",
     "no_speech", "max_initial_ts_index", "use_timestamps", "compute_dtype",
-    "n_group", "temperature", "sot_index", "attn_mode", "cross_mode"))
+    "n_group", "sot_index", "attn_mode", "cross_mode"))
 def _sample_loop(params, dims: ModelDims, mel, prompt, suppress_mask,
                  blank_mask, rng, *, sample_begin: int, max_steps: int,
                  ts_begin: int, eot: int, no_timestamps: int, no_speech: int,
                  max_initial_ts_index: Optional[int], use_timestamps: bool,
                  compute_dtype=jnp.float32, n_group: int = 1,
-                 temperature: float = 1.0, sot_index: int = 0,
+                 temperature=1.0, sot_index: int = 0,
                  attn_mode: str = "xla", cross_mode: str = "xla"):
     """Categorical sampling at ``temperature`` with ``n_group`` independent
     rows per audio. Returns (tokens (rows, total), sum_lp, ns_prob, n_steps,
     xa). Cumulative logprobs come from the un-scaled distribution (published
-    GreedyDecoder.update)."""
+    GreedyDecoder.update).
+
+    ``temperature`` is a TRACED scalar (only ever a divisor): transcribe()'s
+    fallback ladder walks up to five temperatures per window, and a static
+    temperature meant five multi-minute remote recompiles of the same loop."""
     from .decoding import apply_logit_filters
 
     b_audio = mel.shape[0]
@@ -257,10 +264,11 @@ def _sample_loop(params, dims: ModelDims, mel, prompt, suppress_mask,
                                            cross_kv,
                                            compute_dtype=compute_dtype,
                                            cross_mode=cross_mode)
-        ns_prob = jax.lax.cond(
-            i == sot_index + 1,
-            lambda lg: jax.nn.softmax(lg, axis=-1)[:, no_speech],
-            lambda lg: ns_prob, logits)
+        if no_speech is not None:  # a no_speech-less tokenizer: stays NaN
+            ns_prob = jax.lax.cond(
+                i == sot_index + 1,
+                lambda lg: jax.nn.softmax(lg, axis=-1)[:, no_speech],
+                lambda lg: ns_prob, logits)
         is_prompt = i < sample_begin
         filtered = apply_logit_filters(
             logits, i, tokens, has_ts, last_ts_tok, suppress_mask, blank_mask,
@@ -287,9 +295,11 @@ def _sample_loop(params, dims: ModelDims, mel, prompt, suppress_mask,
         return (i + 1, tokens, cache, new_finished, sum_lp, has_ts,
                 last_ts_tok, ns_prob)
 
+    ns_prob0 = (jnp.zeros((rows,), jnp.float32) if no_speech is not None
+                else jnp.full((rows,), jnp.nan, jnp.float32))
     state = (jnp.int32(1), tokens0, cache, jnp.zeros((rows,), bool),
              jnp.zeros((rows,), jnp.float32), jnp.zeros((rows,), bool),
-             jnp.zeros((rows,), jnp.int32), jnp.zeros((rows,), jnp.float32))
+             jnp.zeros((rows,), jnp.int32), ns_prob0)
     i, tokens, _, _, sum_lp, _, _, ns_prob = jax.lax.while_loop(
         cond, body, state)
     return tokens, sum_lp, ns_prob, i - 1, xa

@@ -73,13 +73,47 @@ class DecodingResult:
     n_steps: int = 0
 
 
+def resolved_special_tokens(tokenizer, language: Optional[str],
+                            task: Optional[str]):
+    """(language_token, task_token) to patch into a sot sequence, or None
+    where no patch applies. ONE home for the sot-patching index arithmetic —
+    decode() and transcribe's word-timing capture must key the teacher-forced
+    sequence identically (the published code rebuilds its tokenizer per
+    options instead). Accepts full language names ('English') like the
+    published API and raises on unknown/unsupported languages rather than
+    silently decoding in the tokenizer's construction-time default."""
+    from ..text.tokenizer import normalize_language
+
+    lang_tok = task_tok = None
+    if language is not None and tokenizer.is_multilingual:
+        code = normalize_language(language)
+        codes = tokenizer.all_language_codes
+        if code not in codes:
+            raise ValueError(
+                f"language {language!r} is not supported by this tokenizer "
+                f"({len(codes)} languages)")
+        lang_tok = tokenizer.sot + 1 + codes.index(code)
+    if task == "translate" and tokenizer.is_multilingual:
+        task_tok = tokenizer.translate
+    return lang_tok, task_tok
+
+
 def _get_suppress_tokens(tokenizer, options: DecodingOptions) -> Tuple[int, ...]:
-    """The published "-1" suppress set: non-speech symbols plus task/sot specials."""
-    suppress: list = []
-    if options.suppress_tokens == "-1":
+    """The published _get_suppress_tokens semantics: a comma string or an int
+    iterable; a -1 ANYWHERE in the set expands to the non-speech symbols (and
+    the -1 itself is dropped — it must never reach the mask build, where
+    numpy would negative-index the LAST vocab entry, the highest timestamp
+    token); the task/sot specials are always added."""
+    opt = options.suppress_tokens
+    if isinstance(opt, str):
+        suppress = [int(t) for t in opt.split(",") if t.strip()]
+    elif opt:
+        suppress = [int(t) for t in opt]
+    else:
+        suppress = []
+    if -1 in suppress:
+        suppress = [t for t in suppress if t >= 0]
         suppress.extend(tokenizer.non_speech_tokens)
-    elif options.suppress_tokens:
-        suppress.extend(int(t) for t in str(options.suppress_tokens).split(","))
     suppress.extend([tokenizer.transcribe, tokenizer.translate, tokenizer.sot,
                      tokenizer.sot_prev, tokenizer.sot_lm])
     if tokenizer.no_speech is not None:
@@ -214,10 +248,11 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
         # (consumed at i == sot_index + 1; sot_index > 0 under a conditioning
         # prompt). lax.cond so the full-vocab softmax pass only executes on
         # that one step, not every iteration
-        ns_prob = jax.lax.cond(
-            i == sot_index + 1,
-            lambda lg: jax.nn.softmax(lg, axis=-1)[:, no_speech],
-            lambda lg: ns_prob, logits)
+        if no_speech is not None:  # a no_speech-less tokenizer: stays NaN
+            ns_prob = jax.lax.cond(
+                i == sot_index + 1,
+                lambda lg: jax.nn.softmax(lg, axis=-1)[:, no_speech],
+                lambda lg: ns_prob, logits)
         is_prompt = i < sample_begin
         filtered = apply_filters(logits, i, tokens, has_ts, last_ts_tok)
         next_sampled = jnp.argmax(filtered, axis=-1).astype(jnp.int32)
@@ -254,9 +289,13 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
         return (i + 1, tokens, cache, new_finished, sum_lp, has_ts, last_ts_tok,
                 ns_prob, min_margin)
 
+    # no-speech prob is NaN when the tokenizer has no no_speech token (the
+    # published result value for that tokenizer shape)
+    ns_prob0 = (jnp.zeros((b,), jnp.float32) if no_speech is not None
+                else jnp.full((b,), jnp.nan, jnp.float32))
     state = (jnp.int32(1), tokens0, cache, jnp.zeros((b,), bool),
              jnp.zeros((b,), jnp.float32), jnp.zeros((b,), bool),
-             jnp.zeros((b,), jnp.int32), jnp.zeros((b,), jnp.float32),
+             jnp.zeros((b,), jnp.int32), ns_prob0,
              jnp.full((b,), jnp.inf, jnp.float32))
     # consume the first prompt token outside the loop to fill position 0's cache —
     # handled inside the loop by starting at i=1 after seeding tokens0
@@ -373,17 +412,18 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
     prompt_arr = np.asarray(initial, np.int32)
     codes = tokenizer.all_language_codes
     lang_pos = sot_index + 1  # ..., sot, language, task[, notimestamps]
-    if (options.language is not None and tokenizer.is_multilingual
-            and len(sot_seq) >= 2 and options.language in codes):
-        # decode in the requested language even if the tokenizer was built with
-        # a different default (published decode builds its tokenizer per options)
+    # decode in the requested language/task even if the tokenizer was built
+    # with a different default (published decode builds its tokenizer per
+    # options); full names resolve, junk raises (resolved_special_tokens)
+    lang_tok, task_tok = resolved_special_tokens(tokenizer, options.language,
+                                                 options.task)
+    if lang_tok is not None and len(sot_seq) >= 2:
         prompt_arr = prompt_arr.copy()
-        prompt_arr[lang_pos] = tokenizer.sot + 1 + codes.index(options.language)
-    if (options.task == "translate" and tokenizer.is_multilingual
-            and len(sot_seq) >= 3):
+        prompt_arr[lang_pos] = lang_tok
+    if task_tok is not None and len(sot_seq) >= 3:
         # the task token follows the language token in the sot sequence
         prompt_arr = prompt_arr.copy()
-        prompt_arr[..., lang_pos + 1] = tokenizer.translate
+        prompt_arr[lang_pos + 1] = task_tok
     if detected_langs is not None:
         prompt_arr = np.tile(prompt_arr[None], (mel.shape[0], 1))
         for i, code in enumerate(detected_langs):
@@ -502,10 +542,14 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
                 sum_lp = np.where(flagged, es, sum_lp)
                 ns_prob = np.where(flagged, en, ns_prob)
         n_steps = int(n_steps)
+        from ..text.tokenizer import normalize_language
+
+        norm_lang = normalize_language(options.language)
         results = []
         for k in range(tokens.shape[0]):
+            # report the resolved CODE ("English" -> "en"), as published
             lang = (detected_langs[k] if detected_langs is not None
-                    else options.language or (tokenizer.language or "en"))
+                    else norm_lang or (tokenizer.language or "en"))
             seq = tokens[k, sample_begin:].tolist()
             if tokenizer.eot in seq:
                 seq = seq[:seq.index(tokenizer.eot)]

@@ -254,6 +254,21 @@ def _find_asset(tokenizer_dir: str, names: Sequence[str]) -> Optional[str]:
     return None
 
 
+def normalize_language(language: Optional[str]) -> Optional[str]:
+    """'English'/'en'/'EN' -> 'en'; None passes through; ValueError on an
+    unknown name/code (the published TO_LANGUAGE_CODE lookup + raise — a bad
+    language must never silently decode in the tokenizer's construction-time
+    default)."""
+    if language is None:
+        return None
+    lang = language.lower()
+    if lang in LANGUAGES_V3:
+        return lang
+    if lang in _NAME_TO_CODE:
+        return _NAME_TO_CODE[lang]
+    raise ValueError(f"unsupported language: {language}")
+
+
 def get_tokenizer(multilingual: bool = True, *, language: Optional[str] = "en",
                   task: Optional[str] = "transcribe",
                   tokenizer_dir: Optional[str] = None,
@@ -262,13 +277,7 @@ def get_tokenizer(multilingual: bool = True, *, language: Optional[str] = "en",
 
     Accepts language names or codes ("English" -> "en"), like the published API.
     """
-    if language is not None:
-        language = language.lower()
-        if language not in LANGUAGES_V3:
-            if language in _NAME_TO_CODE:
-                language = _NAME_TO_CODE[language]
-            else:
-                raise ValueError(f"unsupported language: {language}")
+    language = normalize_language(language)
     # published defaulting: multilingual fills in en/transcribe; the English-only
     # tokenizer has no language/task (sot_sequence is just (sot,))
     if multilingual:

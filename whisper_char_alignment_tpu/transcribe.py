@@ -88,14 +88,16 @@ def _resolved_sot_sequence(tokenizer, language: Optional[str],
     """The sot sequence with the RESOLVED language/task tokens patched in —
     the published find_alignment builds its tokenizer per the transcription
     language and task; the raw ``tokenizer.sot_sequence`` may carry a
-    different construction-time default."""
+    different construction-time default. The token values come from the SAME
+    helper decode() patches its prompt with (decoding.resolved_special_tokens)
+    so the capture pass and the decode pass can never drift apart."""
     sot_seq = list(tokenizer.sot_sequence)
-    codes = tokenizer.all_language_codes
-    if (language is not None and tokenizer.is_multilingual
-            and len(sot_seq) >= 2 and language in codes):
-        sot_seq[1] = tokenizer.sot + 1 + codes.index(language)
-    if task == "translate" and tokenizer.is_multilingual and len(sot_seq) >= 3:
-        sot_seq[2] = tokenizer.translate
+    lang_tok, task_tok = decoding.resolved_special_tokens(tokenizer, language,
+                                                          task)
+    if lang_tok is not None and len(sot_seq) >= 2:
+        sot_seq[1] = lang_tok
+    if task_tok is not None and len(sot_seq) >= 3:
+        sot_seq[2] = task_tok
     return sot_seq
 
 
@@ -262,7 +264,13 @@ def transcribe(params, dims, tokenizer,
                 "language": decode_options.pop("language", None)
                 or tokenizer.language or "en"}
 
-    language = decode_options.pop("language", None)
+    # resolve full names up front ("English" -> "en", ValueError on junk) so
+    # the result dict, the per-window DecodingOptions, and the word-timing
+    # capture all see the same code (published transcribe does the same via
+    # its tokenizer construction)
+    from .text.tokenizer import normalize_language
+
+    language = normalize_language(decode_options.pop("language", None))
     if language is None:
         if tokenizer.is_multilingual and len(tokenizer.sot_sequence) >= 2:
             seg0 = pad_or_trim(jnp.asarray(mel), window_frames, axis=-1)
