@@ -77,7 +77,12 @@ int wavio_load(const char* path, float** out, int64_t* out_samples,
       channels = rd_u16(body + 2);
       rate = rd_u32(body + 4);
       bits = rd_u16(body + 14);
-      if (fmt_tag == 0xFFFE) fmt_tag = 1;  // extensible: assume PCM subformat
+      if (fmt_tag == 0xFFFE) {
+        // WAVE_FORMAT_EXTENSIBLE: the real format code is the first 2 bytes
+        // of the SubFormat GUID at fmt-body offset 24 (1 = PCM, 3 = float);
+        // assuming PCM mis-decoded extensible float WAVs (round-4 review)
+        fmt_tag = (csize >= 26) ? rd_u16(body + 24) : 1;
+      }
       have_fmt = true;
     } else if (std::memcmp(id, "data", 4) == 0) {
       payload = body;

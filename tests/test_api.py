@@ -61,10 +61,14 @@ def test_load_model_requires_checkpoint(monkeypatch):
 
 
 @pytest.mark.slow
-def test_align_long_chunks_and_offsets():
-    """align_long splits >window audio into 30s-equivalent windows, aligns each
+def test_align_long_chunks_and_offsets(monkeypatch):
+    """align_long splits >window audio into MODEL-window chunks, aligns each
     and offsets boundaries by the window start (extension: the reference skips
-    such utterances, infer_ali.py:78-81)."""
+    such utterances, infer_ali.py:78-81). The single-window gate must use the
+    MODEL's window, not the 30 s constant: this tiny model's 2.5-window audio
+    previously slipped under N_SAMPLES, delegated to align(), and silently
+    dropped everything past one window (round-4 review finding) — so align()
+    must NOT be called here."""
     import numpy as np
     from whisper_char_alignment_tpu import api
 
@@ -72,8 +76,15 @@ def test_align_long_chunks_and_offsets():
     window_s = 2 * model.dims.n_audio_ctx * 160 / 16000  # tiny model's window
     rng = np.random.default_rng(0)
     audio = rng.normal(0, 0.1, int(16000 * window_s * 2.5)).astype(np.float32)
+
+    def _no_delegate(*a, **k):
+        raise AssertionError("align_long must chunk >window audio, not "
+                             "delegate to align()")
+
+    monkeypatch.setattr(api, "align", _no_delegate)
     # GT transcripts per chunk via the override (random weights give garbage)
     res = api.align_long(model, audio, use_gt_transcript=False)
+    monkeypatch.undo()
     assert res.words[-1] == "<|endoftext|>"
     assert len(res.start_times) == len(res.end_times) == len(res.words) - 1
     if len(res.end_times):

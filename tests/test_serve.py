@@ -5,6 +5,7 @@ JSON out)."""
 import io
 import json
 import threading
+import time
 import urllib.request
 
 import numpy as np
@@ -206,3 +207,36 @@ def test_oversized_body_rejected_413(server, monkeypatch):
     # server survives the refusal
     with urllib.request.urlopen(f"{server}/healthz", timeout=60) as r:
         assert r.status == 200
+
+
+@pytest.mark.slow
+def test_timed_out_request_is_withdrawn_from_queue():
+    """Round-4 review: a request whose submit() times out must leave the
+    queue — the dispatcher previously ran a full device launch for a client
+    that had already received its error."""
+    from whisper_char_alignment_tpu.cli.serve import AlignBatcher
+
+    model = api.test_model()
+    gate = threading.Lock()
+    gate.acquire()  # stall the dispatcher's first launch on the device lock
+    b = AlignBatcher(model, np.float32, batch_size=1, linger_ms=0.0,
+                     device_lock=gate)
+    try:
+        audio = np.zeros(1600, np.float32)
+        key = ("char", "topk", 3, 3)
+        t1 = threading.Thread(target=lambda: b.submit(audio, key, timeout=120))
+        t1.start()
+        # wait until the dispatcher has TAKEN request 1 (queue drained) and is
+        # blocked on the device lock
+        for _ in range(200):
+            if not b._queue and t1.is_alive():
+                break
+            time.sleep(0.01)
+        with pytest.raises(TimeoutError):
+            b.submit(audio, key, timeout=0.2)
+        with b._cv:
+            assert len(b._queue) == 0  # the timed-out request withdrew itself
+    finally:
+        gate.release()
+        t1.join(timeout=300)
+        b.close()

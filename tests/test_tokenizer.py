@@ -67,6 +67,17 @@ def test_bpe_python_vs_native_parity():
         assert got == expect, text
 
 
+def test_overlong_piece_falls_back_to_python_merge():
+    """Round-4 review: the native core bounds its output to 4096 ids/piece;
+    a longer unmergeable piece ('z'*5000 — no zz merge in the toy vocab) must
+    fall back to the pure-Python merge instead of raising."""
+    b = bpe_mod.ByteBPE(bpe_mod.toy_ranks())
+    text = "z" * 5000
+    ids = b.encode_ordinary(text)
+    assert b.decode(ids) == text
+    assert ids == b._bpe_merge(text.encode("utf-8"))
+
+
 def test_bpe_merges_actually_fire(tok):
     # toy vocab has merges learned from a corpus containing 'the'
     ids = tok.encode("the")

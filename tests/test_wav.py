@@ -1,6 +1,7 @@
 """WAV decode: NumPy parser and optional C++ fast path, round-trip fixtures."""
 
 import os
+import struct
 
 import numpy as np
 import pytest
@@ -106,6 +107,38 @@ def test_extensible_format_treated_as_pcm(tmp_path):
     _write_wav(p, 0xFFFE, 16, raw)
     y, sr = wav.load(p)
     np.testing.assert_allclose(y[0], x, atol=1e-4)
+
+
+def test_extensible_float_reads_subformat_guid(tmp_path):
+    """Round-4 review: WAVE_FORMAT_EXTENSIBLE carries the REAL format code in
+    the SubFormat GUID (offset 24 of the fmt body); assuming PCM silently
+    decoded extensible IEEE-float WAVs (common DAW/sox output) into garbage.
+    Both the NumPy parser and the C++ decoder must read the GUID."""
+    x = (0.5 * np.sin(2 * np.pi * 440 * np.arange(800) / 16000)).astype(
+        np.float32)
+    pcm = x.astype("<f4").tobytes()
+    sub = (struct.pack("<H", 3)  # IEEE float
+           + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71")
+    fmt = (struct.pack("<HHIIHH", 0xFFFE, 1, 16000, 64000, 4, 32)
+           + struct.pack("<HHI", 22, 32, 0) + sub)
+    p = str(tmp_path / "extf.wav")
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    with open(p, "wb") as f:
+        f.write(b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body)
+
+    os.environ["WCA_DISABLE_NATIVE"] = "1"
+    try:
+        y_np, sr = wav.load(p)
+    finally:
+        del os.environ["WCA_DISABLE_NATIVE"]
+    np.testing.assert_allclose(y_np[0], x, atol=1e-6)
+    assert sr == 16000
+    native = wav._wavio_native.get()
+    if native is not None:
+        y_nat, sr2 = wav.load(p)
+        np.testing.assert_allclose(y_nat[0], x, atol=1e-6)
+        assert sr2 == 16000
 
 
 def test_reject_garbage(tmp_path):

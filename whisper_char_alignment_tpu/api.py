@@ -104,12 +104,13 @@ def align_long(model: Model, audio: Union[str, np.ndarray],
     :func:`align`, which this delegates to when the audio fits one window.
     """
     data, fid = _load_audio(audio)
-    window = constants.N_SAMPLES
+    # the MODEL's window, not the 30 s constant: short-window models (tiny
+    # test dims) would otherwise route 30 s of audio to align(), which
+    # pads/trims to the model window and silently drops the tail
+    # (round-4 review finding)
+    window = 2 * model.dims.n_audio_ctx * constants.HOP_LENGTH
     if data.size <= window:
         return align(model, data, compute_dtype=compute_dtype, **align_kwargs)
-
-    # model dims may use a shorter window (tiny test models)
-    window = 2 * model.dims.n_audio_ctx * constants.HOP_LENGTH
     chunks = [data[i:i + window] for i in range(0, data.size, window)]
     utts = [Utterance(audio=np.ascontiguousarray(c, np.float32),
                       duration=c.size, text="", starts=[], ends=[],

@@ -1,24 +1,20 @@
 """Loader shim for the optional C++ WAV decoder (cpp/wavio.cc via ctypes).
 
-Builds lazily the first time it is requested; failures (no compiler, sandbox) are
-non-fatal — callers fall back to the NumPy parser in ``wav.py``.
+Build/load plumbing lives in ``utils.native`` (shared with the BPE shim);
+failures are non-fatal — callers fall back to the NumPy parser in ``wav.py``.
 """
 
 from __future__ import annotations
 
 import ctypes
-import os
-import subprocess
 import threading
 
 import numpy as np
 
+from ..utils import native as native_lib
+
 _lock = threading.Lock()
 _state: dict = {"tried": False, "lib": None}
-
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "cpp", "wavio.cc")
-_SO = os.path.join(_REPO_ROOT, "cpp", "build", "libwavio.so")
 
 
 class _Native:
@@ -52,28 +48,21 @@ class _Native:
         return arr.reshape(samples.value, channels.value).T.copy(), rate.value
 
 
-def _build() -> bool:
-    if not os.path.exists(_SRC):
-        return False
-    os.makedirs(os.path.dirname(_SO), exist_ok=True)
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC, "-o", _SO]
-    try:
-        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-        return True
-    except Exception:
-        return False
-
-
 def get():
-    """Return the native decoder or None."""
+    """Return the native decoder or None. The env gate is re-checked on every
+    call (not just at first load) so tests can force the NumPy path at any
+    point."""
+    import os
+
     if os.environ.get("WCA_DISABLE_NATIVE"):
         return None
     with _lock:
         if not _state["tried"]:
             _state["tried"] = True
-            if os.path.exists(_SO) or _build():
+            lib = native_lib.load("wavio.cc", "libwavio.so")
+            if lib is not None:
                 try:
-                    _state["lib"] = _Native(ctypes.CDLL(_SO))
+                    _state["lib"] = _Native(lib)
                 except Exception:
                     _state["lib"] = None
         return _state["lib"]

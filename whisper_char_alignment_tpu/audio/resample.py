@@ -44,3 +44,14 @@ def load_resampled(path: str) -> np.ndarray:
     data, sr = wav.load(path)
     data = data.reshape(-1) if data.shape[0] == 1 else data.mean(0)
     return resample(data, sr)
+
+
+def load_resampled_bytes(raw: bytes) -> np.ndarray:
+    """In-memory twin of :func:`load_resampled` for WAV bytes already in RAM
+    (the serving path: uploaded request bodies previously round-tripped
+    through a temp file just to get a path)."""
+    from . import wav
+
+    data, sr = wav._parse_wav(raw)
+    data = data.reshape(-1) if data.shape[0] == 1 else data.mean(0)
+    return resample(data, sr)

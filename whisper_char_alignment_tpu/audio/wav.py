@@ -22,6 +22,7 @@ def _parse_wav(data: bytes):
         raise ValueError("not a RIFF/WAVE file")
     pos = 12
     fmt = None
+    fmt_body = b""
     payload = None
     while pos + 8 <= len(data):
         chunk_id = data[pos:pos + 4]
@@ -29,6 +30,7 @@ def _parse_wav(data: bytes):
         body = data[pos + 8:pos + 8 + size]
         if chunk_id == b"fmt ":
             fmt = struct.unpack("<HHIIHH", body[:16])
+            fmt_body = body
         elif chunk_id == b"data":
             payload = body
         pos += 8 + size + (size & 1)  # chunks are word-aligned
@@ -36,8 +38,15 @@ def _parse_wav(data: bytes):
         raise ValueError("missing fmt/data chunk")
 
     audio_format, channels, sample_rate, _, _, bits = fmt
-    if audio_format == 0xFFFE and len(payload) >= 0:  # WAVE_FORMAT_EXTENSIBLE
-        audio_format = 1  # assume PCM subformat; adequate for speech corpora
+    if audio_format == 0xFFFE:  # WAVE_FORMAT_EXTENSIBLE
+        # the REAL format code is the first 2 bytes of the SubFormat GUID at
+        # offset 24 of the fmt body (1 = PCM, 3 = IEEE float). Assuming PCM
+        # here silently decoded extensible float WAVs — a common DAW/sox
+        # output — into garbage (round-4 review finding).
+        if len(fmt_body) >= 26:
+            (audio_format,) = struct.unpack("<H", fmt_body[24:26])
+        else:
+            audio_format = 1  # truncated extensible header: legacy PCM guess
 
     if audio_format == 1:  # PCM
         if bits == 8:

@@ -33,7 +33,6 @@ import collections
 import json
 import os
 import sys
-import tempfile
 import threading
 import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
@@ -148,6 +147,15 @@ class AlignBatcher:
             self._queue.append(req)
             self._cv.notify_all()
         if not req.event.wait(timeout):
+            # withdraw a still-queued request so the dispatcher never burns a
+            # device launch (possibly a first-bucket compile) on a client
+            # that already got its error; an already-taken request's launch
+            # is in flight and completes harmlessly (nobody waits on it)
+            with self._cv:
+                try:
+                    self._queue.remove(req)
+                except ValueError:
+                    pass
             raise TimeoutError("align request timed out in the batch queue")
         if req.error is not None:
             raise req.error
@@ -239,12 +247,11 @@ def make_handler(model: api.Model, compute_dtype, lock: threading.Lock,
                 raise _BodyTooLarge(
                     f"request body {n} bytes exceeds cap {MAX_BODY_BYTES}")
             data = self.rfile.read(n)
-            from ..audio.resample import load_resampled
+            # decode in memory — a temp-file round trip per request (up to
+            # the body cap) is pure I/O waste on the serving hot path
+            from ..audio.resample import load_resampled_bytes
 
-            with tempfile.NamedTemporaryFile(suffix=".wav") as f:
-                f.write(data)
-                f.flush()
-                return load_resampled(f.name)
+            return load_resampled_bytes(data)
 
         def do_GET(self):
             if urlparse(self.path).path == "/healthz":

@@ -62,7 +62,9 @@ class TIMIT:
         audio, sr = wav.load(path)
         assert sr == self.sample_rate, f"{path}: sample rate {sr} != 16000"
         audio = audio.reshape(-1) if audio.shape[0] == 1 else audio.mean(0)
-        text_file = path.split(".wav")[0] + ".wrd"
+        # rsplit: a directory component containing ".wav" (corpus.wav_16k/...)
+        # must not truncate the label path at the FIRST occurrence
+        text_file = path.rsplit(".wav", 1)[0] + ".wrd"
         texts, starts, ends = [], [], []
         with open(text_file) as f:
             for line in f:
@@ -142,17 +144,24 @@ def iter_utterances(dataset, prefetch: int = 8,
     stop = object()
 
     def worker():
+        # a worker exception must reach the CONSUMER: swallowing it here
+        # silently truncated the dataset and reported metrics over a partial
+        # corpus as if the run succeeded (the eager reference crashes instead)
         try:
             for i in indices:
                 q.put(dataset[i])
-        finally:
-            q.put(stop)
+        except BaseException as e:  # noqa: BLE001 - re-raised in the consumer
+            q.put((stop, e))
+        else:
+            q.put((stop, None))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
     while True:
         item = q.get()
-        if item is stop:
+        if isinstance(item, tuple) and len(item) == 2 and item[0] is stop:
+            if item[1] is not None:
+                raise item[1]
             break
         yield item
 

@@ -9,45 +9,32 @@ from __future__ import annotations
 import ctypes
 import os
 import struct
-import subprocess
 import threading
 from typing import Dict, List
 
+from ..utils import native as native_lib
+
 _lock = threading.Lock()
 _lib_state: dict = {"tried": False, "lib": None}
-
-_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-_SRC = os.path.join(_REPO_ROOT, "cpp", "bpe.cc")
-_SO = os.path.join(_REPO_ROOT, "cpp", "build", "libbpe.so")
 
 
 def _get_lib():
     with _lock:
         if not _lib_state["tried"]:
             _lib_state["tried"] = True
-            if not os.path.exists(_SO):
-                if not os.path.exists(_SRC):
-                    return None
-                os.makedirs(os.path.dirname(_SO), exist_ok=True)
+            lib = native_lib.load("bpe.cc", "libbpe.so")
+            if lib is not None:
                 try:
-                    subprocess.run(
-                        ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", _SRC,
-                         "-o", _SO],
-                        check=True, capture_output=True, timeout=120)
+                    lib.bpe_new.restype = ctypes.c_void_p
+                    lib.bpe_new.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+                    lib.bpe_free.argtypes = [ctypes.c_void_p]
+                    lib.bpe_encode.restype = ctypes.c_int32
+                    lib.bpe_encode.argtypes = [
+                        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+                        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+                    _lib_state["lib"] = lib
                 except Exception:
-                    return None
-            try:
-                lib = ctypes.CDLL(_SO)
-                lib.bpe_new.restype = ctypes.c_void_p
-                lib.bpe_new.argtypes = [ctypes.c_char_p, ctypes.c_int64]
-                lib.bpe_free.argtypes = [ctypes.c_void_p]
-                lib.bpe_encode.restype = ctypes.c_int32
-                lib.bpe_encode.argtypes = [
-                    ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
-                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
-                _lib_state["lib"] = lib
-            except Exception:
-                _lib_state["lib"] = None
+                    _lib_state["lib"] = None
         return _lib_state["lib"]
 
 
@@ -63,14 +50,24 @@ class NativeBPE:
         except Exception:
             pass
 
+    def encode_piece(self, piece: bytes) -> "List[int] | None":
+        """ids for one pre-token piece, or None when the native core refuses
+        (output longer than the fixed id buffer — e.g. a >4096-byte piece with
+        no merges). The caller falls back to the pure-Python merge, which has
+        no length limit."""
+        lib, h, buf = self._lib, self._handle, self._buf
+        n = lib.bpe_encode(h, piece, len(piece), buf, len(buf))
+        if n < 0:
+            return None
+        return list(buf[:n])
+
     def encode_pieces(self, pieces: List[bytes]) -> List[int]:
         out: List[int] = []
-        lib, h, buf = self._lib, self._handle, self._buf
         for piece in pieces:
-            n = lib.bpe_encode(h, piece, len(piece), buf, len(buf))
-            if n < 0:
+            got = self.encode_piece(piece)
+            if got is None:
                 raise ValueError("native BPE failed")
-            out.extend(buf[:n])
+            out.extend(got)
         return out
 
 

@@ -166,12 +166,18 @@ class ByteBPE:
 
     def encode_ordinary(self, text: str) -> List[int]:
         native = self._get_native()
-        if native is not None:
-            pieces = [p.encode("utf-8") for p in pre_tokenize(text)]
-            return native.encode_pieces(pieces)
         ids: List[int] = []
         for piece in pre_tokenize(text):
-            ids.extend(self._bpe_merge(piece.encode("utf-8")))
+            b = piece.encode("utf-8")
+            if native is not None:
+                got = native.encode_piece(b)
+                if got is not None:
+                    ids.extend(got)
+                    continue
+                # the native core bounds its output buffer (4096 ids/piece);
+                # an overlong unmergeable piece falls back to the pure-Python
+                # merge instead of erroring (round-4 review: 'z'*5000 crashed)
+            ids.extend(self._bpe_merge(b))
         return ids
 
     def decode_bytes(self, ids: Iterable[int]) -> bytes:

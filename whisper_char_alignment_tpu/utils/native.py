@@ -1,0 +1,65 @@
+"""One loader for the optional C++ fast paths (cpp/*.cc via ctypes).
+
+Both native shims (audio/_wavio_native.py, text/_bpe_native.py) previously
+carried their own copy of the build-and-load plumbing, which had already
+drifted (different WCA_DISABLE_NATIVE gate placement, and neither rebuilt a
+stale .so after its source changed). This is the single home:
+
+- ``WCA_DISABLE_NATIVE=1`` disables every native path (callers fall back to
+  their pure-Python implementations).
+- The .so is (re)built with g++ when missing OR older than its source, so an
+  edited cpp/*.cc can never be silently shadowed by a stale binary.
+- All failures (no compiler, sandbox, bad .so) are non-fatal: ``load``
+  returns None and the caller falls back.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+_lock = threading.Lock()
+# src path -> ctypes.CDLL | None; an entry means "tried" (None = gave up)
+_loaded: dict = {}
+
+
+def _build(src: str, so: str) -> bool:
+    os.makedirs(os.path.dirname(so), exist_ok=True)
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", so]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except Exception:
+        return False
+
+
+def load(src_name: str, so_name: str) -> Optional[ctypes.CDLL]:
+    """CDLL for ``cpp/<src_name>`` built at ``cpp/build/<so_name>``, or None.
+
+    The result (including a failed attempt) is cached per source path; the
+    symbol setup (restype/argtypes) stays with the caller.
+    """
+    if os.environ.get("WCA_DISABLE_NATIVE"):
+        return None
+    src = os.path.join(_REPO_ROOT, "cpp", src_name)
+    so = os.path.join(_REPO_ROOT, "cpp", "build", so_name)
+    with _lock:
+        if src in _loaded:
+            return _loaded[src]
+        lib = None
+        try:
+            if os.path.exists(src):
+                stale = (not os.path.exists(so)
+                         or os.path.getmtime(so) < os.path.getmtime(src))
+                if (not stale) or _build(src, so):
+                    lib = ctypes.CDLL(so)
+        except Exception:
+            lib = None
+        _loaded[src] = lib
+        return lib
