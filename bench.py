@@ -201,8 +201,11 @@ def main():
     best_wall = None
     best_timers = None
     # 3 passes by default: the axon tunnel's upload throughput fluctuates by
-    # >2x between identical runs; min-wall over 3 is a steadier estimator
-    for _ in range(int(os.environ.get("WCA_BENCH_PASSES", "3"))):
+    # >2x between identical runs; min-wall over 3 is a steadier estimator.
+    # Clamped to >= 1: zero passes would leave the results undefined AFTER
+    # the multi-minute warmup was paid and break the one-JSON-line contract
+    n_passes = max(1, int(os.environ.get("WCA_BENCH_PASSES", "3")))
+    for _ in range(n_passes):
         pipeline.timers = type(pipeline.timers)()  # reset stage timers
         t0 = time.time()
         results = list(pipeline.run_dataset(dataset, progress=False))
@@ -239,7 +242,7 @@ def main():
                         if model_name == "medium" else None),
         "n_utts": n_aligned,
         "batch": BATCH,
-        "passes": int(os.environ.get("WCA_BENCH_PASSES", "3")),
+        "passes": n_passes,
         "pipeline_depth": cfg.pipeline_depth,
         "sort_by_duration": cfg.sort_by_duration,
         "reuse_cross_kv": cfg.reuse_cross_kv,

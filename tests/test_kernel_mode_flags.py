@@ -120,3 +120,20 @@ def test_dtw_impl_flag_keys_force_align_trace(monkeypatch):
     # same call again: cache must NOT grow (the resolution is stable)
     timing.force_align_batch(attn, token_len, frame_len, 3, "mean", -1)
     assert _cache_size(timing._force_align_batch_jit) == size_scan
+
+
+def test_enc_attn_mode_rejects_unknown_values(monkeypatch):
+    """Round-4 review: WCA_ENC_ATTN previously returned unknown explicit
+    values verbatim, which the encoder silently treated as the slowest XLA
+    path — the exact hazard WCA_CROSS_ATTN already raises for. Aliases
+    resolve; junk raises."""
+    cases = {"1": "fused", "on": "fused", "true": "fused", "fused": "fused",
+             "0": "xla", "off": "xla", "false": "xla", "xla": "xla",
+             "stock": "stock"}
+    for raw, want in cases.items():
+        monkeypatch.setenv("WCA_ENC_ATTN", raw)
+        assert wmodel._encoder_attn_mode() == want, raw
+    for bogus in ("fuesd", "2", "yes"):
+        monkeypatch.setenv("WCA_ENC_ATTN", bogus)
+        with pytest.raises(ValueError, match="WCA_ENC_ATTN"):
+            wmodel._encoder_attn_mode()

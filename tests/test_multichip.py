@@ -37,6 +37,83 @@ def test_make_mesh_rejects_negative_counts(eight_devices):
     # the auto forms still work
     assert mesh_lib.make_mesh(None, n_model=2).shape["model"] == 2
     assert mesh_lib.data_size(mesh_lib.make_mesh(None)) == 8
+    # oversubscription raises in BOTH branches — never a silently-smaller
+    # mesh (a scaling measurement at half the requested width)
+    with pytest.raises(ValueError, match="devices"):
+        mesh_lib.make_mesh(16)
+    with pytest.raises(ValueError, match="devices"):
+        mesh_lib.make_mesh(16, n_model=2)
+    with pytest.raises(ValueError, match="devices"):
+        mesh_lib.make_mesh(None, n_model=16)  # data axis would infer to 0
+
+
+def test_pad_batch_rounds_to_data_axis_multiple(eight_devices, tmp_path):
+    """Round-4 review: _pad_batch used max(batch_size, data_size), so any
+    batch_size not divisible by the mesh data size crashed at device_put
+    ('dimension 0 should be divisible by N'). It must round UP to a
+    data-axis multiple, and the pipeline must actually run that way."""
+    from tests.test_pipeline_e2e import make_timit_fixture
+    from whisper_char_alignment_tpu.data.dataset import TIMIT
+    from whisper_char_alignment_tpu.runner import AlignmentPipeline
+    from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=32, n_text_ctx=32,
+                          state=16, head=2, layers=2)
+    params = wmodel.init_params(jax.random.PRNGKey(1), dims)
+    # the arithmetic, across the awkward combinations
+    cfg = AlignConfig.recommended(topk=2, batch_size=12)
+    pipe = AlignmentPipeline(params, dims, tok, cfg,
+                             mesh=mesh_lib.make_mesh(8))
+    assert pipe._pad_batch(5) == 16  # 12 -> next multiple of 8
+    cfg3 = AlignConfig.recommended(topk=2, batch_size=3)
+    pipe3 = AlignmentPipeline(params, dims, tok, cfg3,
+                              mesh=mesh_lib.make_mesh(2))
+    assert pipe3._pad_batch(3) == 4
+    # and the previously-crashing shape end-to-end (batch 3 on a 2-wide mesh)
+    scp = make_timit_fixture(str(tmp_path), n_utts=3, seconds=0.4)
+    res = list(pipe3.run_dataset(TIMIT(scp), progress=False))
+    assert len(res) == 3
+
+
+def test_tensor_parallel_spec_covers_int8_leaves():
+    """Round-4 review: quantized encoder leaves (w8/s) were silently
+    REPLICATED because the spec matched only 'w' — tensor parallelism
+    measured without actually sharding the quantized encoder. w8 follows its
+    float twin; the per-output-channel scale s shards with column-split
+    projections and replicates for row-split ones."""
+    from jax.sharding import PartitionSpec as P
+    from whisper_char_alignment_tpu.models import whisper as wmodel2
+    from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=16, n_text_ctx=16,
+                          state=16, head=2, layers=2)
+    params = wmodel2.quantize_encoder_int8(
+        wmodel2.init_params(jax.random.PRNGKey(0), dims))
+    specs = {}
+    jax.tree_util.tree_map_with_path(
+        lambda path, x: specs.__setitem__(
+            jax.tree_util.keystr(path), mesh_lib.tensor_parallel_spec(path, x)),
+        params)
+
+    col = P(None, None, "model")
+    row = P(None, "model", None)
+    enc = "['encoder']['blocks']['attn']"
+    assert specs[f"{enc}['q']['w8']"] == col
+    assert specs[f"{enc}['q']['s']"] == col
+    assert specs[f"{enc}['out']['w8']"] == row
+    assert specs[f"{enc}['out']['s']"] == P()
+    mlp = "['encoder']['blocks']['mlp']"
+    assert specs[f"{mlp}['fc1']['w8']"] == col
+    assert specs[f"{mlp}['fc1']['s']"] == col
+    assert specs[f"{mlp}['fc2']['w8']"] == row
+    assert specs[f"{mlp}['fc2']['s']"] == P()
+    # float decoder weights keep the proven layout; biases stay replicated
+    dec = "['decoder']['blocks']['attn']"
+    assert specs[f"{dec}['q']['w']"] == col
+    assert specs[f"{dec}['out']['w']"] == row
+    assert specs[f"{enc}['q']['b']"] == P()
 
 
 def test_entry_compiles_single_chip_tinyshapes(eight_devices):

@@ -143,3 +143,28 @@ def test_two_process_probe_oracle_matches_single_process(tmp_path):
     multi_dir = _run_two_process(_probe_argv, scp, env, tmp_path)
 
     assert _read_probe_metrics(multi_dir) == _read_probe_metrics(single_dir)
+
+
+def test_broadcast_scalar_keeps_second_precision(tmp_path):
+    """Round-4 review: broadcast_scalar wrapped the value in jnp.float64,
+    which silently downcasts to float32 under the default x64-disabled
+    config — a unix timestamp quantized to a ~128 s grid, so two multihost
+    runs in the same bucket shared an output stem and the second OVERWROTE
+    the first's metrics/predictions. The value now rides as split int32
+    words: exact to the millisecond."""
+    env = _subproc_env()
+    port = _free_port()
+    script = (
+        "import sys\n"
+        "from whisper_char_alignment_tpu.parallel import distributed\n"
+        "distributed.initialize('localhost:%d', 2, int(sys.argv[1]))\n"
+        "v = distributed.broadcast_scalar(1755443211.789)\n"
+        "print('GOT %%.3f' %% v)\n" % port)
+    procs = [subprocess.Popen([sys.executable, "-c", script, str(pid)],
+                              env=env, stdout=subprocess.PIPE,
+                              stderr=subprocess.PIPE, text=True)
+             for pid in range(2)]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (out, err) in zip(procs, outs):
+        assert p.returncode == 0, err[-3000:]
+        assert "GOT 1755443211.789" in out, out

@@ -362,7 +362,17 @@ def _encoder_attn_mode() -> str:
         return "stock"
     if mode == "auto":
         return "fused" if _pallas_kernel_enabled("WCA_ENC_ATTN") else "xla"
-    return mode
+    if mode in ("1", "on", "true", "fused"):
+        return "fused"
+    if mode in ("0", "off", "false", "xla"):
+        return "xla"
+    if mode == "stock":
+        return "stock"
+    # same rule as _cross_attn_mode: a typo must not silently select the
+    # slowest implementation (an unknown value fell through to the XLA path
+    # and kernel A/Bs measured the wrong arm — round-4 review finding)
+    raise ValueError(f"WCA_ENC_ATTN={mode!r} is not a known mode; use one of "
+                     "auto / fused (on) / stock / xla (off)")
 
 
 def _fused_self_attention(p, x, n_head, n_valid):

@@ -55,12 +55,20 @@ def allreduce_counters(counters: Dict[str, float]) -> Dict[str, float]:
 
 def broadcast_scalar(value: float) -> float:
     """Process 0's value on every process (identity single-host); used to agree
-    on one output-file timestamp across a multihost run."""
+    on one output-file timestamp across a multihost run.
+
+    The value rides as SPLIT int32 words, never as one float: jnp.float64
+    silently downcasts to float32 under the default x64-disabled config, and a
+    float32 unix timestamp (~1.77e9, 24-bit mantissa) quantizes to a ~128 s
+    grid — two runs in the same bucket would share an output stem and the
+    second would overwrite the first's metrics/predictions (round-4 review)."""
     import jax
     from jax.experimental import multihost_utils
     import jax.numpy as jnp
 
     if jax.process_count() == 1:
         return float(value)
-    out = multihost_utils.broadcast_one_to_all(jnp.float64(value))
-    return float(out)
+    scaled = int(round(float(value) * 1000.0))  # ms precision, exact in int
+    words = jnp.asarray([scaled // (1 << 31), scaled % (1 << 31)], jnp.int32)
+    out = np.asarray(multihost_utils.broadcast_one_to_all(words))
+    return (int(out[0]) * (1 << 31) + int(out[1])) / 1000.0

@@ -38,11 +38,17 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
     n_model = max(1, n_model)
     if n_model == 1:
         n = n_data or len(devices)
+        if n > len(devices):
+            # consistent with the 2-D branch: never SILENTLY shrink the mesh
+            # (a scaling measurement at half the requested width, round-4
+            # review finding)
+            raise ValueError(f"mesh ({n},) needs {n} devices, "
+                             f"have {len(devices)}")
         return Mesh(np.array(devices[:n]), ("data",))
     n = n_data or len(devices) // n_model
-    if n * n_model > len(devices):
-        raise ValueError(f"mesh ({n}x{n_model}) needs {n * n_model} devices, "
-                         f"have {len(devices)}")
+    if n < 1 or n * n_model > len(devices):
+        raise ValueError(f"mesh ({n}x{n_model}) needs {max(n, 1) * n_model} "
+                         f"devices, have {len(devices)}")
     return Mesh(np.array(devices[:n * n_model]).reshape(n, n_model),
                 ("data", "model"))
 
@@ -72,17 +78,27 @@ def tensor_parallel_spec(path, x) -> P:
     fc1 split on OUTPUT columns (each chip computes its head/FFN slice with
     no collective), out-proj and fc2 split on INPUT rows (XLA inserts one
     all-reduce per block after each); everything else — convs, layer norms,
-    embeddings, biases — replicated. Stacked (L, d_in, d_out) layout."""
+    embeddings, biases — replicated. Stacked (L, d_in, d_out) layout.
+
+    int8-quantized leaves follow their float twin: ``w8`` (L, d_in, d_out)
+    shards exactly like ``w``; the per-output-channel scale ``s``
+    (L, 1, d_out) shards on its output axis for column-split projections and
+    stays replicated for row-split ones (their outputs are full per chip).
+    Matching only 'w' silently replicated every quantized encoder weight —
+    tensor parallelism measured without actually sharding the encoder
+    (round-4 review finding)."""
     names = [getattr(k, "key", getattr(k, "name", "")) for k in path]
+    leaf = names[-1] if names else ""
+    parent = names[-2] if len(names) >= 2 else ""
     if "attn" in names or "cross_attn" in names:
-        if "w" in names and names[-2] in ("q", "k", "v"):
+        if parent in ("q", "k", "v") and leaf in ("w", "w8", "s"):
             return P(None, None, "model")
-        if "w" in names and names[-2] == "out":
+        if parent == "out" and leaf in ("w", "w8"):
             return P(None, "model", None)
-    if "mlp" in names and "w" in names:
-        if "fc1" in names:
+    if "mlp" in names:
+        if "fc1" in names and leaf in ("w", "w8", "s"):
             return P(None, None, "model")
-        if "fc2" in names:
+        if "fc2" in names and leaf in ("w", "w8"):
             return P(None, "model", None)
     return P()
 

@@ -156,33 +156,22 @@ def pack_fixed_batch(items, utts, b_pad: int, t_bucket: int, eot: int,
     return tokens_arr, token_len, frame_len, xa_idx
 
 
-def _wire_audio(audio: np.ndarray) -> np.ndarray:
-    """Halve the host->device bytes when lossless: if every sample is exactly
-    representable as int16/32768 (true for 16-bit PCM sources, i.e. all the
-    reference corpora), send int16; otherwise send float32 unchanged."""
-    scaled = audio * 32768.0
-    # NaN/out-of-range floats make the int16 cast produce arbitrary values and
-    # a numpy warning — but the equality below is then False (NaN never
-    # compares equal; a wrapped value differs from its out-of-range source),
-    # so such audio falls through to the f32 path. errstate just silences the
-    # warning: a separate range pre-check costs two extra 61 MB host passes
-    # per batch on this 1-core host (measured ~250 ms).
-    with np.errstate(invalid="ignore"):
-        as_i16 = scaled.astype(np.int16)
-    if np.array_equal(as_i16, scaled):
-        return as_i16
-    return audio
-
-
 def _utt_wire_i16(u: Utterance):
-    """Per-utterance int16 wire form, cached on the Utterance object.
+    """Per-utterance int16 wire form, cached on the Utterance object: halve
+    the host->device tunnel bytes when every sample is exactly representable
+    as int16/32768 (true for 16-bit PCM sources, i.e. all the reference
+    corpora).
 
-    Same losslessness test as :func:`_wire_audio` but on the UNPADDED audio
-    (2-7 s for TIMIT vs the bucketed window), computed once per utterance and
-    in the background prep thread — round 3's batch-level scale/compare pass
-    sat on the dispatch critical path (1.39 s of a 3.07 s driver wall,
-    VERDICT r03). Returns the int16 array, or None when the audio is not
-    exactly int16/32768-representable (the batch then ships float32).
+    The losslessness test runs on the UNPADDED audio (2-7 s for TIMIT vs the
+    bucketed window), once per utterance and in the background prep thread —
+    round 3's batch-level scale/compare pass sat on the dispatch critical
+    path (1.39 s of a 3.07 s driver wall, VERDICT r03). Returns the int16
+    array, or None when the audio is not exactly int16/32768-representable
+    (the batch then ships float32). NaN/out-of-range floats make the int16
+    cast produce arbitrary values and a numpy warning — but the equality test
+    is then False (NaN never compares equal; a wrapped value differs from its
+    out-of-range source), so such audio falls through to the f32 path;
+    errstate just silences the warning.
     """
     cached = getattr(u, "_wire_i16", False)
     if cached is not False:
@@ -280,11 +269,14 @@ class AlignmentPipeline:
         return mesh_lib.shard_batch(tree, self.mesh)
 
     def _pad_batch(self, n: int) -> int:
-        """Pad the batch count to a full batch (and a data-axis multiple —
-        a 'model' axis shards weights, not the batch)."""
+        """Pad the batch count to a full batch (and a data-axis MULTIPLE —
+        a 'model' axis shards weights, not the batch). max() alone crashed any
+        batch_size not divisible by the mesh data size at device_put
+        (round-4 review: --batch_size 12 --data_parallel 8 -> 'dimension 0
+        should be divisible by 8')."""
         b = self.cfg.batch_size
         if self.mesh is not None:
-            b = max(b, mesh_lib.data_size(self.mesh))
+            b = mesh_lib.pad_to_multiple(b, mesh_lib.data_size(self.mesh))
         return b
 
     # -- stages ---------------------------------------------------------------
