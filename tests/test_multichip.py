@@ -215,3 +215,38 @@ def test_pipeline_tensor_parallel_matches_single_device(eight_devices, tmp_path)
         assert a.fid == b.fid and a.words == b.words
         np.testing.assert_array_equal(a.start_times, b.start_times)
         np.testing.assert_array_equal(a.end_times, b.end_times)
+
+
+@pytest.mark.slow
+def test_pipeline_int8_tensor_parallel_matches_single_device(eight_devices,
+                                                             tmp_path):
+    """Round-4 review follow-through: with the w8/s PartitionSpecs in place,
+    the QUANTIZED-encoder pipeline on a (4x2) (data, model) mesh must be
+    bit-equal to the quantized single-device pipeline — int8 dots sharded
+    over the contraction accumulate exact int32 partial sums, so the
+    all-reduced result reassociates exactly (unlike floats)."""
+    from tests.test_pipeline_e2e import make_timit_fixture
+    from whisper_char_alignment_tpu.data.dataset import TIMIT
+    from whisper_char_alignment_tpu.runner import AlignmentPipeline
+    from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+
+    scp = make_timit_fixture(str(tmp_path), n_utts=4, seconds=0.5)
+    tok = get_test_tokenizer()
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=32, n_text_ctx=32,
+                          state=16, head=2, layers=2)
+    params = wmodel.init_params(jax.random.PRNGKey(1), dims)
+    cfg = AlignConfig.recommended(topk=2, batch_size=4,
+                                  use_gt_transcript=True,
+                                  decode_sample_len=4, encoder_int8=True)
+
+    def run(mesh):
+        pipe = AlignmentPipeline(params, dims, tok, cfg, mesh=mesh)
+        return list(pipe.run_dataset(TIMIT(scp), progress=False))
+
+    ref = run(None)
+    got = run(mesh_lib.make_mesh(4, n_model=2))
+    assert len(got) == len(ref) == 4
+    for a, b in zip(ref, got):
+        assert a.fid == b.fid and a.words == b.words
+        np.testing.assert_array_equal(a.start_times, b.start_times)
+        np.testing.assert_array_equal(a.end_times, b.end_times)
