@@ -122,6 +122,7 @@ def main():
 
     log(f"concurrent: {N_REQS} requests, {CLIENTS} clients...")
     conc_lat = []
+    errors = []
     lat_lock = threading.Lock()
     idx = iter(range(N_REQS))
     idx_lock = threading.Lock()
@@ -131,7 +132,12 @@ def main():
             with idx_lock:
                 if next(idx, None) is None:
                     return
-            d = post()
+            try:
+                d = post()
+            except Exception as e:  # noqa: BLE001 - re-raised below
+                with lat_lock:
+                    errors.append(e)
+                return
             with lat_lock:
                 conc_lat.append(d)
 
@@ -142,6 +148,13 @@ def main():
     for t in threads:
         t.join()
     conc_wall = time.perf_counter() - t0
+    if errors or len(conc_lat) != N_REQS:
+        # a partially failed wave must crash LOUDLY like the serial phase,
+        # never print a plausible JSON over the surviving subset
+        raise RuntimeError(
+            f"concurrent phase failed: {len(errors)} errors, "
+            f"{len(conc_lat)}/{N_REQS} completed; first: "
+            f"{errors[0] if errors else 'requests lost'}")
 
     serial_rps = N_REQS / serial_wall
     conc_rps = len(conc_lat) / conc_wall

@@ -51,7 +51,14 @@ def main():
             urllib.request.urlretrieve(TOKENIZER_FILES[tok_name], tok_path)
 
         # HF safetensors are the lightest-weight source; fall back to manual.
-        url = f"{HF_BASE}/whisper-{args.model}/resolve/main/model.safetensors"
+        # aliases: MODEL_DIMS['large'] is the large-v3 config (and
+        # openai/whisper-turbo does not exist on HF), so the repo name must
+        # point at the checkpoint those dims describe — fetching
+        # openai/whisper-large (v1: 80 mels, 51865 vocab) against v3 dims
+        # shape-crashes the convert (round-4 review finding)
+        hf_model = {"large": "large-v3",
+                    "turbo": "large-v3-turbo"}.get(args.model, args.model)
+        url = f"{HF_BASE}/whisper-{hf_model}/resolve/main/model.safetensors"
         st_path = os.path.join(args.out, f"{args.model}.safetensors")
         if not os.path.exists(st_path):
             print(f"fetching weights -> {st_path}")

@@ -113,6 +113,13 @@ def main():
     print(f"\nwords: {n_words}  within {args.tolerance * 1000:.0f} ms: {n_match} "
           f"({100 * n_match / max(n_words, 1):.2f}%)  word mismatches: "
           f"{n_word_mismatch}  worst boundary delta: {worst * 1000:.0f} ms")
+    if n_words == 0:
+        # zero comparisons must FAIL, not pass vacuously — a malformed scp
+        # would otherwise let the asset gate report 100% parity over nothing
+        # (round-4 review finding)
+        print("no words were compared — refusing to report parity",
+              file=sys.stderr)
+        return 2
     return 0 if n_match == n_words and n_word_mismatch == 0 else 1
 
 

@@ -28,7 +28,7 @@ import numpy as np
 from whisper_char_alignment_tpu import constants
 from whisper_char_alignment_tpu.align import timing
 from whisper_char_alignment_tpu.audio.mel import log_mel_spectrogram
-from whisper_char_alignment_tpu.config import ModelDims
+from whisper_char_alignment_tpu.config import MODEL_DIMS
 from whisper_char_alignment_tpu.models import decoding, whisper as wmodel
 from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
 
@@ -59,7 +59,7 @@ def main():
     b, t = args.batch, args.tokens
 
     print(f"devices: {jax.devices()}  batch={b} tokens={t}", file=sys.stderr)
-    dims = ModelDims(80, 1500, 1024, 16, 24, 51865, 448, 1024, 16, 24)
+    dims = MODEL_DIMS["medium"]  # the sizes table is the single source
     tok = get_test_tokenizer()
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16),
                           wmodel.init_params(jax.random.PRNGKey(0), dims))
@@ -127,6 +127,7 @@ def main():
 
     attn, _ = timing.get_attentions(params, dims, mel, tokens, tl, fl,
                                     medfilt_width=3, qk_scale=1.0,
+                                    return_logits=False,
                                     compute_dtype=jnp.bfloat16)
 
     def fa():
@@ -138,8 +139,12 @@ def main():
     def full():
         m = log_mel_spectrogram(audio).astype(jnp.bfloat16)
         decoding.decode(params, dims, tok, m, opts, compute_dtype=jnp.bfloat16)
+        # return_logits=False matches the production _align_step
+        # (runner.py) — the default would add a (B, T, 51865) f32 logits
+        # head production never pays, under-reporting throughput
         a, _ = timing.get_attentions(params, dims, m, tokens, tl, fl,
                                      medfilt_width=3, qk_scale=1.0,
+                                     return_logits=False,
                                      compute_dtype=jnp.bfloat16)
         jf, _, _ = timing.force_align_batch(a, tl, fl, 3, "topk", 10)
         return jf

@@ -141,6 +141,20 @@ def test_extensible_float_reads_subformat_guid(tmp_path):
         assert sr2 == 16000
 
 
+def test_disable_native_gate_is_falsy_aware(monkeypatch):
+    """Round-4 review: WCA_DISABLE_NATIVE=0 must mean ENABLED (any non-empty
+    string previously disabled the native paths)."""
+    from whisper_char_alignment_tpu.utils import native as native_lib
+
+    for off in ("0", "off", "false", ""):
+        monkeypatch.setenv("WCA_DISABLE_NATIVE", off)
+        assert not native_lib.disabled()
+    for on in ("1", "true", "yes"):
+        monkeypatch.setenv("WCA_DISABLE_NATIVE", on)
+        assert native_lib.disabled()
+        assert _wavio_native.get() is None
+
+
 def test_reject_garbage(tmp_path):
     p = str(tmp_path / "g.wav")
     with open(p, "wb") as f:

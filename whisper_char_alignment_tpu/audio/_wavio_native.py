@@ -52,9 +52,7 @@ def get():
     """Return the native decoder or None. The env gate is re-checked on every
     call (not just at first load) so tests can force the NumPy path at any
     point."""
-    import os
-
-    if os.environ.get("WCA_DISABLE_NATIVE"):
+    if native_lib.disabled():
         return None
     with _lock:
         if not _state["tried"]:

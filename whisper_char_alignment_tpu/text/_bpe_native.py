@@ -72,7 +72,7 @@ class NativeBPE:
 
 
 def build(ranks: Dict[bytes, int]):
-    if os.environ.get("WCA_DISABLE_NATIVE"):
+    if native_lib.disabled():
         return None
     lib = _get_lib()
     if lib is None:

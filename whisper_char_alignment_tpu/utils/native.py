@@ -39,13 +39,21 @@ def _build(src: str, so: str) -> bool:
         return False
 
 
+def disabled() -> bool:
+    """The WCA_DISABLE_NATIVE gate, falsy-aware: '0'/'off'/'false'/'' mean
+    ENABLED (a user exporting WCA_DISABLE_NATIVE=0 to re-enable must not
+    silently drop to the pure-Python paths — round-4 review finding)."""
+    return os.environ.get("WCA_DISABLE_NATIVE", "") not in ("", "0", "off",
+                                                            "false")
+
+
 def load(src_name: str, so_name: str) -> Optional[ctypes.CDLL]:
     """CDLL for ``cpp/<src_name>`` built at ``cpp/build/<so_name>``, or None.
 
     The result (including a failed attempt) is cached per source path; the
     symbol setup (restype/argtypes) stays with the caller.
     """
-    if os.environ.get("WCA_DISABLE_NATIVE"):
+    if disabled():
         return None
     src = os.path.join(_REPO_ROOT, "cpp", src_name)
     so = os.path.join(_REPO_ROOT, "cpp", "build", so_name)
