@@ -240,3 +240,42 @@ def test_timed_out_request_is_withdrawn_from_queue():
         gate.release()
         t1.join(timeout=300)
         b.close()
+
+
+@pytest.mark.slow
+def test_batcher_stress_mixed_keys_and_clients(server, srv_obj):
+    """Soak the micro-batcher: 24 requests across 8 client threads and two
+    recipe keys land concurrently; every response must equal its solo twin
+    (pinned non-empty transcripts), with no lost or misrouted request."""
+    srv_obj.batcher.pipe_hook = _pin_transcripts
+    for pipe in srv_obj.batcher._pipes.values():
+        _pin_transcripts(pipe)
+    bodies = {s: _wav_bytes(seconds=0.35 + 0.15 * s, seed=20 + s)
+              for s in range(3)}
+    solo = {(s, q): _post(f"{server}/align?topk={q}", bodies[s])[1]
+            for s in range(3) for q in (3, 1)}
+    for v in solo.values():
+        assert len(v["words"]) >= 2
+    jobs = [(s, q) for s in range(3) for q in (3, 1)] * 4  # 24 requests
+    results = {}
+    errors = []
+    lock = threading.Lock()
+
+    def client(i, s, q):
+        try:
+            out = _post(f"{server}/align?topk={q}", bodies[s])[1]
+            with lock:
+                results[i] = ((s, q), out)
+        except Exception as e:  # pragma: no cover - surfaced via errors
+            with lock:
+                errors.append(e)
+
+    threads = [threading.Thread(target=client, args=(i, s, q))
+               for i, (s, q) in enumerate(jobs)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors and len(results) == len(jobs)
+    for key, out in results.values():
+        assert out == solo[key], key
