@@ -279,3 +279,30 @@ def test_batcher_stress_mixed_keys_and_clients(server, srv_obj):
     assert not errors and len(results) == len(jobs)
     for key, out in results.values():
         assert out == solo[key], key
+
+
+@pytest.mark.slow
+def test_pipe_cache_is_lru_bounded():
+    """Each cached pipeline owns a preallocated wire-staging pool, so the
+    per-recipe cache must be LRU-bounded: cycling recipe keys evicts the
+    oldest, and an evicted recipe still aligns correctly when rebuilt."""
+    from whisper_char_alignment_tpu.cli.serve import AlignBatcher
+
+    model = api.test_model()
+    b = AlignBatcher(model, np.float32, batch_size=1, linger_ms=0.0,
+                     max_pipes=2)
+    b.pipe_hook = _pin_transcripts
+    try:
+        audio = (np.random.default_rng(5).normal(0, 0.05, 4800)
+                 .astype(np.float32))
+        key = lambda q: ("char", "topk", q, 3)
+        first = b.submit(audio, key(1))
+        for q in (2, 3):  # evicts q=1
+            b.submit(audio, key(q))
+        assert len(b._pipes) == 2
+        assert key(1) not in b._pipes
+        again = b.submit(audio, key(1))  # rebuilt, must match the first run
+        assert again.words == first.words
+        np.testing.assert_array_equal(again.end_times, first.end_times)
+    finally:
+        b.close()

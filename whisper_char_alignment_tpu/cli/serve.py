@@ -94,14 +94,19 @@ class AlignBatcher:
     def __init__(self, model: api.Model, compute_dtype,
                  batch_size: int = 8, linger_ms: float = 5.0,
                  device_lock: "threading.Lock | None" = None,
-                 config_overrides: "dict | None" = None):
+                 config_overrides: "dict | None" = None,
+                 max_pipes: int = 8):
         self.model = model
         self.compute_dtype = compute_dtype
         self.config_overrides = dict(config_overrides or {})
         self.batch_size = max(1, batch_size)
         self.linger_s = max(0.0, linger_ms) / 1000.0
         self.device_lock = device_lock or threading.Lock()
-        self._pipes: dict = {}
+        # LRU-bounded: each pipeline owns a preallocated wire-staging pool
+        # (tens of MB at serving batch sizes), so a client cycling recipe
+        # options must not grow host memory without limit
+        self.max_pipes = max(1, max_pipes)
+        self._pipes: "collections.OrderedDict" = collections.OrderedDict()
         # test seam: called with each newly built pipeline (e.g. to install a
         # deterministic transcribe_override so batched-vs-solo checks compare
         # real, non-empty alignments)
@@ -117,7 +122,9 @@ class AlignBatcher:
 
     def _pipe(self, key) -> AlignmentPipeline:
         pipe = self._pipes.get(key)
-        if pipe is None:
+        if pipe is not None:
+            self._pipes.move_to_end(key)
+        else:
             unit, aggr, topk, medfilt = key
             cfg = AlignConfig(aligned_unit_type=unit, aggr=aggr, topk=topk,
                               medfilt_width=medfilt,
@@ -130,6 +137,8 @@ class AlignBatcher:
             if self.pipe_hook is not None:
                 self.pipe_hook(pipe)
             self._pipes[key] = pipe
+            while len(self._pipes) > self.max_pipes:
+                self._pipes.popitem(last=False)  # evict least recently used
         return pipe
 
     def submit(self, audio: np.ndarray, key, timeout: "float | None" = None):
