@@ -331,7 +331,8 @@ def make_handler(model: api.Model, compute_dtype, lock: threading.Lock,
 def serve(model: api.Model, host: str = "127.0.0.1", port: int = 8200,
           compute_dtype=jnp.float32, batch_size: int = 8,
           linger_ms: float = 5.0,
-          config_overrides: "dict | None" = None) -> ThreadingHTTPServer:
+          config_overrides: "dict | None" = None,
+          max_pipes: int = 8) -> ThreadingHTTPServer:
     """Build the server (caller invokes serve_forever / shutdown).
 
     ``batch_size`` > 1 enables /align micro-batching (see AlignBatcher);
@@ -342,7 +343,8 @@ def serve(model: api.Model, host: str = "127.0.0.1", port: int = 8200,
     lock = threading.Lock()
     batcher = AlignBatcher(model, compute_dtype, batch_size=batch_size,
                            linger_ms=linger_ms, device_lock=lock,
-                           config_overrides=config_overrides)
+                           config_overrides=config_overrides,
+                           max_pipes=max_pipes)
     handler = make_handler(model, compute_dtype, lock, batcher)
     srv = ThreadingHTTPServer((host, port), handler)
     srv.batcher = batcher  # tests/shutdown paths reach it here
@@ -396,6 +398,10 @@ def main(argv=None) -> int:
                    help="cap /align decode steps per request (0 = published "
                         "default, n_text_ctx // 2) — bounds worst-case "
                         "per-request device time")
+    p.add_argument("--max_pipes", type=int, default=8,
+                   help="LRU bound on cached per-recipe align pipelines "
+                        "(each owns a wire-staging pool; bounds host memory "
+                        "under clients cycling recipe options)")
     common.add_tpu_flags(p)
     args = p.parse_args(argv)
     params, dims, tok = common.load_model_and_tokenizer(args)
@@ -408,7 +414,8 @@ def main(argv=None) -> int:
                 linger_ms=args.serve_linger_ms,
                 config_overrides=(
                     {"decode_sample_len": args.decode_sample_len}
-                    if args.decode_sample_len else None))
+                    if args.decode_sample_len else None),
+                max_pipes=args.max_pipes)
     if args.warmup:
         warmup(model, compute_dtype=dtype, batcher=srv.batcher)
     print(f"serving {args.model} on http://{args.host}:{args.port}",
