@@ -1,0 +1,154 @@
+"""Calibrate WCA_KV_INT8_GUARD_MARGIN for the guarded int8 K/V decode mode.
+
+The guarded mode (`--decode_kv_int8_guarded`, models/decoding.py) keeps an
+utterance's int8 transcript only when EVERY sampled step's top1-top2
+filtered-logit margin exceeds the guard bound; utterances below it re-decode
+exactly. The bound is checkpoint/data dependent — this script measures it on
+a real corpus the day assets arrive (and smokes on the offline test model):
+
+1. decode each batch twice: exact, and plain int8 with margin tracking
+   (kv_int8_guard=0.0 tracks margins but flags nothing),
+2. compare transcripts: any difference is a "flip" the guard must catch,
+3. recommend bound = safety x the LARGEST margin observed on a flipped
+   utterance (flips with bigger margins would escape a smaller bound); with
+   zero flips the tested default (decoding.DEFAULT_KV_INT8_GUARD_MARGIN)
+   stands,
+4. report the predicted re-decode (flag) rate of the recommended bound from
+   the corpus margin distribution — the deployability condition is
+   flag_rate < ~4% (DESIGN.md guarded-int8 envelope: cost = guard-track +
+   flag_rate x exact re-decode).
+
+Prints ONE JSON line on stdout; logs on stderr.
+
+Usage:
+  python scripts/calibrate_kv_guard.py --test_model            # offline smoke
+  WCA_CHECKPOINT=medium.npz python scripts/calibrate_kv_guard.py \
+      --model medium --scp timit_test.scp --dataset TIMIT
+"""
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/jax_wca"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--model", default="medium")
+    ap.add_argument("--test_model", action="store_true",
+                    help="offline smoke: tiny random model + synthetic corpus")
+    ap.add_argument("--scp", default=None,
+                    help="corpus scp (default: a synthetic TIMIT-style one)")
+    ap.add_argument("--dataset", default="TIMIT")
+    ap.add_argument("--n_utts", type=int, default=64)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--decode_len", type=int, default=32)
+    ap.add_argument("--safety", type=float, default=2.0,
+                    help="bound = safety x max flipped-utterance margin")
+    args = ap.parse_args()
+
+    from whisper_char_alignment_tpu.cli import common
+    from whisper_char_alignment_tpu.config import tiny_test_dims
+    from whisper_char_alignment_tpu.data.dataset import DATASETS, batch_iter
+    from whisper_char_alignment_tpu.data.synthetic import make_timit_corpus
+    from whisper_char_alignment_tpu.models import decoding
+    from whisper_char_alignment_tpu.models import whisper as wmodel
+    from whisper_char_alignment_tpu.audio.mel import log_mel_spectrogram, \
+        pad_or_trim
+    from whisper_char_alignment_tpu import constants
+
+    if args.test_model:
+        from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+
+        tok = get_test_tokenizer()
+        dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=96,
+                              n_text_ctx=64, state=16, head=2, layers=2)
+        params = wmodel.init_params(jax.random.PRNGKey(0), dims)
+        dtype = jnp.float32
+    else:
+        ns = argparse.Namespace(model=args.model, test_model=False,
+                                checkpoint=os.environ.get("WCA_CHECKPOINT"),
+                                tokenizer_dir=os.environ.get(
+                                    "WCA_TOKENIZER_DIR"))
+        params, dims, tok = common.load_model_and_tokenizer(ns)
+        dtype = jnp.bfloat16
+        params = jax.tree.map(lambda x: x.astype(dtype), params)
+
+    scp = args.scp
+    tmp = None
+    if scp is None:
+        tmp = tempfile.mkdtemp(prefix="wca_calib_")
+        scp = make_timit_corpus(tmp, n_utts=args.n_utts, seconds=(2.0, 5.0))
+        log(f"synthetic corpus: {args.n_utts} utts under {tmp}")
+    ds = DATASETS[args.dataset](scp)
+
+    n_samples = 2 * dims.n_audio_ctx * constants.HOP_LENGTH
+    opts = decoding.DecodingOptions(without_timestamps=True,
+                                    sample_len=args.decode_len)
+
+    margins = []            # int8-pass min margins, all utterances
+    flipped_margins = []    # ... restricted to transcript flips
+    n_total = 0
+    for batch in batch_iter(ds, args.batch_size):
+        audio = np.stack([np.asarray(pad_or_trim(u.audio, n_samples))
+                          for u in batch])
+        mel = log_mel_spectrogram(jnp.asarray(audio),
+                                  n_mels=dims.n_mels).astype(dtype)
+        exact = decoding.decode(params, dims, tok, mel, opts,
+                                compute_dtype=dtype)
+        quant = decoding.decode(params, dims, tok, mel, opts,
+                                compute_dtype=dtype, kv_int8=True,
+                                kv_int8_guard=0.0)  # track, flag nothing
+        for e, q in zip(exact, quant):
+            n_total += 1
+            margins.append(q.min_margin)
+            if e.tokens != q.tokens:
+                flipped_margins.append(q.min_margin)
+        log(f"{n_total} utts: {len(flipped_margins)} flips so far")
+
+    margins = np.asarray(margins, np.float64)
+    default = decoding.DEFAULT_KV_INT8_GUARD_MARGIN
+    if flipped_margins:
+        bound = args.safety * max(flipped_margins)
+        basis = "safety x max flipped-utterance margin"
+    else:
+        bound = default
+        basis = "no flips observed; tested default stands"
+    flag_rate = float((margins < bound).mean())
+    flag_rate_default = float((margins < default).mean())
+
+    print(json.dumps({
+        "metric": "kv_int8_guard_calibration",
+        "recommended_guard_margin": round(float(bound), 4),
+        "basis": basis,
+        "n_utts": n_total,
+        "flip_rate_unguarded": round(len(flipped_margins) / max(n_total, 1), 4),
+        "predicted_flag_rate": round(flag_rate, 4),
+        "predicted_flag_rate_at_default": round(flag_rate_default, 4),
+        "margin_percentiles": {p: round(float(np.percentile(margins, p)), 4)
+                               for p in (1, 5, 25, 50)},
+        "deployable_hint": "guard beats exact decode below ~4% flag rate "
+                           "(DESIGN.md envelope)",
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -193,3 +193,19 @@ def test_guard_catches_injected_quantization_flips(guard_setup, monkeypatch):
     flipped = sum(a.tokens != b.tokens for a, b in zip(exact, plain))
     assert flipped >= 1, "coarse quantizer was expected to flip a transcript"
     assert _token_lists(guarded) == _token_lists(exact)
+
+
+def test_min_margin_surfaces_on_results(guard_setup):
+    """scripts/calibrate_kv_guard.py reads per-utterance margins off the
+    DecodingResult: finite (and tiny on this random model) when tracking ran,
+    NaN when it didn't."""
+    tok, dims, params, mel, opts = guard_setup
+    plain = decoding.decode(params, dims, tok, mel, opts)
+    assert all(np.isnan(r.min_margin) for r in plain)
+    tracked = decoding.decode(params, dims, tok, mel, opts, kv_int8=True,
+                              kv_int8_guard=0.0)  # track, flag nothing
+    assert all(np.isfinite(r.min_margin) and r.min_margin >= 0.0
+               for r in tracked)
+    # guard=0 flags nothing, so transcripts equal the plain int8 path
+    plain_int8 = decoding.decode(params, dims, tok, mel, opts, kv_int8=True)
+    assert _token_lists(tracked) == _token_lists(plain_int8)

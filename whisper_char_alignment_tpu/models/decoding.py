@@ -71,6 +71,10 @@ class DecodingResult:
     # observability (no reference analog): while_loop iterations actually
     # executed for the whole batch — early exit on all-finished is visible here
     n_steps: int = 0
+    # smallest sampled-step top1-top2 filtered-logit gap over the utterance,
+    # populated only when margin tracking ran (kv_int8_guard set); NaN
+    # otherwise. Feeds scripts/calibrate_kv_guard.py's bound selection.
+    min_margin: float = float("nan")
 
 
 def resolved_special_tokens(tokenizer, language: Optional[str],
@@ -563,7 +567,9 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
             results.append(DecodingResult(
                 language=lang, tokens=seq, text=text, avg_logprob=float(avg_lp),
                 no_speech_prob=float(ns_prob[k]), temperature=options.temperature,
-                compression_ratio=ratio, n_steps=n_steps))
+                compression_ratio=ratio, n_steps=n_steps,
+                min_margin=(float(margin[k]) if margin is not None
+                            else float("nan"))))
         return results[0] if single else results
 
     arrays = (tokens_d, sum_lp_d, ns_prob_d, n_steps_d)
