@@ -38,7 +38,8 @@ def setup():
 
 
 def single_utterance_flow(tok, dims, params, utt, transcription,
-                          aligned_unit_type, aggregation, topk):
+                          aligned_unit_type, aggregation, topk,
+                          medfilt_width=3, qk_scale=1.0):
     """The reference README flow, one utterance at a time, no batching."""
     n_samples = 2 * dims.n_audio_ctx * constants.HOP_LENGTH
     audio = np.asarray(pad_or_trim(utt.audio, n_samples))
@@ -50,7 +51,8 @@ def single_utterance_flow(tok, dims, params, utt, transcription,
     attn, _ = timing.get_attentions(
         params, dims, mel, jnp.asarray([tokens], jnp.int32),
         jnp.asarray([len(tokens)], jnp.int32),
-        jnp.asarray([max_frames], jnp.int32), medfilt_width=3)
+        jnp.asarray([max_frames], jnp.int32), medfilt_width=medfilt_width,
+        qk_scale=qk_scale)
     ws = np.asarray(attn)[:, 0]  # (L, H, T, F)
     words, starts, ends, matrix, scores = timing.force_align(
         ws, text_tokens, tok, aligned_unit_type=aligned_unit_type,
@@ -58,14 +60,18 @@ def single_utterance_flow(tok, dims, params, utt, transcription,
     return words, starts, ends
 
 
-@pytest.mark.parametrize("unit,aggr,topk", [
-    ("char", "topk", 3),
-    # the second recipe covers the same contract; fast tier keeps one
-    pytest.param("subword", "mean", -1, marks=pytest.mark.slow)])
-def test_batched_pipeline_equals_single_flow(setup, unit, aggr, topk, monkeypatch):
+@pytest.mark.parametrize("unit,aggr,topk,medfilt,qk_scale", [
+    ("char", "topk", 3, 3, 1.0),
+    # further recipes cover the same contract across the whole option grid
+    # (units x aggregations x medfilt widths x qk_scale); fast tier keeps one
+    pytest.param("subword", "mean", -1, 3, 1.0, marks=pytest.mark.slow),
+    pytest.param("char", "mean", -1, 7, 1.0, marks=pytest.mark.slow),
+    pytest.param("subword", "topk", 5, 1, 0.5, marks=pytest.mark.slow)])
+def test_batched_pipeline_equals_single_flow(setup, unit, aggr, topk, medfilt,
+                                             qk_scale, monkeypatch):
     tok, dims, params, utts = setup
     cfg = AlignConfig(aligned_unit_type=unit, aggr=aggr, topk=topk,
-                      medfilt_width=3, batch_size=3)
+                      medfilt_width=medfilt, qk_scale=qk_scale, batch_size=3)
     pipe = AlignmentPipeline(params, dims, tok, cfg)
 
     pipe.transcribe_override = lambda batch: TRANSCRIPTS[:len(batch)]
@@ -73,7 +79,8 @@ def test_batched_pipeline_equals_single_flow(setup, unit, aggr, topk, monkeypatc
 
     for utt, transcription, res in zip(utts, TRANSCRIPTS, batched):
         words, starts, ends = single_utterance_flow(
-            tok, dims, params, utt, transcription, unit, aggr, topk)
+            tok, dims, params, utt, transcription, unit, aggr, topk,
+            medfilt_width=medfilt, qk_scale=qk_scale)
         assert res.words == words, f"{utt.fid} ({unit}/{aggr})"
         np.testing.assert_array_equal(res.start_times, starts,
                                       err_msg=f"{utt.fid} starts")
