@@ -57,6 +57,7 @@ def main():
         # openai/whisper-large (v1: 80 mels, 51865 vocab) against v3 dims
         # shape-crashes the convert (round-4 review finding)
         hf_model = {"large": "large-v3",
+                    "large-v1": "large",  # v1 lives at openai/whisper-large
                     "turbo": "large-v3-turbo"}.get(args.model, args.model)
         url = f"{HF_BASE}/whisper-{hf_model}/resolve/main/model.safetensors"
         st_path = os.path.join(args.out, f"{args.model}.safetensors")

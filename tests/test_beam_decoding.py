@@ -456,3 +456,23 @@ def test_beam_and_sampling_handle_no_speech_none(setup):
                          decoding.DecodingOptions(beam_size=2, sample_len=3,
                                                   without_timestamps=True))
     assert all(np.isnan(x.no_speech_prob) for x in rb)
+
+
+def test_beam_and_sampling_report_normalized_language(setup):
+    """Round-4 self-review: beam/sampling must report the same resolved
+    language code as the greedy path ('English' -> 'en'; junk raises) — the
+    result language must not depend on which decode mode ran."""
+    tok, dims, params, mel = setup
+    for opts in (decoding.DecodingOptions(language="English", beam_size=2,
+                                          sample_len=3,
+                                          without_timestamps=True),
+                 decoding.DecodingOptions(language="English", temperature=0.5,
+                                          sample_len=3,
+                                          without_timestamps=True)):
+        res = decoding.decode(params, dims, tok, jnp.asarray(mel), opts)
+        assert all(r.language == "en" for r in res)
+    with pytest.raises(ValueError, match="language"):
+        decoding.decode(params, dims, tok, jnp.asarray(mel),
+                        decoding.DecodingOptions(language="klingon",
+                                                 beam_size=2, sample_len=3,
+                                                 without_timestamps=True))

@@ -302,3 +302,21 @@ def test_transcribe_with_beam_multi_window(setup):
     # mode, published behavior) whose large value seeks past the remainder
     assert len({s["seek"] for s in segs}) >= 2
     assert all(s["temperature"] == 0.0 for s in segs)
+
+
+def test_language_normalized_on_every_path(setup):
+    """Round-4 self-review: the zero-content early return and the seek loop
+    must report the SAME resolved language code ('English' -> 'en'), and
+    junk must raise on both paths rather than depending on audio length."""
+    tok, dims, params = setup
+    empty = np.zeros(10, np.float32)
+    out = T.transcribe(params, dims, tok, empty, language="English")
+    assert out == {"text": "", "segments": [], "language": "en"}
+    with pytest.raises(ValueError, match="language"):
+        T.transcribe(params, dims, tok, empty, language="klingon")
+    full = T.transcribe(params, dims, tok, _audio(0.4), language="English",
+                        sample_len=4, without_timestamps=True)
+    assert full["language"] == "en"
+    with pytest.raises(ValueError, match="language"):
+        T.transcribe(params, dims, tok, _audio(0.4), language="klingon",
+                     sample_len=4, without_timestamps=True)

@@ -484,8 +484,14 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         kv_frames, kv_int8, kv_int8_guard = None, False, None
         from . import beam as beam_mod
 
+        from ..text.tokenizer import normalize_language
+
+        # same resolution as the greedy finalize: report the CODE, raise on
+        # junk — beam/sampling must not return a different language value
+        # than greedy for identical options (round-4 self-review)
+        norm_lang = normalize_language(options.language)
         langs = (detected_langs if detected_langs is not None
-                 else [options.language or (tokenizer.language or "en")]
+                 else [norm_lang or (tokenizer.language or "en")]
                  * mel.shape[0])
         return beam_mod.run(
             params, dims, tokenizer, mel, options, prompt_arr, suppress_mask,

@@ -7,7 +7,6 @@ Disable with ``WCA_DISABLE_NATIVE=1``.
 from __future__ import annotations
 
 import ctypes
-import os
 import struct
 import threading
 from typing import Dict, List

@@ -256,21 +256,22 @@ def transcribe(params, dims, tokenizer,
                                          n_mels=dims.n_mels))
     content_frames = min(mel.shape[-1] - window_frames,
                          audio.size // constants.HOP_LENGTH)
+    # resolve full names up front ("English" -> "en", ValueError on junk) so
+    # the result dict, the per-window DecodingOptions, and the word-timing
+    # capture all see the same code (published transcribe does the same via
+    # its tokenizer construction) — including on the zero-content early
+    # return, which must not report a different language value than the
+    # same call with longer audio
+    from .text.tokenizer import normalize_language
+
+    language = normalize_language(decode_options.pop("language", None))
     if content_frames <= 0:
         # published behavior: with no content frames the seek loop runs zero
         # windows — empty / sub-hop audio yields an empty result rather than
         # one all-zero window (which could hallucinate a segment)
         return {"text": "", "segments": [],
-                "language": decode_options.pop("language", None)
-                or tokenizer.language or "en"}
+                "language": language or tokenizer.language or "en"}
 
-    # resolve full names up front ("English" -> "en", ValueError on junk) so
-    # the result dict, the per-window DecodingOptions, and the word-timing
-    # capture all see the same code (published transcribe does the same via
-    # its tokenizer construction)
-    from .text.tokenizer import normalize_language
-
-    language = normalize_language(decode_options.pop("language", None))
     if language is None:
         if tokenizer.is_multilingual and len(tokenizer.sot_sequence) >= 2:
             seg0 = pad_or_trim(jnp.asarray(mel), window_frames, axis=-1)

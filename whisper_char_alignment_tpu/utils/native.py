@@ -65,7 +65,15 @@ def load(src_name: str, so_name: str) -> Optional[ctypes.CDLL]:
             if os.path.exists(src):
                 stale = (not os.path.exists(so)
                          or os.path.getmtime(so) < os.path.getmtime(src))
-                if (not stale) or _build(src, so):
+                # rebuild when the .so looks older than its source — BUT a
+                # failed rebuild (no compiler: a supported sandbox case) must
+                # not discard a present, working binary: git checkouts give
+                # arbitrary sub-second mtime ordering, so the checked-in
+                # prebuilt can look "stale" on a fresh clone while being
+                # exactly in sync with the source (round-4 self-review)
+                if stale:
+                    _build(src, so)
+                if os.path.exists(so):
                     lib = ctypes.CDLL(so)
         except Exception:
             lib = None
