@@ -124,6 +124,28 @@ def recompute_one_on_cpu(pipeline, batch, cfg, tok):
     raise AssertionError("no utterance eligible for the CPU DTW recompute")
 
 
+def _devices_with_retry():
+    """First device touch, with a bounded RELAUNCH retry on backend-init
+    failure: the axon tunnel has been observed transiently UNAVAILABLE
+    (round 4: backend init RuntimeError after a heavy session), and a failed
+    plugin init is cached for the process's lifetime — so the retry must
+    re-exec, not loop. Bounded by WCA_BENCH_INIT_RETRIES (default 2),
+    WCA_BENCH_INIT_RETRY_S apart (default 180)."""
+    try:
+        return jax.devices()
+    except RuntimeError as e:
+        left = int(os.environ.get("WCA_BENCH_INIT_RETRIES", "2"))
+        if left <= 0:
+            raise
+        wait = float(os.environ.get("WCA_BENCH_INIT_RETRY_S", "180"))
+        log(f"backend init failed ({e}); retrying in {wait:.0f}s "
+            f"({left} retries left)")
+        time.sleep(wait)
+        env = dict(os.environ)
+        env["WCA_BENCH_INIT_RETRIES"] = str(left - 1)
+        os.execve(sys.executable, [sys.executable] + sys.argv, env)
+
+
 def main():
     tok = get_test_tokenizer()
     if TINY:
@@ -142,7 +164,7 @@ def main():
                              f"choose from {sorted(MODEL_DIMS)}")
         dims = MODEL_DIMS[model_name]
 
-    log(f"devices: {jax.devices()}")
+    log(f"devices: {_devices_with_retry()}")
     params = wmodel.init_params(jax.random.PRNGKey(0), dims)
     params = jax.tree.map(lambda x: x.astype(jnp.bfloat16), params)
 

@@ -84,3 +84,39 @@ def test_bench_probe_tiny_prints_one_json_line():
     payload = json.loads(lines[0])
     assert payload["metric"] == "probe_oracle_utts_per_sec_per_chip"
     assert payload["value"] > 0 and 0.0 <= payload["hit_rate"] <= 1.0
+
+
+def test_bench_backend_init_retry_reexecs(monkeypatch):
+    """A transiently UNAVAILABLE backend (observed: the axon tunnel after a
+    heavy session) must not cost the round its BENCH artifact: the first
+    device touch re-execs the process with a decremented retry budget
+    (a failed plugin init is cached in-process, so looping won't do), and
+    raises once the budget is spent."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_mod", os.path.join(REPO, "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    def boom():
+        raise RuntimeError("Unable to initialize backend 'axon'")
+
+    calls = []
+    monkeypatch.setattr(bench.jax, "devices", boom)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: calls.append(("sleep", s)))
+    monkeypatch.setattr(
+        bench.os, "execve",
+        lambda exe, argv, env: calls.append(("execve", env)) or (_ for _ in ())
+        .throw(SystemExit(0)))
+    monkeypatch.setenv("WCA_BENCH_INIT_RETRIES", "2")
+    monkeypatch.setenv("WCA_BENCH_INIT_RETRY_S", "7")
+    with pytest.raises(SystemExit):
+        bench._devices_with_retry()
+    assert calls[0] == ("sleep", 7.0)
+    assert calls[1][0] == "execve"
+    assert calls[1][1]["WCA_BENCH_INIT_RETRIES"] == "1"
+    # budget spent -> the failure propagates
+    monkeypatch.setenv("WCA_BENCH_INIT_RETRIES", "0")
+    with pytest.raises(RuntimeError, match="axon"):
+        bench._devices_with_retry()
