@@ -92,3 +92,50 @@ def test_jump_frames_match_reference_jump_extraction(seed):
     jf = np.asarray(dtw_mod.dtw_jump_frames(tr, jnp.int32(n), jnp.int32(m)))
     np.testing.assert_array_equal(jf[:n], jump_frames_ref)
     assert (jf[n:] == -1).all()
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_path_is_globally_optimal_by_enumeration(seed):
+    """Independent optimality oracle: every test above compares the device
+    kernel to dtw_np, but dtw_np itself encodes the same DP/backtrace
+    conventions. Here the returned path's total cost must equal the true
+    minimum over ALL monotonic paths (diag/down/right moves), computed by an
+    independent forward recursion that shares no code, layout, or tie-break
+    conventions with the production DP — and the path itself must be
+    structurally valid."""
+    rng = np.random.default_rng(100 + seed)
+    n, m = int(rng.integers(2, 6)), int(rng.integers(2, 7))
+    x = rng.normal(size=(n, m)).astype(np.float32)
+
+    def best_path_cost(i, j, memo={}):
+        # min cost of reaching (i, j) from (0, 0); fresh memo per call chain
+        key = (id(x), i, j)
+        if key in memo:
+            return memo[key]
+        if i == 0 and j == 0:
+            v = float(x[0, 0])
+        else:
+            prev = []
+            if i > 0 and j > 0:
+                prev.append(best_path_cost(i - 1, j - 1))
+            if i > 0:
+                prev.append(best_path_cost(i - 1, j))
+            if j > 0:
+                prev.append(best_path_cost(i, j - 1))
+            v = float(x[i, j]) + min(prev)
+        memo[key] = v
+        return v
+
+    optimal = best_path_cost(n - 1, m - 1)
+    for impl in (dtw_mod.dtw_np, dtw_mod.dtw):
+        ti, tj = impl(x)
+        ti, tj = np.asarray(ti), np.asarray(tj)
+        got = float(x[ti, tj].sum())
+        assert abs(got - optimal) < 1e-5, (impl.__name__, got, optimal)
+        # structural checks: starts at (0,0), ends at (n-1,m-1), monotone
+        # non-repeating moves from the allowed set
+        assert ti[0] == 0 and tj[0] == 0
+        assert ti[-1] == n - 1 and tj[-1] == m - 1
+        di, dj = np.diff(ti), np.diff(tj)
+        assert ((di >= 0) & (dj >= 0) & (di + dj >= 1)
+                & (di <= 1) & (dj <= 1)).all()
