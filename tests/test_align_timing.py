@@ -244,6 +244,5 @@ def test_default_alignment_znorm_matches_oracle():
     mean = sel.mean(axis=-2, keepdims=True)
     matrix_o = ((sel - mean) / std).mean(axis=0)
 
-    z = timing._znorm_mean_heads(jnp.asarray(sel)[None], jnp.asarray([t], jnp.int32),
-                                 sot_len)
+    z = timing._znorm_mean_heads(jnp.asarray(sel)[None], jnp.asarray([t], jnp.int32))
     np.testing.assert_allclose(np.asarray(z)[0], matrix_o, atol=1e-5)

@@ -42,6 +42,31 @@ def test_prefetch_propagates_worker_exceptions():
         list(iter_utterances(_FlakyDataset(), prefetch=0))
 
 
+def test_prefetch_worker_exits_when_consumer_abandons():
+    """Abandoning the generator early (break / exception in the consumer)
+    previously left the worker blocked FOREVER in q.put with the queue full,
+    pinning the thread plus `prefetch` decoded utterances per abandoned run —
+    a real leak in a long-lived serve process. Closing the generator must
+    release the worker."""
+    import threading
+    import time
+
+    before = set(threading.enumerate())
+    it = iter_utterances(list(range(64)), prefetch=2)
+    assert next(it) == 0  # worker started and is now blocked on the full queue
+    it.close()  # GeneratorExit -> finally -> cancellation flag
+
+    deadline = time.time() + 5.0
+    extra = None
+    while time.time() < deadline:
+        extra = [t for t in threading.enumerate()
+                 if t not in before and t.is_alive()]
+        if not extra:
+            break
+        time.sleep(0.05)
+    assert not extra, f"prefetch worker leaked: {extra}"
+
+
 def test_timit_label_path_survives_wav_in_directory_name(tmp_path):
     """path.split('.wav')[0] truncated at the FIRST '.wav' anywhere in the
     path; a '/corpus.wav_16k/' directory broke label discovery."""

@@ -56,6 +56,20 @@ def test_tie_break_parity():
     np.testing.assert_array_equal(tj, tj_np)
 
 
+@pytest.mark.parametrize("seed", range(8))
+def test_plateau_tie_parity_vs_numpy(seed):
+    """Plateau-heavy costs (few distinct values) create near-tie partial sums
+    where the `<` tie-breaks are precision-sensitive: an f64 oracle picks
+    different paths than the f32 device recurrence (and than upstream's f32
+    numba kernel). dtw_np must accumulate in f32 to stay an oracle here."""
+    rng = np.random.default_rng(1000 + seed)
+    x = rng.choice(np.float32([0.1, 0.2, 0.3]), size=(6, 6))
+    ti_np, tj_np = dtw_mod.dtw_np(x)
+    ti, tj = dtw_mod.dtw(x)
+    np.testing.assert_array_equal(ti, ti_np)
+    np.testing.assert_array_equal(tj, tj_np)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_padded_equals_sliced(seed):
     """Running the padded (N_max, M_max) recurrence and backtracing from the true

@@ -240,6 +240,31 @@ def test_gpt2_vocab_json_loader(tmp_path):
         assert loaded.encode_ordinary(text) == ref.encode_ordinary(text)
 
 
+def test_gpt2_vocab_json_specials_excluded_from_base_ranks(tmp_path):
+    """Real GPT-2/HF vocab.json files include ``<|endoftext|>`` (and whisper
+    dumps add ``<|startoftranscript|>``, ``<|en|>``, ...) as ordinary entries.
+    They decode cleanly through the byte map (printable ASCII), so a KeyError
+    filter alone does NOT drop them — and every special id the Tokenizer
+    derives from n_vocab would shift off the checkpoint's trained ids."""
+    import json
+
+    ranks = bpe_mod.toy_ranks()
+    n_base = max(ranks.values()) + 1
+    b2u = bpe_mod._bytes_to_unicode()
+    vocab = {"".join(b2u[b] for b in k): v for k, v in ranks.items()}
+    vocab["<|endoftext|>"] = n_base
+    vocab["<|startoftranscript|>"] = n_base + 1
+    vocab["<|en|>"] = n_base + 2
+    p = tmp_path / "vocab.json"
+    with open(p, "w", encoding="utf-8") as f:
+        json.dump(vocab, f, ensure_ascii=False)
+    loaded = bpe_mod.ByteBPE.from_gpt2_files(str(p))
+    assert loaded.ranks == ranks
+    assert loaded.n_vocab == n_base  # eot = n_vocab lands on the trained id
+    t = WhisperTokenizer(loaded, multilingual=False)
+    assert t.eot == n_base
+
+
 def test_bytes_to_unicode_is_reversible():
     m = bpe_mod._bytes_to_unicode()
     assert len(m) == 256 and len(set(m.values())) == 256

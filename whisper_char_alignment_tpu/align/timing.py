@@ -369,8 +369,8 @@ def filter_attention(attns, topk=20, w_colnorm=1, w_rownorm=1, w_coverage=0):
 # Baseline path (reference: default_find_alignment, timing.py:116-186)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("sot_len",))
-def _znorm_mean_heads(sel_attn: jax.Array, token_len: jax.Array, sot_len: int):
+@jax.jit
+def _znorm_mean_heads(sel_attn: jax.Array, token_len: jax.Array):
     """Z-normalize each selected head's map over the token axis (masked,
     biased std — reference timing.py:160-161), then average heads."""
     t = sel_attn.shape[-2]
@@ -404,7 +404,7 @@ def default_find_alignment_batch(params, dims: ModelDims, mel, tokens,
     heads = jnp.asarray(alignment_heads, jnp.int32)  # (n_sel, 2)
     sel = attn[heads[:, 0], :, heads[:, 1]]  # (n_sel, B, T, F)
     sel = jnp.transpose(sel, (1, 0, 2, 3)).astype(jnp.float32)  # (B, n_sel, T, F)
-    matrix = _znorm_mean_heads(sel, token_len, sot_len)
+    matrix = _znorm_mean_heads(sel, token_len)
     jump_frames = matrix_to_jump_frames(matrix, token_len, frame_len, sot_len)
 
     # per-token probabilities: softmax over the non-special vocab slice [:eot]

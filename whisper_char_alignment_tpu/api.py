@@ -126,7 +126,7 @@ def align_long(model: Model, audio: Union[str, np.ndarray],
     pipe = AlignmentPipeline(model.params, model.dims, model.tokenizer, cfg,
                              compute_dtype=compute_dtype)
     by_chunk = {int(r.fid.rsplit("#", 1)[1]): r
-                for r in pipe.run_dataset(_ListDataset(utts), progress=False)}
+                for r in pipe.run_dataset(list(utts), progress=False)}
     words: list = []
     starts: list = []
     ends: list = []
@@ -160,15 +160,3 @@ def transcribe(model: Model, audio: Union[str, np.ndarray], **kwargs) -> dict:
     return _transcribe(model.params, model.dims, model.tokenizer, data,
                        **kwargs)
 
-
-class _ListDataset:
-    """Minimal dataset over in-memory utterances (for align_long)."""
-
-    def __init__(self, utts):
-        self._utts = list(utts)
-
-    def __len__(self):
-        return len(self._utts)
-
-    def __getitem__(self, i):
-        return self._utts[i]

@@ -142,6 +142,20 @@ def iter_utterances(dataset, prefetch: int = 8,
 
     q: "queue.Queue" = queue.Queue(maxsize=prefetch)
     stop = object()
+    cancelled = threading.Event()
+
+    def put_unless_cancelled(item) -> bool:
+        # a plain q.put would block FOREVER if the consumer abandons the
+        # generator with the queue full (break / exception mid-run), pinning
+        # the worker thread plus `prefetch` decoded utterances for the life
+        # of the process; poll the cancellation flag instead
+        while not cancelled.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         # a worker exception must reach the CONSUMER: swallowing it here
@@ -149,21 +163,25 @@ def iter_utterances(dataset, prefetch: int = 8,
         # corpus as if the run succeeded (the eager reference crashes instead)
         try:
             for i in indices:
-                q.put(dataset[i])
+                if not put_unless_cancelled(dataset[i]):
+                    return
         except BaseException as e:  # noqa: BLE001 - re-raised in the consumer
-            q.put((stop, e))
+            put_unless_cancelled((stop, e))
         else:
-            q.put((stop, None))
+            put_unless_cancelled((stop, None))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is stop:
-            if item[1] is not None:
-                raise item[1]
-            break
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is stop:
+                if item[1] is not None:
+                    raise item[1]
+                break
+            yield item
+    finally:
+        cancelled.set()
 
 
 def duration_order(dataset) -> Optional[List[int]]:

@@ -157,10 +157,17 @@ def dtw(x) -> tuple:
 
 
 def dtw_np(x: np.ndarray) -> tuple:
-    """NumPy reference with identical semantics (test oracle / host fallback)."""
-    x = np.asarray(x, dtype=np.float64)
+    """NumPy reference with identical semantics (test oracle / host fallback).
+
+    Accumulates in float32 — the SAME precision as the device recurrence and
+    as upstream whisper's numba kernel (its ``dtw_cpu`` allocates an f32 cost
+    matrix). An f64 oracle picks different paths on near-tie plateau costs:
+    the `<` tie-break comparisons see unrounded partial sums the f32 paths
+    never see (regression: tests/test_dtw.py plateau case).
+    """
+    x = np.asarray(x, dtype=np.float32)
     n, m = x.shape
-    cost = np.full((n + 1, m + 1), np.inf)
+    cost = np.full((n + 1, m + 1), np.inf, dtype=np.float32)
     trace = -np.ones((n + 1, m + 1), dtype=np.int8)
     cost[0, 0] = 0.0
     for j in range(1, m + 1):

@@ -20,10 +20,15 @@ from __future__ import annotations
 import base64
 import functools
 import json
+import re
 import unicodedata
-from typing import Dict, Iterable, List, Optional
+from typing import Dict, Iterable, List
 
 _CONTRACTIONS = ("'s", "'t", "'re", "'ve", "'m", "'ll", "'d")
+
+# whisper/GPT-2 special-token shape: <|endoftext|>, <|startoftranscript|>,
+# <|en|>, ... — no base BPE merge ever produces a full token of this form
+_SPECIAL_TOKEN_RE = re.compile(r"<\|[^|]*\|>")
 
 
 def _is_letter(c: str) -> bool:
@@ -127,18 +132,28 @@ class ByteBPE:
         return cls(ranks)
 
     @classmethod
-    def from_gpt2_files(cls, vocab_json: str, merges_txt: Optional[str] = None
-                        ) -> "ByteBPE":
-        """GPT-2 format: vocab.json maps unicode-mapped strings -> id."""
+    def from_gpt2_files(cls, vocab_json: str) -> "ByteBPE":
+        """GPT-2 format: vocab.json maps unicode-mapped strings -> id.
+
+        Special tokens (``<|endoftext|>``, ``<|en|>``, ...) that some dumps
+        include in vocab.json are excluded from the base ranks: they decode
+        cleanly through the byte map (printable ASCII), but the Tokenizer
+        derives every special id from ``n_vocab`` (tokenizer.py), so letting
+        ``<|endoftext|>`` (id == n_base) into the ranks would shift eot/sot/...
+        off the checkpoint's trained ids by one. merges.txt is not needed:
+        tiktoken-semantics BPE derives merge order from the rank table itself.
+        """
         byte_decoder = {c: b for b, c in _bytes_to_unicode().items()}
         with open(vocab_json, encoding="utf-8") as f:
             vocab = json.load(f)
         ranks: Dict[bytes, int] = {}
         for tok_str, idx in vocab.items():
+            if _SPECIAL_TOKEN_RE.fullmatch(tok_str):
+                continue  # special tokens: ids are derived in tokenizer.py
             try:
                 b = bytes(byte_decoder[c] for c in tok_str)
             except KeyError:
-                continue  # special tokens in vocab.json are handled elsewhere
+                continue  # non-byte-mapped entries (HF added tokens)
             ranks[b] = idx
         return cls(ranks)
 
