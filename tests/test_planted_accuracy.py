@@ -166,6 +166,63 @@ def test_planted_oracle_head_through_probe_cli(tmp_path, monkeypatch):
     assert results["hit_rate"] == 1.0, results
 
 
+def test_probe_oracle_topk_cut_excludes_low_saliency_heads(tmp_path,
+                                                           monkeypatch):
+    """The reference's oracle sweep only searches the top-360 saliency heads
+    (filter_attention(w, topk=360), probe_oracle.py:83): a head outside the
+    cut is NOT an oracle candidate even when it would score the best F1.
+    Plant the perfect banded head with the LOWEST saliency (the other three
+    heads are dense all-ones maps with far larger row/col norms): with the
+    cut at all 4 heads the probe finds it (F1 = 1); with the cut at 3 the
+    banded head is excluded and F1 collapses."""
+    from whisper_char_alignment_tpu.cli import common, probe_oracle
+
+    tok = get_test_tokenizer()
+    sot_len = len(tok.sot_sequence)
+    base = ("she had your dark suit in greasy wash water all year and then "
+            "some more words to pass the filter")  # 19 words
+    scp, _ = _make_planted_corpus(str(tmp_path), [base], tok, sot_len)
+
+    star = (0, 0)
+
+    def fake(params, dims, mel, tokens, token_len, frame_len, **kw):
+        b, t = tokens.shape
+        f = dims.n_audio_ctx
+        row = jnp.arange(t)[None, :, None] - sot_len
+        col = jnp.arange(f)[None, None, :]
+        band = (col >= row * W) & (col < (row + 1) * W)
+        token_ok = ((jnp.arange(t)[None, :, None]
+                     < (token_len[:, None, None] - 1)) & (row >= 0))
+        frame_ok = col < frame_len[:, None, None]
+        banded = (band & token_ok & frame_ok).astype(jnp.float32)  # (B, T, F)
+        ones = (token_ok & frame_ok).astype(jnp.float32)
+        attn = jnp.broadcast_to(
+            ones[None, :, None], (dims.n_text_layer, b, dims.n_text_head, t, f))
+        return attn.at[star[0], :, star[1]].set(banded), None
+
+    dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=256,
+                          n_text_ctx=160, state=16, head=2, layers=2)
+    params = wmodel.init_params(jax.random.PRNGKey(0), dims)
+    monkeypatch.setattr(common, "load_model_and_tokenizer",
+                        lambda args: (params, dims, tok))
+    monkeypatch.setattr(timing, "get_attentions", fake)
+    argv = ["--dataset", "TIMIT", "--scp", scp,
+            "--output_dir", str(tmp_path / "results"),
+            "--aligned_unit_type", "char", "--strict", "--tolerance", "0.05",
+            "--medfilt_width", "3", "--hit_within", "2", "--batch_size", "1",
+            "--use_gt_transcript", "--decode_sample_len", "2", "--test_model"]
+
+    monkeypatch.setattr(probe_oracle, "ORACLE_TOPK", 4)
+    all_heads = probe_oracle.main(argv)
+    assert all_heads["f1"] > 0.9999, all_heads
+    # the oracle head is the lowest-saliency one — the hit test must miss
+    assert all_heads["hit_rate"] == 0.0, all_heads
+
+    monkeypatch.setattr(probe_oracle, "ORACLE_TOPK", 3)
+    cut = probe_oracle.main(argv)
+    assert cut["f1"] < 0.6, cut
+
+
 def test_planted_attention_detects_drift(tmp_path, monkeypatch):
     """The gate actually bites: shift the ground truth by 3 bands (120 ms >
     the 50 ms tolerance) and F1 must drop well below 1."""

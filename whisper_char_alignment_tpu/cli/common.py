@@ -155,25 +155,12 @@ def load_model_and_tokenizer(args) -> Tuple[dict, ModelDims, WhisperTokenizer]:
 
 
 def cast_params(params, dtype):
-    """Compute-dtype cast that PRESERVES the int8 quantized encoder leaves.
-
-    A blanket ``astype(dtype)`` silently destroys ``quantize_encoder_int8``'s
-    pytree: the int8 ``w8`` weights become float (the dense layer still routes
-    via the 'w8' key, so the dot runs a degraded float path instead of the
-    advertised int8-MXU one) and the f32 ``s`` scales pick up bf16 rounding
-    drift (ADVICE r03, medium). Integer leaves keep their dtype; 's' scale
-    leaves stay f32; everything else casts to ``dtype``.
-    """
-    import jax.tree_util as jtu
-
-    def cast(path, x):
-        if jnp.issubdtype(x.dtype, jnp.integer):
-            return x
-        if path and isinstance(path[-1], jtu.DictKey) and path[-1].key == "s":
-            return x  # quantization scales: keep f32
-        return x.astype(dtype)
-
-    return jtu.tree_map_with_path(cast, params)
+    """Compute-dtype cast preserving int8 quantized encoder leaves — the CLI
+    alias of :func:`models.whisper.cast_params` (which AlignmentPipeline also
+    applies at construction, so every pipeline consumer honors
+    --compute_dtype; standalone CLIs that never build a pipeline — serve,
+    long-form transcribe — call this directly)."""
+    return wmodel.cast_params(params, dtype)
 
 
 def _maybe_quantize(params, args):

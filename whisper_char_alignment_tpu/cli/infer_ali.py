@@ -55,49 +55,51 @@ def infer_dataset(args) -> dict:
         dataset.entries = distributed.shard_entries(dataset.entries)
 
     from ..utils.profiling import device_trace
+    # a with-block, not a bare __enter__/__exit__ pair: a per-utterance
+    # exception must still stop the profiler and flush the partial trace —
+    # the most useful artifact for debugging exactly that failure
     trace_ctx = device_trace(getattr(args, "trace_dir", None))
-    trace_ctx.__enter__()
 
     corrects = 0
     total_preds = 0
     total_gts = 0
     all_predictions = defaultdict(int)
     n = 0
-    for res in pipe.run_dataset(dataset):
-        if res.skipped:
-            print(res.fid)
-            continue
-        ends_hat = res.end_times
-        if args.save_prediction:
-            all_predictions[n] = dict(
-                starts=res.starts, ends=res.ends, texts=res.text.split(),
-                starts_hat=res.start_times, ends_hat=ends_hat,
-                predwords=res.words, fids=res.fid)
-        if args.plot and res.matrix is not None:
-            from ..viz.plot import plot_attn
-            from ..text.retokenize import encode as tok_encode
-            text_tokens = tok_encode(res.transcription, tok,
-                                     args.aligned_unit_type)
-            plot_attn(res.matrix, text_tokens, tok, gt_alignment=res.ends,
-                      pred_alignment=ends_hat, fid=res.fid,
-                      aligned_unit_type=args.aligned_unit_type,
-                      path=f"{args.output_dir}/imgs/{args.dataset}")
-        # eval (reference infer_ali.py:121-132)
-        if not args.strict:
-            correct_pred, _ = eval_n1(res.ends, ends_hat, args.tolerance)
-            total_gts += len(res.ends)
-            total_preds += len(ends_hat)
-            corrects += correct_pred
-        else:
-            words = " ".join(res.words[:-1]).split()
-            tp, fp, fn = eval_n1_strict(res.ends, ends_hat, res.text.split(),
-                                        words, args.tolerance)
-            corrects += tp
-            total_gts += tp + fn
-            total_preds += tp + fp
-        n += 1
+    with trace_ctx:
+        for res in pipe.run_dataset(dataset):
+            if res.skipped:
+                print(res.fid)
+                continue
+            ends_hat = res.end_times
+            if args.save_prediction:
+                all_predictions[n] = dict(
+                    starts=res.starts, ends=res.ends, texts=res.text.split(),
+                    starts_hat=res.start_times, ends_hat=ends_hat,
+                    predwords=res.words, fids=res.fid)
+            if args.plot and res.matrix is not None:
+                from ..viz.plot import plot_attn
+                from ..text.retokenize import encode as tok_encode
+                text_tokens = tok_encode(res.transcription, tok,
+                                         args.aligned_unit_type)
+                plot_attn(res.matrix, text_tokens, tok, gt_alignment=res.ends,
+                          pred_alignment=ends_hat, fid=res.fid,
+                          aligned_unit_type=args.aligned_unit_type,
+                          path=f"{args.output_dir}/imgs/{args.dataset}")
+            # eval (reference infer_ali.py:121-132)
+            if not args.strict:
+                correct_pred, _ = eval_n1(res.ends, ends_hat, args.tolerance)
+                total_gts += len(res.ends)
+                total_preds += len(ends_hat)
+                corrects += correct_pred
+            else:
+                words = " ".join(res.words[:-1]).split()
+                tp, fp, fn = eval_n1_strict(res.ends, ends_hat, res.text.split(),
+                                            words, args.tolerance)
+                corrects += tp
+                total_gts += tp + fn
+                total_preds += tp + fp
+            n += 1
 
-    trace_ctx.__exit__(None, None, None)
     if getattr(args, "profile", False):
         pipe.timers.report()
 

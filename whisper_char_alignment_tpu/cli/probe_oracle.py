@@ -1,16 +1,20 @@
 """Oracle-head probe CLI (reference: probe_oracle.py).
 
 For each utterance with >= 18 ground-truth words: rank every (layer, head) map by
-saliency, align with EACH head individually, keep the head with the best strict F1
-vs ground truth, and measure how often that oracle head falls within the top
-``--hit_within`` saliency-ranked heads.
+saliency, align with each of the top-360 saliency heads individually
+(``ORACLE_TOPK`` — the reference's ``filter_attention(w, topk=360)`` cut,
+probe_oracle.py:83), keep the candidate with the best strict F1 vs ground truth,
+and measure how often that oracle head falls within the top ``--hit_within``
+saliency-ranked heads.
 
-TPU-first: the reference runs one force_align (and one CPU DTW) per head in a
-serial batch-1 Python loop — 384 DTWs per utterance for medium
+TPU-first: the reference runs one force_align (and one CPU DTW) per candidate
+head in a serial batch-1 Python loop — 360 DTWs per utterance for medium
 (probe_oracle.py:88-106). Here:
 
 - ALL heads of a whole BATCH of utterances align in one device launch (the
-  per-head column-normalized maps are rows of the batched DTW kernel);
+  per-head column-normalized maps are rows of the batched DTW kernel; the
+  <= 6% of rows outside the top-360 are computed but not scored — a
+  data-dependent device gather would cost more than it saves);
 - token arrays are padded to the runner's 32-token buckets, so jit signatures
   are bounded (remote compiles cost minutes per signature) instead of one per
   distinct transcript length;
@@ -37,6 +41,14 @@ import numpy as np
 from ..align import timing
 from ..align.metrics import (eval_n1, eval_n1_strict, eval_n1_strict_many,
                              get_seg_metrics)
+
+# the reference restricts the oracle search to the top-360 saliency heads
+# (``filter_attention(w, topk=360)``, probe_oracle.py:83) — for medium
+# (384 heads) the 24 lowest-saliency heads are NOT oracle candidates even if
+# one of them would score the best F1. Smaller models have < 360 heads, so
+# the cut only bites at medium and above (``sorted(...)[-360:]`` of a shorter
+# list keeps everything).
+ORACLE_TOPK = 360
 from ..constants import AUDIO_SAMPLES_PER_TOKEN, MAX_FRAMES, MAX_LENGTH
 from ..data.dataset import DATASETS
 from ..parallel import distributed, mesh as mesh_lib
@@ -114,7 +126,13 @@ def infer_dataset(args) -> dict:
     # transcribe queue would be pure HBM dead weight — multi-GB at medium
     # right when the 384-head DTW sweep needs the headroom
     cfg.reuse_cross_kv = False
-    pipe = AlignmentPipeline(params, dims, tok, cfg, compute_dtype=(
+    # honor the advertised --data_parallel/--tensor_parallel flags exactly
+    # like infer_ali (previously they were silently ignored here)
+    tp_axis = max(1, getattr(args, "tensor_parallel", 0))
+    dp = args.data_parallel if args.data_parallel > 0 else None
+    mesh = (mesh_lib.make_mesh(dp, n_model=tp_axis)
+            if args.data_parallel >= 0 or tp_axis > 1 else None)
+    pipe = AlignmentPipeline(params, dims, tok, cfg, mesh=mesh, compute_dtype=(
         jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32))
     dataset = DATASETS[args.dataset](args.scp, n_mels=args.n_mels)
     # the reference-faithful hit_rate denominator is the FULL corpus size (see
@@ -185,8 +203,10 @@ def infer_dataset(args) -> dict:
         # they queue behind the capture), "host scoring" the pure-Python
         # per-head F1 loop
         with pipe.timers.stage("capture dispatch", units=len(prepared)):
+            # pipe.params, not the raw load-time tree: the pipeline's tree is
+            # compute-dtype cast and mesh-sharded
             attn, _ = timing.get_attentions(
-                params, dims, None, jnp.asarray(tokens_arr), tl, fl,
+                pipe.params, dims, None, jnp.asarray(tokens_arr), tl, fl,
                 medfilt_width=args.medfilt_width, qk_scale=1.0, xa=xa_live,
                 return_logits=False, compute_dtype=pipe.compute_dtype)
 
@@ -238,11 +258,15 @@ def infer_dataset(args) -> dict:
             l_idx = np.repeat(np.arange(n_layers), n_heads)
             h_idx = np.tile(np.arange(n_heads), n_layers)
             order = np.lexsort((h_idx, l_idx, flat))
-            # every head's end boundaries at once (jump_frames_to_times over
-            # a leading head axis), then one vectorized strict-F1 sweep
+            # oracle candidates: only the top-ORACLE_TOPK saliency heads,
+            # ascending (the reference's filter_attention(w, topk=360) cut)
+            cand = order[-ORACLE_TOPK:]
+            # every candidate head's end boundaries at once
+            # (jump_frames_to_times over a leading head axis), then one
+            # vectorized strict-F1 sweep
             jf = jf_all[bi][:, :len(text_tokens) + 1]
             jt = jf.astype(np.float64) / TOKENS_PER_SECOND
-            ends_hat_all = jt[:, wb[1:]][order]  # (L*H, n_words) in rank order
+            ends_hat_all = jt[:, wb[1:]][cand]  # (n_cand, n_words) rank order
             tp_v, _, _ = eval_n1_strict_many(
                 u.ends, ends_hat_all, u.text.split(), words_flat,
                 args.tolerance)
@@ -255,8 +279,11 @@ def infer_dataset(args) -> dict:
             # winner is the LAST occurrence of the max
             bi_best = len(f1_v) - 1 - int(np.argmax(f1_v[::-1]))
             best_ends_hat = ends_hat_all[bi_best]
-            best_saliency = flat[order][bi_best]
+            best_saliency = flat[cand][bi_best]
 
+            # the hit threshold indexes the FULL ascending order: the
+            # reference's scores[-hit_within] is the hit_within-th highest
+            # overall (its 360-entry list shares that tail with the full one)
             if best_saliency > flat[order][-args.hit_within]:
                 state["if_include_best"] += 1
 

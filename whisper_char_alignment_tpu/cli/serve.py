@@ -221,7 +221,10 @@ class AlignBatcher:
                                   ends=[], fid=f"req{j}")
                         for j, r in enumerate(batch)]
                 with self.device_lock:
-                    results = pipe.align_batch(utts, return_matrix=True)
+                    # no matrix: do_POST serializes only words/times/text, and
+                    # a (B, T, F) f32 matrix costs ~MBs over the ~75 MB/s
+                    # tunnel per launch purely to be discarded
+                    results = pipe.align_batch(utts, return_matrix=False)
                 for r, res in zip(batch, results):
                     r.result = res
                     r.event.set()
@@ -379,6 +382,7 @@ def warmup(model: api.Model, compute_dtype=jnp.float32,
 
 
 def main(argv=None) -> int:
+    common.apply_platform_env()  # WCA_PLATFORM=cpu must work for serve too
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--host", type=str, default="127.0.0.1")
     p.add_argument("--port", type=int, default=8200)

@@ -72,6 +72,7 @@ def parse_args(argv=None):
 
 
 def main(argv=None) -> int:
+    common.apply_platform_env()  # WCA_PLATFORM=cpu must work here too
     args = parse_args(argv)
     params, dims, tok = common.load_model_and_tokenizer(args)
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32

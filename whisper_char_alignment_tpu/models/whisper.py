@@ -197,6 +197,28 @@ def quantize_encoder_int8(params: Params) -> Params:
     return new_params
 
 
+def cast_params(params: Params, dtype) -> Params:
+    """Compute-dtype cast that PRESERVES the int8 quantized encoder leaves.
+
+    A blanket ``astype(dtype)`` silently destroys ``quantize_encoder_int8``'s
+    pytree: the int8 ``w8`` codes become float (the dense layer still routes
+    via the 'w8' key, so the dot runs a degraded float path instead of the
+    advertised int8-MXU one) and the f32 ``s`` scales pick up bf16 rounding
+    drift (ADVICE r03, medium). Integer leaves keep their dtype; 's' scale
+    leaves stay f32; everything else casts to ``dtype``.
+    """
+    import jax.tree_util as jtu
+
+    def cast(path, x):
+        if jnp.issubdtype(x.dtype, jnp.integer):
+            return x
+        if path and isinstance(path[-1], jtu.DictKey) and path[-1].key == "s":
+            return x  # quantization scales: keep f32
+        return x.astype(dtype)
+
+    return jtu.tree_map_with_path(cast, params)
+
+
 def _split_heads(x, n_head):
     b, t, d = x.shape
     return x.reshape(b, t, n_head, d // n_head).transpose(0, 2, 1, 3)

@@ -238,6 +238,11 @@ class AlignmentPipeline:
             # the quantized pytree itself routes every encoder dense layer
             # through the int8-MXU path — no signature changes downstream
             params = wmodel_mod.quantize_encoder_int8(params)
+        # compute-dtype cast HERE so every pipeline consumer honors it the
+        # same way (infer_ali/probe_oracle previously ran bf16 compute over
+        # f32 weights — a different config from bench/serve); int8 leaves and
+        # scales survive (cast_params)
+        params = wmodel_mod.cast_params(params, compute_dtype)
         if mesh is not None:
             # replicated on a pure-data mesh; tensor-parallel weight layout
             # (q/k/v/fc1 columns, out/fc2 rows on 'model') when the mesh has
