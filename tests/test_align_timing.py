@@ -161,12 +161,6 @@ def test_grad_norm_passthrough_aggregation():
     """'grad_norm' takes a pre-aggregated (T, F) matrix straight to DTW
     (reference timing.py:99-100)."""
     rng = np.random.default_rng(9)
-    qk, sot_len, t = _fake_utterance(rng, n_text=8)
-    attn = oracle_get_attentions(qk, qk.shape[-1], 3, 1.0)
-    # aggregate by hand (mean path) and feed the matrix through grad_norm
-    ws = attn / np.linalg.norm(attn, axis=-2, keepdims=True)
-    matrix = ws[ws.shape[0] // 2:].mean(axis=(0, 1))
-
     tok = get_test_tokenizer()
     text = "hi there"
     text_tokens = retokenize.encode(text, tok, "char")

@@ -82,16 +82,32 @@ def test_align_long_chunks_and_offsets(monkeypatch):
                              "delegate to align()")
 
     monkeypatch.setattr(api, "align", _no_delegate)
-    # GT transcripts per chunk via the override (random weights give garbage)
+    # pinned transcripts per chunk via the pipeline override: random weights
+    # transcribe EMPTY, which previously made every boundary assertion below
+    # vacuous (guarded by `if len(res.end_times)`)
+    real_pipe = api.AlignmentPipeline
+
+    def pipe_with_override(*a, **k):
+        p = real_pipe(*a, **k)
+        p.transcribe_override = lambda utts: ["hello world there"] * len(utts)
+        return p
+
+    monkeypatch.setattr(api, "AlignmentPipeline", pipe_with_override)
     res = api.align_long(model, audio, use_gt_transcript=False)
     monkeypatch.undo()
     assert res.words[-1] == "<|endoftext|>"
     assert len(res.start_times) == len(res.end_times) == len(res.words) - 1
-    if len(res.end_times):
-        # within-chunk times are <= the window and chunk offsets increase by
-        # exactly one window, so the merged boundaries are globally monotone
-        assert (np.diff(np.asarray(res.start_times)) >= -1e-9).all()
-        assert max(res.end_times) <= window_s * 3 + 1e-6
+    # 3 chunks x 3 pinned words each
+    assert len(res.end_times) == 9, res.words
+    # within-chunk times are <= the window and chunk offsets increase by
+    # exactly one window, so the merged boundaries are globally monotone
+    assert (np.diff(np.asarray(res.start_times)) >= -1e-9).all()
+    assert max(res.end_times) <= window_s * 3 + 1e-6
+    # each chunk's boundaries actually carry ITS window offset
+    for k in range(3):
+        chunk_times = np.asarray(res.start_times[3 * k:3 * k + 3])
+        assert (chunk_times >= k * window_s - 1e-9).all()
+        assert (chunk_times <= (k + 1) * window_s + 1e-9).all()
 
     # short audio delegates to the single-utterance path
     short = rng.normal(0, 0.1, 4000).astype(np.float32)

@@ -136,21 +136,17 @@ def test_language_none_autodetects(setup):
     res = decoding.decode(params, dims, tok, jnp.asarray(mel),
                           decoding.DecodingOptions(language=None, sample_len=6))
     det = decoding.detect_language(params, dims, tok, jnp.asarray(mel))
-    for r, (code, _) in zip(res, det):
+    # EVERY item must match the explicit-language run for ITS detected code
+    # (a bug that broadcasts item 0's language token across the batch would
+    # pass an item-0-only check); one decode per distinct code
+    by_code = {}
+    for i, (r, (code, _)) in enumerate(zip(res, det)):
         assert r.language == code
-        explicit = decoding.decode(
-            params, dims, tok, jnp.asarray(mel),
-            decoding.DecodingOptions(language=code, sample_len=6))
-        # items whose detected language equals `code` must match the explicit run
-    # cross-check item 0 fully against an explicit-language decode
-    code0 = det[0][0]
-    explicit = decoding.decode(
-        params, dims, tok, jnp.asarray(mel),
-        decoding.DecodingOptions(language=code0, sample_len=6))
-    if all(c == code0 for c, _ in det):
-        assert [r.tokens for r in res] == [r.tokens for r in explicit]
-    else:
-        assert res[0].tokens == explicit[0].tokens
+        if code not in by_code:
+            by_code[code] = decoding.decode(
+                params, dims, tok, jnp.asarray(mel),
+                decoding.DecodingOptions(language=code, sample_len=6))
+        assert r.tokens == by_code[code][i].tokens, i
 
 
 def test_custom_suppress_token_list(setup):

@@ -121,6 +121,26 @@ def test_dtw_impl_flag_keys_force_align_trace(monkeypatch):
     timing.force_align_batch(attn, token_len, frame_len, 3, "mean", -1)
     assert _cache_size(timing._force_align_batch_jit) == size_scan
 
+    # the FLIP must reach the jitted function's static dtw_impl argument —
+    # 'pallas' cannot execute on CPU, so a spy records what the wrapper
+    # forwards (and downgrades to 'scan' so the call still runs); if the env
+    # resolution or the static forwarding is ever dropped, this fails
+    seen = []
+    real_jit = timing._force_align_batch_jit
+
+    def spy(attn_, token_len_, frame_len_, **kw):
+        seen.append(kw.get("dtw_impl"))
+        kw["dtw_impl"] = "scan"
+        return real_jit(attn_, token_len_, frame_len_, **kw)
+
+    monkeypatch.setattr(timing, "_force_align_batch_jit", spy)
+    timing.force_align_batch(attn, token_len, frame_len, 3, "mean", -1)
+    monkeypatch.setenv("WCA_DTW_IMPL", "pallas")
+    jf_b, _, _ = timing.force_align_batch(attn, token_len, frame_len, 3,
+                                          "mean", -1)
+    assert seen == ["scan", "pallas"]
+    np.testing.assert_array_equal(np.asarray(jf_a), np.asarray(jf_b))
+
 
 def test_enc_attn_mode_rejects_unknown_values(monkeypatch):
     """Round-4 review: WCA_ENC_ATTN previously returned unknown explicit

@@ -74,10 +74,11 @@ def test_int8_decode_all_cross_modes_agree(setup, monkeypatch):
         outs[mode] = [r.tokens for r in
                       decoding.decode(params, dims, tok, mel, opts,
                                       kv_int8=True)]
-    assert outs["xla"][0][:1] == outs["mxu"][0][:1]  # first forced timestamp
-    # full agreement expected at these margins, but guard only the prefix of
-    # item 1 too (greedy near-ties may diverge later by design)
-    assert outs["xla"][1][:1] == outs["mxu"][1][:1]
+    # full-transcript equality at these fixed seeds (verified deterministic
+    # on CPU): a mode bug that corrupts logits after the first step — wrong
+    # scale application, stale KV indexing — must not hide behind a
+    # first-token-only check
+    assert outs["xla"] == outs["mxu"]
 
 
 def test_int8_decode_runs_and_is_close(setup):

@@ -39,6 +39,46 @@ def test_pad_or_trim():
     np.testing.assert_array_equal(mel_mod.pad_or_trim(x, 10), x)
 
 
+def test_filterbank_matches_independent_construction():
+    """Pin mel_filterbank against a structurally independent derivation of
+    librosa's Slaney filterbank: scalar Slaney hz<->mel conversions (piecewise
+    linear/log formula transcribed here, NOT imported from the module under
+    test) and pointwise triangle construction per filter (rising/falling
+    edges + 2/width normalization), in float64. The torch log-mel parity
+    oracle below reuses the production filterbank, so WITHOUT this test a
+    filterbank error would be invisible to the whole file (the structural
+    checks alone tolerate percent-level deviations)."""
+    sr, n_fft = constants.SAMPLE_RATE, constants.N_FFT
+
+    def hz_to_mel(f):
+        # Slaney: linear below 1 kHz (f / (200/3)), log above
+        if f < 1000.0:
+            return f / (200.0 / 3.0)
+        return 15.0 + np.log(f / 1000.0) / (np.log(6.4) / 27.0)
+
+    def mel_to_hz(m):
+        if m < 15.0:
+            return m * (200.0 / 3.0)
+        return 1000.0 * np.exp((np.log(6.4) / 27.0) * (m - 15.0))
+
+    n_mels = 80
+    mels = np.linspace(hz_to_mel(0.0), hz_to_mel(sr / 2.0), n_mels + 2)
+    edges = np.array([mel_to_hz(m) for m in mels])
+    bin_freqs = np.arange(n_fft // 2 + 1) * (sr / n_fft)
+
+    oracle = np.zeros((n_mels, n_fft // 2 + 1))
+    for m in range(n_mels):
+        lo, center, hi = edges[m], edges[m + 1], edges[m + 2]
+        for k, f in enumerate(bin_freqs):
+            if lo < f < hi:
+                w = ((f - lo) / (center - lo) if f <= center
+                     else (hi - f) / (hi - center))
+                oracle[m, k] = w * 2.0 / (hi - lo)
+
+    fb = mel_mod.mel_filterbank(n_mels).astype(np.float64)
+    np.testing.assert_allclose(fb, oracle, atol=1e-6)
+
+
 def test_filterbank_structure():
     fb = mel_mod.mel_filterbank(80)
     assert fb.shape == (80, constants.N_FFT // 2 + 1)

@@ -166,8 +166,18 @@ def test_mixed_recipe_keys_never_share_a_batch(server, srv_obj):
     """Requests with different align options must not cross-contaminate: a
     topk=3 and a topk=1 request posted concurrently each match their solo
     answer (different keys form separate launches by construction)."""
+    # self-sufficient non-vacuity: pin transcripts here too (random weights
+    # otherwise transcribe empty and 'out == solo' holds for ANY cross-wiring)
+    srv_obj.batcher.pipe_hook = _pin_transcripts
+    for pipe in srv_obj.batcher._pipes.values():
+        _pin_transcripts(pipe)
     body = _wav_bytes(seconds=0.5, seed=7)
     solo = {q: _post(f"{server}/align?topk={q}", body)[1] for q in (3, 1)}
+    for q in (3, 1):
+        assert len(solo[q]["words"]) >= 2 and len(solo[q]["end_times"]) >= 2
+    # the two recipes must answer differently, or cross-key contamination
+    # would be invisible
+    assert solo[3] != solo[1]
     out = {}
 
     def client(q):

@@ -99,19 +99,40 @@ def test_special_layout_offsets(tok):
 
 
 def test_published_id_arithmetic():
-    """With the published base vocab sizes the computed specials land on the
-    known ids (multilingual eot=50257, sot=50258; English eot=50256)."""
-    base_multi, base_en = 50257, 50256
-    assert base_multi + 0 == 50257           # eot
-    assert base_multi + 1 == 50258           # sot
-    assert base_multi + 2 + 99 == 50358      # translate
-    assert base_multi + 2 + 99 + 1 == 50359  # transcribe
-    assert base_multi + 2 + 99 + 5 == 50363  # no_timestamps
-    assert base_multi + 2 + 99 + 6 == 50364  # timestamp_begin
-    assert base_multi + 2 + 99 + 6 + 1501 == 51865  # total vocab (matches config)
-    # English-only tokenizer
-    assert base_en + 0 == 50256
-    assert base_en + 1 == 50257
+    """With the published base vocab sizes, the REAL WhisperTokenizer layout
+    derivation must land every special on the known published id (multilingual
+    eot=50257, sot=50258, ...; English eot=50256). Drives __post_init__
+    through a stub rank table of the published size — constant-vs-constant
+    arithmetic would pass under any layout bug."""
+
+    class _StubBPE:
+        def __init__(self, n_vocab):
+            self.n_vocab = n_vocab
+
+    t = WhisperTokenizer(_StubBPE(50257), multilingual=True)
+    assert t.eot == 50257
+    assert t.sot == 50258
+    assert t.translate == 50358
+    assert t.transcribe == 50359
+    assert t.sot_lm == 50360
+    assert t.sot_prev == 50361
+    assert t.no_speech == 50362
+    assert t.no_timestamps == 50363
+    assert t.timestamp_begin == 50364
+    assert t.n_vocab == 51865  # matches config MODEL_DIMS vocab
+    assert t.language_token == 50259  # <|en|> is the first language token
+
+    te = WhisperTokenizer(_StubBPE(50256), multilingual=False)
+    assert te.eot == 50256
+    assert te.sot == 50257
+    assert te.no_timestamps == 50362
+    assert te.timestamp_begin == 50363
+
+    # large-v3 family: cantonese appended -> every id after the language
+    # block shifts by one
+    t3 = WhisperTokenizer(_StubBPE(50257), multilingual=True, n_languages=100)
+    assert t3.translate == 50359
+    assert t3.timestamp_begin == 50365
 
 
 def test_sot_sequence_multilingual(tok):

@@ -142,7 +142,7 @@ def test_no_speech_skip(setup, monkeypatch):
 
     def spy(params_, dims_, tok_, mel_, options=None, **kw):
         r = real_decode(params_, dims_, tok_, mel_, options, **kw)
-        object.__setattr__ if False else setattr(r, "no_speech_prob", 0.99)
+        setattr(r, "no_speech_prob", 0.99)
         setattr(r, "avg_logprob", -5.0)
         return r
 
@@ -174,7 +174,9 @@ def test_word_timestamps(setup):
         for s in segs:
             n_text = sum(1 for t in s["tokens"] if t < tok.eot)
             n_word_tokens = sum(len(w["tokens"]) for w in s["words"])
-            assert n_word_tokens >= 1
+            # the per-word token groups must TILE the segment's text tokens —
+            # a split that drops or duplicates tokens breaks every boundary
+            assert n_word_tokens == n_text and n_word_tokens >= 1
             starts = [w["start"] for w in s["words"]]
             ends = [w["end"] for w in s["words"]]
             assert all(a <= b + 1e-9 for a, b in zip(starts, ends))
