@@ -52,14 +52,26 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _flush_artifact(results: dict):
+    """Write the scoreboard after EVERY gate: the TIMIT gates can run for
+    hours, and an operator who kills a seemingly-hung runbook must not lose
+    the completed gates' results."""
+    path = results.get("_artifact")
+    if path:
+        clean = {k: v for k, v in results.items() if not k.startswith("_")}
+        with open(path, "w") as f:
+            json.dump(clean, f, indent=2)
+
+
 def run(name, cmd, results: dict, cwd=None, parse_stdout=False):
     """Run one gate; record rc (and any metrics dict the CLI printed)."""
     print(f"\n=== {name} ===\n$ {' '.join(cmd)}", flush=True)
     if parse_stdout:
+        # capture stdout only (the metrics line); stderr streams LIVE so the
+        # multi-hour gates show progress bars and compile warnings as they run
         proc = subprocess.run(cmd, cwd=cwd or REPO, text=True,
-                              capture_output=True)
+                              stdout=subprocess.PIPE)
         sys.stdout.write(proc.stdout)
-        sys.stderr.write(proc.stderr)
         rc = proc.returncode
         metrics = _parse_metrics(proc.stdout)
     else:
@@ -68,6 +80,7 @@ def run(name, cmd, results: dict, cwd=None, parse_stdout=False):
     print(f"=== {name}: {'PASS' if rc == 0 else f'FAIL (rc={rc})'} ===",
           flush=True)
     results[name] = {"rc": rc, **({"metrics": metrics} if metrics else {})}
+    _flush_artifact(results)
     return rc
 
 
@@ -105,7 +118,8 @@ def main():
         sys.exit("WCA_TOKENIZER_DIR is not set — this runbook needs the "
                  "published tokenizer assets")
 
-    results: dict = {"model": args.model, "skipped": []}
+    results: dict = {"model": args.model, "skipped": [],
+                     "_artifact": args.artifact}
     out_root = os.path.abspath("asset_gates_out")
     os.makedirs(out_root, exist_ok=True)
 
@@ -190,8 +204,7 @@ def main():
               "WCA_REFERENCE_REPO — needs the reference's torch deps)")
 
     results["failures"] = failures
-    with open(args.artifact, "w") as f:
-        json.dump(results, f, indent=2)
+    _flush_artifact(results)
     print(f"\nscoreboard -> {args.artifact}")
     print(f"{'ALL GATES PASS' if failures == 0 else f'{failures} GATE(S) FAILED'}")
     sys.exit(failures)

@@ -108,11 +108,25 @@ def main():
     # a full-live concurrent wave hits a DIFFERENT live-token bucket than the
     # 1-live warmup batch; compile it before timing anything
     t0 = time.perf_counter()
-    ws = [threading.Thread(target=post) for _ in range(min(CLIENTS, BATCH))]
+    warm_errors = []
+
+    def warm_post():
+        # collect failures: a silently failed warmup leaves the full-live
+        # bucket uncompiled and the TIMED concurrent wave absorbs the
+        # multi-minute compile, understating req/s with no failure signal
+        try:
+            post()
+        except Exception as e:  # noqa: BLE001 - re-raised below
+            warm_errors.append(e)
+
+    ws = [threading.Thread(target=warm_post)
+          for _ in range(min(CLIENTS, BATCH))]
     for t in ws:
         t.start()
     for t in ws:
         t.join()
+    if warm_errors:
+        raise RuntimeError(f"concurrent-wave warmup failed: {warm_errors[0]}")
     log(f"concurrent-wave warmup done in {time.perf_counter() - t0:.1f}s")
 
     log(f"serial: {N_REQS} requests, 1 client...")

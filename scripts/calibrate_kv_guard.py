@@ -41,6 +41,10 @@ import jax
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/jax_wca"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon TPU plugin ignores the env var; honor it explicitly so the
+    # documented CPU smoke does not pay remote compiles on the tunnel
+    jax.config.update("jax_platforms", "cpu")
 
 import jax.numpy as jnp
 
@@ -107,6 +111,14 @@ def main():
     flipped_margins = []    # ... restricted to transcript flips
     n_total = 0
     for batch in batch_iter(ds, args.batch_size):
+        # pad the trailing partial batch to the full batch size (repeat the
+        # last utterance): every distinct batch size is a fresh jit signature
+        # for BOTH decode loops — a trailing batch of 2 would otherwise cost
+        # two extra multi-minute remote compiles (the production runner pads
+        # for exactly this reason, runner._pad_batch)
+        n_live = len(batch)
+        if n_live < args.batch_size:
+            batch = list(batch) + [batch[-1]] * (args.batch_size - n_live)
         audio = np.stack([np.asarray(pad_or_trim(u.audio, n_samples))
                           for u in batch])
         mel = log_mel_spectrogram(jnp.asarray(audio),
@@ -116,7 +128,7 @@ def main():
         quant = decoding.decode(params, dims, tok, mel, opts,
                                 compute_dtype=dtype, kv_int8=True,
                                 kv_int8_guard=0.0)  # track, flag nothing
-        for e, q in zip(exact, quant):
+        for e, q in zip(exact[:n_live], quant[:n_live]):  # skip pad rows
             n_total += 1
             margins.append(q.min_margin)
             if e.tokens != q.tokens:

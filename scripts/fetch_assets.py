@@ -41,14 +41,23 @@ def main():
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
-    try:
+    def fetch(url, path):
+        # download to a temp name and os.replace: urlretrieve writes the
+        # final path directly, so an interrupted run leaves a TRUNCATED file
+        # that the exists-check below silently reuses (a tiktoken file cut at
+        # a line boundary loads as a smaller vocab with no error)
         import urllib.request
 
+        tmp = path + ".part"
+        urllib.request.urlretrieve(url, tmp)
+        os.replace(tmp, path)
+
+    try:
         tok_name = "gpt2" if args.model.endswith(".en") else "multilingual"
         tok_path = os.path.join(args.out, f"{tok_name}.tiktoken")
         if not os.path.exists(tok_path):
             print(f"fetching tokenizer -> {tok_path}")
-            urllib.request.urlretrieve(TOKENIZER_FILES[tok_name], tok_path)
+            fetch(TOKENIZER_FILES[tok_name], tok_path)
 
         # HF safetensors are the lightest-weight source; fall back to manual.
         # aliases: MODEL_DIMS['large'] is the large-v3 config (and
@@ -63,7 +72,7 @@ def main():
         st_path = os.path.join(args.out, f"{args.model}.safetensors")
         if not os.path.exists(st_path):
             print(f"fetching weights -> {st_path}")
-            urllib.request.urlretrieve(url, st_path)
+            fetch(url, st_path)
     except Exception as e:
         print(f"download failed ({e}); in an air-gapped environment copy the "
               f"files in manually — see the module docstring", file=sys.stderr)
