@@ -40,12 +40,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import jax
 
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/jax_wca"))
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 if os.environ.get("JAX_PLATFORMS") == "cpu":
     # the axon TPU plugin ignores the env var; honor it explicitly
     jax.config.update("jax_platforms", "cpu")
+    # CPU-signature-keyed cache dir (same rule as tests/conftest.py): XLA:CPU
+    # AOT executables from a different host SIGILL on load, and CPU artifacts
+    # must not pollute ~/.cache/jax_wca, which the multi-minute TPU compiles
+    # depend on
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as _f:
+            _cpu_sig = next((l for l in _f if l.startswith("flags")), "")
+    except OSError:
+        _cpu_sig = ""
+    _tag = hashlib.sha1(_cpu_sig.encode()).hexdigest()[:12]
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser(f"~/.cache/jax_wca_cputests_{_tag}"))
+else:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.expanduser("~/.cache/jax_wca"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
 
@@ -209,9 +224,9 @@ def main():
     log(f"corpus: {N_UTTS} utts x {seconds}s, batch={BATCH}, "
         f"decode_len={DECODE_LEN}, dims={model_name}")
     log("warmup pass (compiles all batch signatures)...")
-    t0 = time.time()
+    t0 = time.monotonic()
     warm = list(pipeline.run_dataset(dataset, progress=False))
-    log(f"warmup: {time.time() - t0:.1f}s")
+    log(f"warmup: {time.monotonic() - t0:.1f}s")
     n_ok = check_alignments(warm, max_seconds)
     log(f"correctness: {n_ok}/{len(warm)} alignments pass interval checks")
     # the recompute path uses a different jit signature (return_matrix=True);
@@ -229,9 +244,12 @@ def main():
     n_passes = max(1, int(os.environ.get("WCA_BENCH_PASSES", "3")))
     for _ in range(n_passes):
         pipeline.timers = type(pipeline.timers)()  # reset stage timers
-        t0 = time.time()
+        # monotonic, not time.time(): min-over-passes selection would pick
+        # exactly the pass an NTP step corrupted and publish an inflated
+        # headline with no sign anything went wrong
+        t0 = time.monotonic()
         results = list(pipeline.run_dataset(dataset, progress=False))
-        wall = time.time() - t0
+        wall = time.monotonic() - t0
         check_alignments(results, max_seconds)
         log(f"pass: {wall:.2f}s")
         if best_wall is None or wall < best_wall:

@@ -21,27 +21,41 @@ struct Bpe {
 
 extern "C" {
 
+// Returns the table handle, or nullptr on ANY inconsistency (short blob,
+// negative entry length, fewer entries than the header claims, allocation
+// failure). Failing loudly matters: a silently truncated table would encode
+// differently from the Python fallback with no signal.
 void* bpe_new(const uint8_t* blob, int64_t blob_len) {
-  auto* bpe = new Bpe();
-  int64_t pos = 0;
-  if (blob_len < 8) return bpe;
-  int64_t n;
-  std::memcpy(&n, blob, 8);
-  pos = 8;
-  bpe->ranks.reserve((size_t)n * 2);
-  for (int64_t i = 0; i < n && pos + 4 <= blob_len; i++) {
-    int32_t len;
-    std::memcpy(&len, blob + pos, 4);
-    pos += 4;
-    if (pos + len + 4 > blob_len) break;
-    std::string key((const char*)(blob + pos), (size_t)len);
-    pos += len;
-    int32_t rank;
-    std::memcpy(&rank, blob + pos, 4);
-    pos += 4;
-    bpe->ranks.emplace(std::move(key), rank);
+  try {
+    if (blob_len < 8) return nullptr;
+    int64_t n;
+    std::memcpy(&n, blob, 8);
+    // each entry needs >= 8 bytes, so n beyond blob_len/8 is corrupt — and
+    // must not reach reserve() as a giant allocation
+    if (n < 0 || n > blob_len / 8) return nullptr;
+    auto* bpe = new Bpe();
+    bpe->ranks.reserve((size_t)n * 2);
+    int64_t pos = 8;
+    for (int64_t i = 0; i < n; i++) {
+      if (pos + 4 > blob_len) { delete bpe; return nullptr; }
+      int32_t len;
+      std::memcpy(&len, blob + pos, 4);
+      pos += 4;
+      if (len < 0 || pos + (int64_t)len + 4 > blob_len) {
+        delete bpe;
+        return nullptr;
+      }
+      std::string key((const char*)(blob + pos), (size_t)len);
+      pos += len;
+      int32_t rank;
+      std::memcpy(&rank, blob + pos, 4);
+      pos += 4;
+      bpe->ranks.emplace(std::move(key), rank);
+    }
+    return bpe;
+  } catch (...) {  // bad_alloc must not unwind into the ctypes frames
+    return nullptr;
   }
-  return bpe;
 }
 
 void bpe_free(void* h) { delete (Bpe*)h; }
@@ -50,6 +64,7 @@ void bpe_free(void* h) { delete (Bpe*)h; }
 // (capacity `out_cap`), or -1 if a byte is missing from the table / overflow.
 int32_t bpe_encode(void* h, const uint8_t* piece, int32_t len, int32_t* out,
                    int32_t out_cap) {
+ try {
   auto* bpe = (Bpe*)h;
   if (len <= 0) return 0;
 
@@ -94,6 +109,9 @@ int32_t bpe_encode(void* h, const uint8_t* piece, int32_t len, int32_t* out,
     out[i] = (int32_t)r;
   }
   return count;
+ } catch (...) {  // allocation failure -> caller's per-piece Python fallback
+  return -1;
+ }
 }
 
 }  // extern "C"

@@ -13,23 +13,6 @@
 
 namespace {
 
-struct Reader {
-  const uint8_t* p;
-  size_t n;
-  size_t pos = 0;
-  bool read(void* dst, size_t k) {
-    if (pos + k > n) return false;
-    std::memcpy(dst, p + pos, k);
-    pos += k;
-    return true;
-  }
-  bool skip(size_t k) {
-    if (pos + k > n) return false;
-    pos += k;
-    return true;
-  }
-};
-
 uint32_t rd_u32(const uint8_t* p) {
   return (uint32_t)p[0] | ((uint32_t)p[1] << 8) | ((uint32_t)p[2] << 16) |
          ((uint32_t)p[3] << 24);
@@ -38,16 +21,20 @@ uint16_t rd_u16(const uint8_t* p) { return (uint16_t)p[0] | ((uint16_t)p[1] << 8
 
 }  // namespace
 
-extern "C" {
+namespace {
 
 // Returns 0 on success. Error codes: 1 io, 2 not-wav, 3 missing chunk,
 // 4 unsupported format.
-int wavio_load(const char* path, float** out, int64_t* out_samples,
-               int32_t* out_channels, int32_t* out_rate) {
+int wavio_load_impl(const char* path, float** out, int64_t* out_samples,
+                    int32_t* out_channels, int32_t* out_rate) {
   FILE* f = std::fopen(path, "rb");
   if (!f) return 1;
   std::fseek(f, 0, SEEK_END);
   long size = std::ftell(f);
+  if (size < 0) {  // pipes / char devices: ftell fails with -1
+    std::fclose(f);
+    return 1;
+  }
   std::fseek(f, 0, SEEK_SET);
   std::vector<uint8_t> data((size_t)size);
   if (std::fread(data.data(), 1, (size_t)size, f) != (size_t)size) {
@@ -146,6 +133,22 @@ int wavio_load(const char* path, float** out, int64_t* out_samples,
   *out_channels = (int32_t)channels;
   *out_rate = (int32_t)rate;
   return 0;
+}
+
+}  // namespace
+
+extern "C" {
+
+int wavio_load(const char* path, float** out, int64_t* out_samples,
+               int32_t* out_channels, int32_t* out_rate) {
+  // exception barrier: a std::bad_alloc/length_error escaping into the
+  // ctypes frames would std::terminate() the whole Python process instead
+  // of triggering the documented non-fatal NumPy fallback (wav.py)
+  try {
+    return wavio_load_impl(path, out, out_samples, out_channels, out_rate);
+  } catch (...) {
+    return 1;
+  }
 }
 
 void wavio_free(float* p) { std::free(p); }

@@ -67,6 +67,65 @@ def test_bpe_python_vs_native_parity():
         assert got == expect, text
 
 
+def test_native_bpe_rejects_corrupt_blobs():
+    """The C++ table loader must fail LOUDLY (null handle -> Python fallback)
+    on any inconsistent blob — a silently truncated table would encode
+    differently from the pure-Python merge with no signal."""
+    import ctypes
+    import struct
+
+    from whisper_char_alignment_tpu.text import _bpe_native
+
+    lib = _bpe_native._get_lib()
+    if lib is None:
+        pytest.skip("native BPE unavailable")
+    bad_blobs = [
+        b"",                                     # empty
+        b"\x01\x02\x03",                         # shorter than the header
+        struct.pack("<q", 3) + struct.pack("<i", 1) + b"a"
+        + struct.pack("<i", 7),                  # claims 3 entries, has 1
+        struct.pack("<q", 1) + struct.pack("<i", -5) + b"abcd"
+        + struct.pack("<i", 7),                  # negative entry length
+        struct.pack("<q", 2 ** 40),              # absurd count, no entries
+    ]
+    for blob in bad_blobs:
+        assert lib.bpe_new(blob, len(blob)) is None, blob
+    # a well-formed blob still loads (the validation is not over-strict)
+    ok = struct.pack("<q", 1) + struct.pack("<i", 1) + b"a" + struct.pack("<i", 0)
+    h = lib.bpe_new(ok, len(ok))
+    assert h
+    lib.bpe_free(h)
+
+
+def test_native_bpe_concurrent_encode_is_correct():
+    """The native core shares one fixed output buffer per NativeBPE; without
+    the per-instance lock, two threads' ids interleave SILENTLY. The
+    pure-Python ByteBPE is thread-safe, so the native path must be too."""
+    import threading
+
+    b = bpe_mod.ByteBPE(bpe_mod.toy_ranks())
+    if b._get_native() is None:
+        pytest.skip("native BPE unavailable")
+    texts = ["the quick brown fox jumps over the lazy dog " * 20,
+             "greasy wash water all year and then some " * 20]
+    expect = [b.encode_ordinary(t) for t in texts]
+    errors = []
+
+    def worker(idx):
+        try:
+            for _ in range(50):
+                assert b.encode_ordinary(texts[idx]) == expect[idx]
+        except Exception as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+
+    threads = [threading.Thread(target=worker, args=(i,)) for i in (0, 1)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+    assert not errors, errors
+
+
 def test_overlong_piece_falls_back_to_python_merge():
     """Round-4 review: the native core bounds its output to 4096 ids/piece;
     a longer unmergeable piece ('z'*5000 — no zz merge in the toy vocab) must

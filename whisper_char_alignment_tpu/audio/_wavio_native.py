@@ -14,7 +14,9 @@ import numpy as np
 from ..utils import native as native_lib
 
 _lock = threading.Lock()
-_state: dict = {"tried": False, "lib": None}
+# CDLL id -> _Native wrapper: keyed on the loaded library object so this
+# layer can never disagree with utils.native.load's own per-source cache
+_wrappers: dict = {}
 
 
 class _Native:
@@ -54,13 +56,15 @@ def get():
     point."""
     if native_lib.disabled():
         return None
+    lib = native_lib.load("wavio.cc", "libwavio.so")  # cached per source path
+    if lib is None:
+        return None
     with _lock:
-        if not _state["tried"]:
-            _state["tried"] = True
-            lib = native_lib.load("wavio.cc", "libwavio.so")
-            if lib is not None:
-                try:
-                    _state["lib"] = _Native(lib)
-                except Exception:
-                    _state["lib"] = None
-        return _state["lib"]
+        w = _wrappers.get(id(lib))
+        if w is None:
+            try:
+                w = _Native(lib)
+            except Exception:
+                return None
+            _wrappers[id(lib)] = w
+        return w

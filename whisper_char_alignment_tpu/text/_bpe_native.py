@@ -13,28 +13,25 @@ from typing import Dict, List
 
 from ..utils import native as native_lib
 
-_lock = threading.Lock()
-_lib_state: dict = {"tried": False, "lib": None}
-
 
 def _get_lib():
-    with _lock:
-        if not _lib_state["tried"]:
-            _lib_state["tried"] = True
-            lib = native_lib.load("bpe.cc", "libbpe.so")
-            if lib is not None:
-                try:
-                    lib.bpe_new.restype = ctypes.c_void_p
-                    lib.bpe_new.argtypes = [ctypes.c_char_p, ctypes.c_int64]
-                    lib.bpe_free.argtypes = [ctypes.c_void_p]
-                    lib.bpe_encode.restype = ctypes.c_int32
-                    lib.bpe_encode.argtypes = [
-                        ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
-                        ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
-                    _lib_state["lib"] = lib
-                except Exception:
-                    _lib_state["lib"] = None
-        return _lib_state["lib"]
+    # no local cache layer: utils.native.load already caches per source path
+    # (a second cache here pinned the first result forever and could disagree
+    # with the shared one); the symbol setup below is idempotent
+    lib = native_lib.load("bpe.cc", "libbpe.so")
+    if lib is None:
+        return None
+    try:
+        lib.bpe_new.restype = ctypes.c_void_p
+        lib.bpe_new.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+        lib.bpe_free.argtypes = [ctypes.c_void_p]
+        lib.bpe_encode.restype = ctypes.c_int32
+        lib.bpe_encode.argtypes = [
+            ctypes.c_void_p, ctypes.c_char_p, ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int32), ctypes.c_int32]
+        return lib
+    except Exception:
+        return None
 
 
 class NativeBPE:
@@ -42,6 +39,10 @@ class NativeBPE:
         self._lib = lib
         self._handle = handle
         self._buf = (ctypes.c_int32 * 4096)()
+        # the fixed output buffer is shared across calls; the pure-Python
+        # ByteBPE is thread-safe, so the native path must be too — without
+        # this lock two concurrent encode() calls interleave ids silently
+        self._buf_lock = threading.Lock()
 
     def __del__(self):
         try:
@@ -55,10 +56,11 @@ class NativeBPE:
         no merges). The caller falls back to the pure-Python merge, which has
         no length limit."""
         lib, h, buf = self._lib, self._handle, self._buf
-        n = lib.bpe_encode(h, piece, len(piece), buf, len(buf))
-        if n < 0:
-            return None
-        return list(buf[:n])
+        with self._buf_lock:
+            n = lib.bpe_encode(h, piece, len(piece), buf, len(buf))
+            if n < 0:
+                return None
+            return list(buf[:n])
 
     def encode_pieces(self, pieces: List[bytes]) -> List[int]:
         out: List[int] = []

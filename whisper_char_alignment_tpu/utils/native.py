@@ -30,12 +30,22 @@ _loaded: dict = {}
 
 
 def _build(src: str, so: str) -> bool:
+    # compile to a private temp name and os.replace into place: linking
+    # directly onto the live path truncates an inode another process may have
+    # dlopen'd (SIGBUS in a running serve), and two concurrent rebuilds would
+    # interleave writes; the atomic rename gives every dlopen a whole file
     os.makedirs(os.path.dirname(so), exist_ok=True)
-    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", so]
+    tmp = f"{so}.build.{os.getpid()}"
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17", src, "-o", tmp]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, so)
         return True
     except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
