@@ -122,3 +122,99 @@ def test_eval_n1_strict_many_equals_loop():
             tp, fp, fn = eval_n1_strict(gts, y_hat_many[s], words, words_hat,
                                         tolerance=0.2)
             assert (tp, fp, fn) == (tp_v[s], fp_v[s], fn_v[s]), s
+
+
+# ---------------------------------------------------------------------------
+# Differential fuzz vs direct transcriptions of the reference's published
+# matching loops (reference metrics.py:5-72). The production functions are
+# restructured/vectorized; these oracles follow the reference line by line,
+# so any semantic drift (tie handling, reuse of reference boundaries, the
+# punctuation strip) shows up as a mismatch on some random draw.
+# ---------------------------------------------------------------------------
+
+def _ref_eval_n1(y, yhat, tolerance):
+    if len(yhat) == 0:
+        return 0, 0
+    n_match, i, j = 0, 0, 0
+    while i < len(y) and j < len(yhat):
+        if abs(y[i] - yhat[j]) <= tolerance:
+            i += 1
+            j += 1
+            n_match += 1
+        elif y[i] < yhat[j]:
+            i += 1
+        else:
+            j += 1
+    return n_match, n_match
+
+
+def _ref_eval_n1_strict(y, y_hat, words, words_hat, tolerance):
+    import string
+
+    words = [w.lower().strip(string.punctuation) for w in words]
+    words_hat = [w.lower().strip(string.punctuation) for w in words_hat]
+    tp, used = 0, set()
+    for i in range(len(y_hat)):
+        for j in range(len(y)):
+            if j in used:
+                continue
+            if words[j] == words_hat[i] and abs(y[j] - y_hat[i]) <= tolerance:
+                tp += 1
+                used.add(j)
+                break
+    return tp, len(y_hat) - tp, len(y) - len(used)
+
+
+def _ref_dtw_timestamp(gt_ends, pred_ends):
+    n, m = len(gt_ends), len(pred_ends)
+    d = np.full((n + 1, m + 1), np.inf)
+    d[0, 0] = 0
+    for i in range(1, n + 1):
+        for j in range(1, m + 1):
+            cost = abs(gt_ends[i - 1] - pred_ends[j - 1])
+            d[i, j] = cost + min(d[i - 1, j], d[i, j - 1], d[i - 1, j - 1])
+    return d[n, m], d
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_eval_n1_fuzz_vs_reference_loop(seed):
+    rng = np.random.default_rng(seed)
+    # sorted boundary times with deliberate near-tolerance gaps
+    y = np.sort(rng.choice(np.arange(0, 4.0, 0.05), size=rng.integers(0, 12)))
+    yhat = np.sort(rng.choice(np.arange(0, 4.0, 0.05),
+                              size=rng.integers(0, 12)))
+    tol = float(rng.choice([0.02, 0.05, 0.1]))
+    assert metrics.eval_n1(y, yhat, tol) == _ref_eval_n1(y, yhat, tol), (
+        y, yhat, tol)
+
+
+@pytest.mark.parametrize("seed", range(25))
+def test_eval_n1_strict_fuzz_vs_reference_loop(seed):
+    rng = np.random.default_rng(100 + seed)
+    vocab = ["the", "cat", "sat", "mat", "dog", "Dog.", "cat!", "'the'"]
+    n = int(rng.integers(0, 10))
+    m = int(rng.integers(0, 10))
+    y = np.sort(rng.choice(np.arange(0, 3.0, 0.05), size=n))
+    y_hat = np.sort(rng.choice(np.arange(0, 3.0, 0.05), size=m))
+    words = [str(rng.choice(vocab)) for _ in range(n)]
+    words_hat = [str(rng.choice(vocab)) for _ in range(m)]
+    tol = float(rng.choice([0.02, 0.05]))
+    got = metrics.eval_n1_strict(y, y_hat, words, words_hat, tol)
+    want = _ref_eval_n1_strict(list(y), list(y_hat), words, words_hat, tol)
+    assert tuple(got) == tuple(want), (y, y_hat, words, words_hat, tol)
+    # the vectorized many-row variant must agree row-for-row too
+    if m:
+        tp_v, fp_v, fn_v = metrics.eval_n1_strict_many(
+            y, y_hat[None, :], words, words_hat, tol)
+        assert (tp_v[0], fp_v[0], fn_v[0]) == tuple(want)
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_dtw_timestamp_fuzz_vs_reference_loop(seed):
+    rng = np.random.default_rng(200 + seed)
+    a = np.sort(rng.uniform(0, 3, rng.integers(1, 10)))
+    b = np.sort(rng.uniform(0, 3, rng.integers(1, 10)))
+    dist, mat = metrics.dtw_timestamp(a, b)
+    dist_o, mat_o = _ref_dtw_timestamp(list(a), list(b))
+    assert np.isclose(dist, dist_o)
+    np.testing.assert_allclose(mat, mat_o)
