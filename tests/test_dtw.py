@@ -153,3 +153,29 @@ def test_path_is_globally_optimal_by_enumeration(seed):
         di, dj = np.diff(ti), np.diff(tj)
         assert ((di >= 0) & (dj >= 0) & (di + dj >= 1)
                 & (di <= 1) & (dj <= 1)).all()
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_diag_sync_backtrace_bit_equals_per_row_walk(seed):
+    """dtw_jump_frames_batch (the diagonal-synchronized batched backtrace that
+    streams the trace as scan input — the production align/probe path) must be
+    BIT-equal to the per-row dtw_jump_frames walk for every row, across random
+    shapes, true (n, m) strictly inside the padding, and plateau-tie costs."""
+    import jax
+
+    rng = np.random.default_rng(500 + seed)
+    b = int(rng.integers(1, 9))
+    n_max = int(rng.integers(2, 24))
+    m_max = int(rng.integers(2, 48))
+    x = rng.normal(size=(b, n_max, m_max)).astype(np.float32)
+    if seed % 2:  # quantize to force tie plateaus through the tie-break path
+        x = np.round(x * 2) / 2
+    n = rng.integers(1, n_max + 1, size=(b,)).astype(np.int32)
+    m = rng.integers(1, m_max + 1, size=(b,)).astype(np.int32)
+    tr = jax.vmap(lambda xx, nn, mm: dtw_mod.dtw_trace(xx, nn, mm))(
+        jnp.asarray(x), jnp.asarray(n), jnp.asarray(m))
+    per_row = np.asarray(jax.vmap(dtw_mod.dtw_jump_frames)(
+        tr, jnp.asarray(n), jnp.asarray(m)))
+    batched = np.asarray(dtw_mod.dtw_jump_frames_batch(
+        tr, jnp.asarray(n), jnp.asarray(m)))
+    np.testing.assert_array_equal(per_row, batched)

@@ -42,3 +42,47 @@ def test_full_path_parity_through_backtrace():
         ti, tj = dtw_ops.dtw_np(x[i, :ns[i], :ms[i]])
         jumps = np.pad(np.diff(ti), (1, 0), constant_values=1).astype(bool)
         np.testing.assert_array_equal(jf[:ns[i]], tj[jumps])
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_fused_jump_frames_kernel_bit_equals_scan_path(seed):
+    """dtw_jump_frames_pallas (wavefront + in-VMEM backtrace kernels — the
+    production TPU align/probe path) must be BIT-equal to the scan trace +
+    diagonal-synchronized scan backtrace across random shapes, true (n, m)
+    inside the padding, plateau ties, and batch sizes spanning the kernel's
+    sublane-width choices (8/16/32)."""
+    rng = np.random.default_rng(900 + seed)
+    b = int(rng.integers(1, 40))
+    n_max = int(rng.integers(2, 24))
+    m_max = int(rng.integers(2, 64))
+    x = rng.normal(size=(b, n_max, m_max)).astype(np.float32)
+    if seed % 2:
+        x = np.round(x * 2) / 2  # plateau ties exercise the tie-break chain
+    n = rng.integers(1, n_max + 1, size=(b,)).astype(np.int32)
+    m = rng.integers(1, m_max + 1, size=(b,)).astype(np.int32)
+    tr = jax.vmap(lambda xx, nn, mm: dtw_ops.dtw_trace(xx, nn, mm))(
+        jnp.asarray(x), jnp.asarray(n), jnp.asarray(m))
+    ref = np.asarray(dtw_ops.dtw_jump_frames_batch(
+        tr, jnp.asarray(n), jnp.asarray(m)))
+    got = np.asarray(dtw_pallas.dtw_jump_frames_pallas(
+        jnp.asarray(x), jnp.asarray(n), jnp.asarray(m), interpret=True))
+    np.testing.assert_array_equal(ref, got)
+
+
+def test_fused_jump_frames_row0_boundary_cell():
+    """A path that runs down column j=0 emits row 0 at frame -1 (the
+    reference's trace[:, 0] = 1 'up' rule) — the fused kernel's final
+    d=1 boundary step must reproduce it."""
+    # huge costs except column 0: the optimal path hugs (i, 0) then row n-1
+    x = np.full((1, 4, 6), 5.0, np.float32)
+    x[0, :, 0] = -1.0
+    x[0, 3, :] = -1.0
+    n = np.array([4], np.int32)
+    m = np.array([6], np.int32)
+    tr = jax.vmap(lambda xx, nn, mm: dtw_ops.dtw_trace(xx, nn, mm))(
+        jnp.asarray(x), jnp.asarray(n), jnp.asarray(m))
+    ref = np.asarray(dtw_ops.dtw_jump_frames_batch(
+        tr, jnp.asarray(n), jnp.asarray(m)))
+    got = np.asarray(dtw_pallas.dtw_jump_frames_pallas(
+        jnp.asarray(x), jnp.asarray(n), jnp.asarray(m), interpret=True))
+    np.testing.assert_array_equal(ref, got)

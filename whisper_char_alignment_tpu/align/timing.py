@@ -224,16 +224,18 @@ def _matrix_to_jump_frames_jit(matrix: jax.Array, token_len: jax.Array,
     frame_len = frame_len.astype(jnp.int32)
 
     if dtw_impl == "pallas":
-        from ..ops.dtw_pallas import dtw_trace_batch
+        from ..ops.dtw_pallas import dtw_jump_frames_pallas
 
-        traces = dtw_trace_batch(costs, use_pallas=True)
-        return jax.vmap(dtw_ops.dtw_jump_frames)(traces, n_rows, frame_len)
-
-    def one(x, n, m):
-        tr = dtw_ops.dtw_trace(x, n, m)
-        return dtw_ops.dtw_jump_frames(tr, n, m)
-
-    return jax.vmap(one)(costs, n_rows, frame_len)
+        # fused wavefront + in-VMEM backtrace kernels: the trace never leaves
+        # the wavefront's native layout and is read exactly once (bit-equal
+        # to the scan path below — DESIGN.md round-4 probe roofline revision)
+        return dtw_jump_frames_pallas(costs, n_rows, frame_len)
+    traces = jax.vmap(
+        lambda x, n, m: dtw_ops.dtw_trace(x, n, m))(
+            costs, n_rows, frame_len)
+    # diagonal-synchronized batched backtrace: bit-equal to the per-row walk
+    # with the trace streamed as scan input instead of per-step gathers
+    return dtw_ops.dtw_jump_frames_batch(traces, n_rows, frame_len)
 
 
 def force_align_batch(attn: jax.Array, token_len: jax.Array,

@@ -142,6 +142,95 @@ def dtw_jump_frames(trace_diags: jax.Array, n: jax.Array, m: jax.Array):
     return jnp.where(row_ids < n, jump, -1)
 
 
+@jax.jit
+def dtw_jump_frames_batch(trace_diags: jax.Array, n: jax.Array, m: jax.Array):
+    """Batched first-visit frames via a diagonal-synchronized backtrace.
+
+    Semantically identical to ``vmap(dtw_jump_frames)`` (same trace, same
+    boundary rules, same tie-breaks — bit-exact, fuzz-tested), but organized
+    so the whole batch walks the SAME grid anti-diagonal ``d = i + j`` at each
+    scan step. Every path move decreases ``d`` by 1 (up/left) or 2 (diagonal),
+    so the path visits each diagonal at most once; a row is simply inactive on
+    the steps its path skips. Synchronizing on ``d`` turns the per-step trace
+    lookup into a streamed scan input — one contiguous (B, N1) diagonal block
+    per step with a masked lane-select — instead of a per-row gather into the
+    full (B, D, N1) trace with per-step scatters, which measured ~38 ms per
+    1024-row probe chunk on v5e (the dominant term of the probe's head-DTW
+    stage; see docs/DESIGN.md round-4 probe roofline revision).
+
+    trace_diags: (B, D, N1) as produced by ``dtw_trace``/``dtw_trace_batch``
+    (``trace[i, j] == trace_diags[i + j - 2, i]``). Returns (B, N1) int32
+    jump frames: ``jump[b, r] = min{ j-1 : (r+1, j) on b's path }`` for rows
+    r < n_b, padded with -1 — exactly ``vmap(dtw_jump_frames)``'s output.
+    """
+    b, n_diags, n1 = trace_diags.shape
+    d_total = n_diags + 1  # max grid diagonal: cell (N_max, M_max)
+    n = n.astype(jnp.int32)
+    m = m.astype(jnp.int32)
+
+    # step s covers grid diagonal d = d_total - s, s in [0, d_total - 1]
+    # (d from d_total down to 1; (0, 0) emits nothing). The trace entry for
+    # diagonal d sits at index d - 2, so the stream is the trace reversed
+    # along its diagonal axis plus one dummy block for d = 1 (boundary rules
+    # only — cells (0, 1) / (1, 0) never read the trace). UNROLL diagonals
+    # are processed per lax.scan step: the per-step loop overhead (~25 us on
+    # v5e, larger than the body's vector work) amortizes across the unroll.
+    UNROLL = 8
+    s_total = ((d_total + UNROLL - 1) // UNROLL) * UNROLL
+    pad = s_total - n_diags  # 1 dummy for d=1 + tail dummies (all rows done)
+    xs = jnp.flip(trace_diags, axis=1)  # xs[s] = diag d_total - s, s <= D-2
+    xs = jnp.concatenate([xs, jnp.zeros((b, pad, n1), xs.dtype)], axis=1)
+    # (S/k, k, B, N1): one k-diagonal block per scan step
+    xs = jnp.moveaxis(xs, 1, 0).reshape(s_total // UNROLL, UNROLL, b, n1)
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (b, n1), 1)
+
+    def one_diag(carry, diag):
+        i_cur, d_next, done, d = carry
+        on = (~done) & (d_next == d)
+        j = d - i_cur
+        # masked lane-select of trace[i, j] = diag[i]: one compare + reduce
+        # (no gather). i_cur < n1 always (i <= N_max = n1 - 1).
+        t_raw = jnp.sum(
+            jnp.where(lane == i_cur[:, None], diag.astype(jnp.int32), 0),
+            axis=1)
+        t = jnp.where(i_cur == 0, 2, jnp.where(j == 0, 1, t_raw))
+        ti = jnp.where(on, i_cur - 1, -1)
+        tj = jnp.where(on, j - 1, -1)
+        di = jnp.where((t == 0) | (t == 1), 1, 0)
+        dj = jnp.where((t == 0) | (t == 2), 1, 0)
+        new_i = i_cur - di
+        new_j = j - dj
+        done = done | (on & (new_i == 0) & (new_j == 0))
+        i_cur = jnp.where(on, new_i, i_cur)
+        # a diagonal move lands on d - 2, skipping d - 1
+        d_next = jnp.where(on, d - 1 - (t == 0).astype(jnp.int32), d_next)
+        return (i_cur, d_next, done, d - 1), (ti, tj)
+
+    def step(carry, inp):
+        tis, tjs = [], []
+        for u in range(UNROLL):
+            carry, (ti, tj) = one_diag(carry, inp[u])
+            tis.append(ti)
+            tjs.append(tj)
+        return carry, (jnp.stack(tis), jnp.stack(tjs))
+
+    init = (n, n + m, jnp.zeros((b,), bool), jnp.int32(d_total))
+    _, (ti_s, tj_s) = jax.lax.scan(step, init, xs)
+    ti_b = ti_s.reshape(s_total, b).T  # (B, S)
+    tj_b = tj_s.reshape(s_total, b).T
+
+    def extract(ti, tj, n_b):
+        jump = jnp.full((n1,), jnp.iinfo(jnp.int32).max, dtype=jnp.int32)
+        rows = jnp.where(ti >= 0, ti, n1)
+        jump = jump.at[rows].min(
+            jnp.where(ti >= 0, tj, jnp.iinfo(jnp.int32).max), mode="drop")
+        row_ids = jnp.arange(n1)
+        return jnp.where(row_ids < n_b, jump, -1)
+
+    return jax.vmap(extract)(ti_b, tj_b, n)
+
+
 def dtw(x) -> tuple:
     """Single-matrix convenience wrapper matching ``whisper.timing.dtw``:
     takes a (N, M) cost matrix, returns ``(text_indices, time_indices)`` as numpy

@@ -104,14 +104,11 @@ def _dtw_kernel(xs_ref, trace_ref, prev_ref, prev2_ref, m_max_ref=None):
     prev2_ref[:] = prev2
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def dtw_trace_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
-    """Batched DTW trace: x (B, N, M) f32 cost -> trace diagonals (B, D, N1_pad)
-    int32 with trace[b, i, j] == out[b, i + j - 2, i] for interior cells.
-
-    B is padded to a multiple of 8 internally; N+1 is padded to a lane multiple.
-    The M bound enters through a scalar passed per kernel call.
-    """
+def _dtw_trace_raw(x: jax.Array, interpret: bool = False):
+    """Run the wavefront kernel and return its NATIVE (groups, D_pad, SUB, N1)
+    int32 trace plus the (sub, d_pad) layout — shared by the public transposed
+    API below and the fused backtrace kernel (which consumes this layout
+    directly, skipping the 2x-trace-size transpose + int8 convert)."""
     b, n, m = x.shape
     sub = _sub_for(b)
     b_pad = _round_up(b, sub)
@@ -149,7 +146,143 @@ def dtw_trace_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
         out_shape=jax.ShapeDtypeStruct((groups, d_pad, sub, n1), jnp.int32),
         interpret=interpret,
     )(m_bound, xs_g)
-    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(b_pad, d_pad, n1)
+    return out, sub, d_pad
+
+
+def _backtrace_kernel(nm_ref, trace_ref, jump_ref, i_ref, dn_ref, done_ref):
+    # grid = (groups, n_chunks) with the chunk axis REVERSED by the index_map:
+    # step c reads data chunk cd = n_chunks - 1 - c, so diagonals stream from
+    # high d to low. trace_ref: (1, K, SUB, N1) int32 (wavefront-native
+    # layout); nm_ref: (1, SUB, 128) int32 with lane 0 = n, lane 1 = m;
+    # jump_ref: (1, SUB, N1) int32 out; scratch: per-sublane walker state.
+    k_block = trace_ref.shape[1]
+    sub, n1 = trace_ref.shape[2], trace_ref.shape[3]
+    c = pl.program_id(1)
+    n_chunks = pl.num_programs(1)
+    cd = n_chunks - 1 - c
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sub, n1), 1)
+
+    @pl.when(c == 0)
+    def _init():
+        n_col = nm_ref[0, :, 0:1]
+        m_col = nm_ref[0, :, 1:2]
+        i_ref[:] = n_col
+        dn_ref[:] = n_col + m_col
+        done_ref[:] = jnp.zeros((sub, 1), jnp.int32)
+        jump_ref[0] = jnp.full((sub, n1), -1, jnp.int32)
+
+    def one_diag(u, state):
+        i_cur, d_next, done = state
+        # slot u (within this chunk, from the top) covers grid diagonal d
+        s = cd * k_block + (k_block - 1 - u)
+        d = s + 2
+        on = (done == 0) & (d_next == d)
+        j = d - i_cur
+        trace_d = trace_ref[0, k_block - 1 - u]  # (SUB, N1) int32
+        t_raw = jnp.sum(
+            jnp.where(lane == i_cur, trace_d, 0), axis=1, keepdims=True)
+        t = jnp.where(i_cur == 0, 2, jnp.where(j == 0, 1, t_raw))
+        upd = on & (lane == i_cur - 1)
+        jump_ref[0] = jnp.where(upd, j - 1, jump_ref[0])
+        di = jnp.where((t == 0) | (t == 1), 1, 0)
+        dj = jnp.where((t == 0) | (t == 2), 1, 0)
+        new_i = i_cur - di
+        new_j = j - dj
+        done = jnp.where(on & (new_i == 0) & (new_j == 0), 1, done)
+        i_cur = jnp.where(on, new_i, i_cur)
+        d_next = jnp.where(on, d - 1 - (t == 0).astype(jnp.int32), d_next)
+        return i_cur, d_next, done
+
+    state = jax.lax.fori_loop(
+        0, k_block, one_diag, (i_ref[:], dn_ref[:], done_ref[:]))
+    i_cur, d_next, done = state
+
+    @pl.when(c == n_chunks - 1)
+    def _final():
+        # grid diagonal d = 1: cells (0, 1) / (1, 0), boundary rules only (the
+        # trace is never read there). Cell (1, 0) emits row 0 at frame -1 —
+        # matching the per-row walk; (0, 1) emits nothing (ti = -1). The walk
+        # ends at (0, 0) after this, so no state carry is needed: the next
+        # grid step is a new group's c == 0 re-init.
+        ic, dn, do = state
+        on = (do == 0) & (dn == 1)
+        upd = on & (lane == ic - 1)
+        jump_ref[0] = jnp.where(upd, -ic, jump_ref[0])
+
+    @pl.when(c != n_chunks - 1)
+    def _carry():
+        i_ref[:] = i_cur
+        dn_ref[:] = d_next
+        done_ref[:] = done
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dtw_jump_frames_pallas(x: jax.Array, n: jax.Array, m: jax.Array,
+                           interpret: bool = False) -> jax.Array:
+    """Fused wavefront + backtrace: (B, N, M) f32 costs -> (B, N+1) int32 jump
+    frames, bit-equal to ``dtw.dtw_jump_frames_batch`` over the scan trace.
+
+    The backtrace kernel consumes the wavefront's native (groups, D, SUB, N1)
+    trace with the chunk grid axis reversed (high diagonals first), walking
+    the diagonal-synchronized backtrace entirely in VMEM: per diagonal, one
+    masked lane-select reads trace[i, j] and one masked store records the
+    row's first-visit frame. The (B, D, N1) transposed trace, its int8
+    convert, and the XLA scan's per-step (B, N1) streamed selects never
+    happen — the trace is read exactly once, in layout. Measured ~6x on the
+    probe's 1024-row chunk shape (docs/DESIGN.md round-4 revision)."""
+    b, n_rows, m_cols = x.shape
+    trace_g, sub, d_pad = _dtw_trace_raw(x, interpret=interpret)
+    groups = trace_g.shape[0]
+    n1 = trace_g.shape[3]
+    k = _DIAG_BLOCK
+    b_pad = groups * sub
+    nv = jnp.zeros((b_pad,), jnp.int32).at[:b].set(n.astype(jnp.int32))
+    mv = jnp.zeros((b_pad,), jnp.int32).at[:b].set(m.astype(jnp.int32))
+    nm = jnp.zeros((groups, sub, 128), jnp.int32)
+    nm = nm.at[:, :, 0].set(nv.reshape(groups, sub))
+    nm = nm.at[:, :, 1].set(mv.reshape(groups, sub))
+
+    n_chunks = d_pad // k
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=0,
+        grid=(groups, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, sub, 128), lambda b_, c_: (b_, 0, 0)),
+            pl.BlockSpec((1, k, sub, n1),
+                         lambda b_, c_: (b_, n_chunks - 1 - c_, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, sub, n1), lambda b_, c_: (b_, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((sub, 1), jnp.int32),
+            pltpu.VMEM((sub, 1), jnp.int32),
+            pltpu.VMEM((sub, 1), jnp.int32),
+        ],
+    )
+    jump = pl.pallas_call(
+        _backtrace_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((groups, sub, n1), jnp.int32),
+        interpret=interpret,
+    )(nm, trace_g)
+    jump = jump.reshape(b_pad, n1)[:b, : n_rows + 1]
+    row_ids = jnp.arange(n_rows + 1)
+    return jnp.where(row_ids[None, :] < n[:, None].astype(jnp.int32), jump, -1)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def dtw_trace_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
+    """Batched DTW trace: x (B, N, M) f32 cost -> trace diagonals (B, D, N1_pad)
+    int32 with trace[b, i, j] == out[b, i + j - 2, i] for interior cells.
+
+    B is padded to a multiple of 8 internally; N+1 is padded to a lane multiple.
+    The M bound enters through a scalar passed per kernel call.
+    """
+    b, n, m = x.shape
+    d = n + m - 1
+    out, sub, d_pad = _dtw_trace_raw(x, interpret=interpret)
+    groups = out.shape[0]
+    n1 = out.shape[3]
+    out = jnp.transpose(out, (0, 2, 1, 3)).reshape(groups * sub, d_pad, n1)
     return out[:b, :d]
 
 
