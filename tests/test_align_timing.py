@@ -240,3 +240,81 @@ def test_default_alignment_znorm_matches_oracle():
 
     z = timing._znorm_mean_heads(jnp.asarray(sel)[None], jnp.asarray([t], jnp.int32))
     np.testing.assert_allclose(np.asarray(z)[0], matrix_o, atol=1e-5)
+
+
+@pytest.mark.parametrize("seed", [
+    0, 1,  # two seeds in the fast tier; the rest are slow-tier breadth
+    *(pytest.param(s, marks=pytest.mark.slow) for s in range(2, 10))])
+def test_alignment_core_fuzz_vs_sliced_oracle(seed):
+    """Seeded fuzz of the full batched masked alignment core against the
+    verbatim-transcribed reference oracle: random layer/head/token/frame
+    shapes, sot lengths, medfilt widths, qk scales, both aggregations, and
+    random head-scoring weights (incl. the coverage penalty). The fixed-grid
+    test above locks the recipe configs; this sweeps the config SPACE."""
+    rng = np.random.default_rng(1000 + seed)
+    n_layers = int(rng.integers(2, 5))
+    n_heads = int(rng.integers(2, 7))
+    n_text = int(rng.integers(3, 30))
+    max_frames = int(rng.integers(40, 160))
+    sot_len = int(rng.integers(1, 4))
+    medfilt_width = int(rng.choice([3, 5, 7]))
+    qk_scale = float(rng.choice([0.5, 1.0, 2.0]))
+    aggregation = str(rng.choice(["mean", "topk"]))
+    topk = int(rng.integers(1, n_layers * n_heads + 1))
+    w_col = float(rng.choice([0.0, 0.5, 1.0]))
+    w_row = float(rng.choice([0.0, 1.0, 2.0]))
+    w_cov = float(rng.choice([0.0, 0.3]))
+    if w_col == 0.0 and w_row == 0.0 and w_cov == 0.0:
+        w_col = 1.0
+
+    t = sot_len + 1 + n_text + 1
+    qk = rng.normal(0, 1, (n_layers, n_heads, t, max_frames)).astype(np.float32)
+    for l in range(n_layers):
+        for h in range(n_heads):
+            if (l + h) % 2 == 0:
+                for i in range(t):
+                    lo = int(i / t * max_frames)
+                    qk[l, h, i, lo:lo + 6] += 3.0
+
+    attn_o = oracle_get_attentions(qk, max_frames, medfilt_width, qk_scale)
+    if aggregation == "mean":
+        matrix_o, jump_times_o, sel_o = oracle_force_align(
+            attn_o, sot_len, "mean", -1)
+    else:
+        sel, sel_o = oracle_filter_attention(attn_o, topk, w_col, w_row, w_cov)
+        col = np.linalg.norm(sel, axis=-2, keepdims=True)
+        matrix_o = (sel / col).mean(axis=0)[sot_len:-1]
+        ti_o, tj_o = dtw_np(-matrix_o)
+        jumps = np.pad(np.diff(ti_o), (1, 0), constant_values=1).astype(bool)
+        jump_times_o = tj_o[jumps] / constants.TOKENS_PER_SECOND
+
+    t_bucket = t + int(rng.integers(0, 9))
+    f_max = max_frames + int(rng.integers(0, 50))
+    qk_pad = rng.normal(0, 1, (n_layers, n_heads, t_bucket, f_max)
+                        ).astype(np.float32)  # garbage in the padding
+    qk_pad[:, :, :t, :max_frames] = qk
+    token_len = jnp.asarray([t], jnp.int32)
+    frame_len = jnp.asarray([max_frames], jnp.int32)
+    attn = jnp.stack([
+        wmodel.qk_to_attention(jnp.asarray(qk_pad[l])[None], frame_len,
+                               token_len, medfilt_width, qk_scale)[0]
+        for l in range(n_layers)
+    ])[:, None]
+    np.testing.assert_allclose(
+        np.asarray(attn)[:, 0, :, :t, :max_frames], attn_o, atol=1e-5)
+
+    jump_frames, matrix, scores = timing.force_align_batch(
+        attn, token_len, frame_len, sot_len, aggregation, topk,
+        w_colnorm=w_col, w_rownorm=w_row, w_coverage=w_cov)
+    n_rows = t - sot_len - 1
+    jf = np.asarray(jump_frames)[0][:n_rows]
+    np.testing.assert_allclose(jf / constants.TOKENS_PER_SECOND,
+                               jump_times_o, atol=0)
+    np.testing.assert_allclose(
+        np.asarray(matrix)[0, :t, :max_frames][sot_len:-1], matrix_o,
+        atol=1e-4)
+    if aggregation == "topk":
+        _, l_sel, h_sel = scores
+        got_pairs = list(zip(np.asarray(l_sel)[0].tolist(),
+                             np.asarray(h_sel)[0].tolist()))
+        assert got_pairs == [lh for _, lh in sel_o]

@@ -86,3 +86,22 @@ def test_fused_jump_frames_row0_boundary_cell():
     got = np.asarray(dtw_pallas.dtw_jump_frames_pallas(
         jnp.asarray(x), jnp.asarray(n), jnp.asarray(m), interpret=True))
     np.testing.assert_array_equal(ref, got)
+
+
+@pytest.mark.slow
+def test_fused_jump_frames_kernel_probe_scale_shapes():
+    """Probe-scale shape: token rows crossing the 128-lane tile boundary
+    (N+1 = 131 -> n1 = 256) and frames spanning multiple 64-diagonal chunks —
+    the exact regime the production probe sweep runs the kernel in."""
+    rng = np.random.default_rng(77)
+    b, n_max, m_max = 24, 130, 200
+    x = rng.normal(size=(b, n_max, m_max)).astype(np.float32)
+    n = rng.integers(100, n_max + 1, size=(b,)).astype(np.int32)
+    m = rng.integers(150, m_max + 1, size=(b,)).astype(np.int32)
+    tr = jax.vmap(lambda xx, nn, mm: dtw_ops.dtw_trace(xx, nn, mm))(
+        jnp.asarray(x), jnp.asarray(n), jnp.asarray(m))
+    ref = np.asarray(dtw_ops.dtw_jump_frames_batch(
+        tr, jnp.asarray(n), jnp.asarray(m)))
+    got = np.asarray(dtw_pallas.dtw_jump_frames_pallas(
+        jnp.asarray(x), jnp.asarray(n), jnp.asarray(m), interpret=True))
+    np.testing.assert_array_equal(ref, got)
