@@ -43,20 +43,13 @@ import jax
 if os.environ.get("JAX_PLATFORMS") == "cpu":
     # the axon TPU plugin ignores the env var; honor it explicitly
     jax.config.update("jax_platforms", "cpu")
-    # CPU-signature-keyed cache dir (same rule as tests/conftest.py): XLA:CPU
-    # AOT executables from a different host SIGILL on load, and CPU artifacts
-    # must not pollute ~/.cache/jax_wca, which the multi-minute TPU compiles
-    # depend on
-    import hashlib
+    # CPU-identity-keyed cache dir (same rule as tests/conftest.py; rationale
+    # in utils/compile_cache.py): XLA:CPU AOT executables from a different
+    # host can SIGILL/SIGABRT on load, and CPU artifacts must not pollute
+    # ~/.cache/jax_wca, which the multi-minute TPU compiles depend on
+    from whisper_char_alignment_tpu.utils.compile_cache import cpu_cache_dir
 
-    try:
-        with open("/proc/cpuinfo") as _f:
-            _cpu_sig = next((l for l in _f if l.startswith("flags")), "")
-    except OSError:
-        _cpu_sig = ""
-    _tag = hashlib.sha1(_cpu_sig.encode()).hexdigest()[:12]
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser(f"~/.cache/jax_wca_cputests_{_tag}"))
+    jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 else:
     jax.config.update("jax_compilation_cache_dir",
                       os.path.expanduser("~/.cache/jax_wca"))

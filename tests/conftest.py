@@ -25,28 +25,22 @@ if not os.environ.get("WCA_TEST_TPU"):
 # persistent compilation cache: the suite's long tail is CPU jit compiles;
 # warm runs of the fast tier (`pytest -m "not slow"`) reuse them. Subprocess
 # tests (bench smoke, multihost) set their own cache dir. The dir is keyed by
-# the host CPU's feature set: XLA:CPU AOT executables compiled on a machine
-# with different features load with a SIGILL warning, so a cache written on
-# one fleet host must never be read on another.
+# the host CPU identity + jaxlib version (utils/compile_cache.py has the
+# full rationale): XLA:CPU AOT executables compiled on a different host can
+# SIGILL/SIGABRT mid-suite when loaded here, so a cache written on one fleet
+# host must never be read on another.
 if not os.environ.get("WCA_TEST_NO_CACHE"):
     if os.environ.get("WCA_TEST_TPU"):
         # on the real chip, share the cache every TPU script uses — the
-        # CPU-feature tag below is meaningless for TPU executables, and a
+        # CPU-identity tag below is meaningless for TPU executables, and a
         # fresh dir would recompile every warm signature at minutes each
         # (round-4 review finding)
         jax.config.update("jax_compilation_cache_dir",
                           os.path.expanduser("~/.cache/jax_wca"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     else:
-        import hashlib
+        from whisper_char_alignment_tpu.utils.compile_cache import \
+            cpu_cache_dir
 
-        try:
-            with open("/proc/cpuinfo") as f:
-                cpu_sig = next((l for l in f if l.startswith("flags")), "")
-        except OSError:
-            cpu_sig = ""
-        tag = hashlib.sha1(cpu_sig.encode()).hexdigest()[:12]
-        jax.config.update(
-            "jax_compilation_cache_dir",
-            os.path.expanduser(f"~/.cache/jax_wca_cputests_{tag}"))
+        jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

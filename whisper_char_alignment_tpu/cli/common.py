@@ -31,6 +31,12 @@ def apply_platform_env() -> None:
     platform = os.environ.get("WCA_PLATFORM")
     if platform:
         jax.config.update("jax_platforms", platform)
+    if platform == "cpu" and not os.environ.get("WCA_NO_COMPILE_CACHE"):
+        # XLA:CPU AOT artifacts are host-specific (utils/compile_cache.py):
+        # keep them out of the TPU-shared dir and key them by host identity
+        from ..utils.compile_cache import cpu_cache_dir
+
+        jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
 
 
 def add_reference_flags(parser: argparse.ArgumentParser) -> None:
