@@ -13,9 +13,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+    flags = flags + " --xla_force_host_platform_device_count=8"
+if "xla_cpu_collective_call_terminate_timeout_seconds" not in flags:
+    # XLA:CPU collectives LOG(FATAL) the whole pytest process when a
+    # rendezvous participant thread is >40 s late (default); on a loaded
+    # 1-core host time-sharing 8 virtual devices that deadline is reachable
+    # by scheduling starvation alone (round-4 incident: the fast tier
+    # aborted inside dryrun_multichip, "only 3 of them arrived on time").
+    # Termination raised to 10 min (XLA's warn-stuck log keeps stalls
+    # visible; its interval has no registered XLA_FLAGS name).
+    flags = (flags
+             + " --xla_cpu_collective_call_terminate_timeout_seconds=600")
+os.environ["XLA_FLAGS"] = flags.strip()
 
 import jax
 
