@@ -152,6 +152,38 @@ def main():
     d = float(np.abs(a - p).max())
     check("Pallas mel vs XLA mel", d < 2e-4, f"max|diff|={d:.1e}")
 
+    # 6. prompt prefill vs sequential decode_step (bf16 medium decoder):
+    # cache columns and the continued step's logits must agree to
+    # reduction-reassociation noise (the two paths span identical masked
+    # ctx-wide reductions; only the tree shape may differ)
+    cross_kv = wmodel.precompute_cross_kv(
+        params, dims,
+        jnp.asarray(rng.normal(0, 1, (4, dims.n_audio_ctx, dims.n_audio_state)
+                               ).astype(np.float32)),
+        compute_dtype=jnp.bfloat16)
+    prompt = jnp.asarray(rng.integers(0, dims.n_vocab, (4, 4)).astype(np.int32))
+    cache_a = wmodel.init_kv_cache(dims, 4, 40, dtype=jnp.bfloat16)
+    for i in range(4):
+        _, cache_a = wmodel.decode_step(params, dims, prompt[:, i:i + 1],
+                                        jnp.int32(i), cache_a, cross_kv,
+                                        compute_dtype=jnp.bfloat16)
+    cache_b = wmodel.init_kv_cache(dims, 4, 40, dtype=jnp.bfloat16)
+    _, cache_b = wmodel.decode_prefill(params, dims, prompt, cache_b, cross_kv,
+                                       compute_dtype=jnp.bfloat16)
+    nxt = jnp.full((4, 1), 7, jnp.int32)
+    lg_a, _ = wmodel.decode_step(params, dims, nxt, jnp.int32(4), cache_a,
+                                 cross_kv, compute_dtype=jnp.bfloat16)
+    lg_b, _ = wmodel.decode_step(params, dims, nxt, jnp.int32(4), cache_b,
+                                 cross_kv, compute_dtype=jnp.bfloat16)
+    cd = max(float(jnp.abs(cache_a[k].astype(jnp.float32)
+                           - cache_b[k].astype(jnp.float32)).max())
+             for k in ("k", "v"))
+    ld = float(jnp.abs(lg_a - lg_b).max())
+    scale_l = float(jnp.abs(lg_a).max())
+    check("decode prefill vs stepwise", cd < 1e-1 and ld < 0.02 * scale_l,
+          f"max|cache_diff|={cd:.1e} max|logit_diff|={ld:.2e} "
+          f"(|logits|max={scale_l:.1f})")
+
     print("ALL KERNELS PASS ON DEVICE", flush=True)
 
 

@@ -476,3 +476,26 @@ def test_beam_and_sampling_report_normalized_language(setup):
                         decoding.DecodingOptions(language="klingon",
                                                  beam_size=2, sample_len=3,
                                                  without_timestamps=True))
+
+
+def test_prefill_matches_stepwise_beam_and_sampling(setup, monkeypatch):
+    """The beam and sampling loops' prompt prefill (one teacher-forced pass
+    over the un-repeated prompt, cache rows repeated per beam/group) must be
+    transcript-identical to stepping every row through the prompt phase,
+    with logprob/no-speech drift at reduction-reassociation level."""
+    tok, dims, params, mel = setup
+    mels = jnp.asarray(mel)
+    for opts in [decoding.DecodingOptions(language="en", sample_len=6,
+                                          beam_size=3),
+                 decoding.DecodingOptions(language="en", sample_len=6,
+                                          temperature=0.8, best_of=2)]:
+        rng = jax.random.PRNGKey(11)
+        monkeypatch.setenv("WCA_DECODE_PREFILL", "0")
+        r0 = decoding.decode(params, dims, tok, mels, opts, rng=rng)
+        monkeypatch.setenv("WCA_DECODE_PREFILL", "1")
+        r1 = decoding.decode(params, dims, tok, mels, opts, rng=rng)
+        for a, b in zip(r0, r1):
+            assert a.tokens == b.tokens, opts
+            assert a.avg_logprob == pytest.approx(b.avg_logprob, abs=5e-5)
+            assert a.no_speech_prob == pytest.approx(b.no_speech_prob,
+                                                     abs=1e-6)

@@ -282,3 +282,78 @@ def test_decode_handles_tokenizer_without_no_speech(setup):
                         decoding.DecodingOptions(without_timestamps=True,
                                                  sample_len=3))
     assert all(np.isnan(x.no_speech_prob) for x in r)
+
+
+def test_prefill_matches_stepwise_prompt_consumption(setup, monkeypatch):
+    """WCA_DECODE_PREFILL=1 (default; the published decoder's first forward
+    runs the whole initial sequence in one pass) must be transcript-identical
+    to stepwise prompt consumption, with avg_logprob / no_speech_prob drift
+    bounded at the reduction-reassociation ulp level."""
+    tok, dims, params, _ = setup
+    rng = np.random.default_rng(5)
+    mels = jnp.asarray(rng.normal(
+        0, 1, (4, dims.n_mels, 2 * dims.n_audio_ctx)).astype(np.float32))
+    for opts in [
+            decoding.DecodingOptions(language="en", sample_len=8),
+            decoding.DecodingOptions(language="en", sample_len=8,
+                                     without_timestamps=True),
+            decoding.DecodingOptions(language="en", sample_len=6,
+                                     prompt=list(range(4, 12)))]:
+        monkeypatch.setenv("WCA_DECODE_PREFILL", "0")
+        r0 = decoding.decode(params, dims, tok, mels, opts)
+        monkeypatch.setenv("WCA_DECODE_PREFILL", "1")
+        r1 = decoding.decode(params, dims, tok, mels, opts)
+        for a, b in zip(r0, r1):
+            assert a.tokens == b.tokens
+            assert a.text == b.text
+            assert a.avg_logprob == pytest.approx(b.avg_logprob, abs=5e-5)
+            assert a.no_speech_prob == pytest.approx(b.no_speech_prob,
+                                                     abs=1e-6)
+            assert a.n_steps == b.n_steps  # positions reached, not iterations
+
+
+def test_prefill_cache_matches_sequential_steps(setup):
+    """decode_prefill's cache columns and its no-speech logits row must match
+    decode_step walked over the same prompt one position at a time (same
+    ctx-wide masked reductions; only tree-reassociation ulps may differ)."""
+    tok, dims, params, _ = setup
+    b = 3
+    rng = np.random.default_rng(9)
+    xa = jnp.asarray(rng.normal(
+        0, 1, (b, dims.n_audio_ctx, dims.n_text_state)).astype(np.float32))
+    cross_kv = wmodel.precompute_cross_kv(params, dims, xa)
+    prompt = jnp.asarray(np.tile(
+        np.array([tok.sot, tok.sot + 1, tok.no_timestamps, 5], np.int32),
+        (b, 1)))
+    p = prompt.shape[1]
+
+    cache_seq = wmodel.init_kv_cache(dims, b, p + 2)
+    logits_rows = []
+    for i in range(p):
+        lg, cache_seq = wmodel.decode_step(params, dims, prompt[:, i:i + 1],
+                                           jnp.int32(i), cache_seq, cross_kv)
+        logits_rows.append(np.asarray(lg))
+
+    cache_pf = wmodel.init_kv_cache(dims, b, p + 2)
+    lg_at, cache_pf = wmodel.decode_prefill(params, dims, prompt, cache_pf,
+                                            cross_kv, logits_at=1)
+    np.testing.assert_allclose(np.asarray(lg_at), logits_rows[1],
+                               rtol=0, atol=2e-5)
+    for kk in ("k", "v"):
+        np.testing.assert_allclose(np.asarray(cache_pf[kk]),
+                                   np.asarray(cache_seq[kk]),
+                                   rtol=0, atol=1e-5)
+    # a decode continued from either cache sees the same next logits
+    nxt = jnp.full((b, 1), 7, jnp.int32)
+    lg_a, _ = wmodel.decode_step(params, dims, nxt, jnp.int32(p), cache_seq,
+                                 cross_kv)
+    lg_b, _ = wmodel.decode_step(params, dims, nxt, jnp.int32(p), cache_pf,
+                                 cross_kv)
+    np.testing.assert_allclose(np.asarray(lg_a), np.asarray(lg_b),
+                               rtol=0, atol=2e-5)
+
+
+def test_prefill_env_flag_validated(setup, monkeypatch):
+    monkeypatch.setenv("WCA_DECODE_PREFILL", "yes")
+    with pytest.raises(ValueError, match="WCA_DECODE_PREFILL"):
+        decoding._prefill_enabled()

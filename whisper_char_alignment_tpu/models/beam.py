@@ -74,14 +74,15 @@ def ml_rank(cand_tokens: List[List[int]], cand_lp: List[float],
     "dims", "sample_begin", "max_steps", "ts_begin", "eot", "no_timestamps",
     "no_speech", "max_initial_ts_index", "use_timestamps", "compute_dtype",
     "beam_size", "max_candidates", "sot_index", "attn_mode",
-    "cross_mode"))
+    "cross_mode", "prefill"))
 def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
                *, sample_begin: int, max_steps: int, ts_begin: int, eot: int,
                no_timestamps: int, no_speech: int,
                max_initial_ts_index: Optional[int], use_timestamps: bool,
                compute_dtype=jnp.float32, beam_size: int = 5,
                max_candidates: int = 5, sot_index: int = 0,
-               attn_mode: str = "xla", cross_mode: str = "xla"):
+               attn_mode: str = "xla", cross_mode: str = "xla",
+               prefill: bool = True):
     """Returns (tokens (rows, total), sum_lp (rows,), fin_tok (B, MC, total),
     fin_lp (B, MC), fin_cnt (B,), ns_prob (rows,), n_steps, xa).
     rows = B * beam_size; beams of one audio are consecutive rows."""
@@ -98,12 +99,35 @@ def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
                              attn_mode=attn_mode)
     cross_kv = wmodel.precompute_cross_kv(params, dims, xa,
                                           compute_dtype=compute_dtype)
-    # repeat_interleave on the batch axis: beams of an audio are adjacent rows
-    cross_kv = jax.tree.map(lambda x: jnp.repeat(x, g, axis=1), cross_kv)
-    cache = wmodel.init_kv_cache(dims, rows, total, dtype=compute_dtype)
 
     prompt2d = prompt if prompt.ndim == 2 else jnp.broadcast_to(
         prompt[None], (b_audio, sample_begin))
+    # prompt prefill (the published decoder's first-forward shape — see
+    # whisper.decode_prefill): all beams of an audio are identical during the
+    # prompt phase, so prefill the UN-repeated (B, P) prompt against the
+    # un-repeated cross K/V and repeat the filled cache rows — 1/g-th the
+    # prompt compute of stepping every beam row through the loop
+    start = 1
+    ns_seed = None
+    if prefill and sample_begin >= 2:
+        ns_at = (sot_index if (no_speech is not None
+                               and sot_index < sample_begin - 1) else None)
+        cache1 = wmodel.init_kv_cache(dims, b_audio, total,
+                                      dtype=compute_dtype)
+        pf_logits, cache1 = wmodel.decode_prefill(
+            params, dims, prompt2d[:, :sample_begin - 1], cache1, cross_kv,
+            compute_dtype=compute_dtype, cross_mode=cross_mode,
+            logits_at=ns_at)
+        cache = jax.tree.map(lambda x: jnp.repeat(x, g, axis=1), cache1)
+        if ns_at is not None:
+            ns_seed = jnp.repeat(
+                jax.nn.softmax(pf_logits, axis=-1)[:, no_speech], g, axis=0)
+        start = sample_begin
+    else:
+        cache = wmodel.init_kv_cache(dims, rows, total, dtype=compute_dtype)
+    # repeat_interleave on the batch axis: beams of an audio are adjacent rows
+    cross_kv = jax.tree.map(lambda x: jnp.repeat(x, g, axis=1), cross_kv)
+
     prompt_rows = jnp.repeat(prompt2d, g, axis=0)  # (rows, sample_begin)
     tokens0 = jnp.full((rows, total), eot, jnp.int32)
     tokens0 = jax.lax.dynamic_update_slice(tokens0, prompt_rows, (0, 0))
@@ -199,7 +223,10 @@ def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
 
     ns_prob0 = (jnp.zeros((rows,), jnp.float32) if no_speech is not None
                 else jnp.full((rows,), jnp.nan, jnp.float32))
-    state = (jnp.int32(1), tokens0, cache, jnp.zeros((rows,), jnp.float32),
+    if ns_seed is not None:
+        ns_prob0 = ns_seed
+    state = (jnp.int32(start), tokens0, cache,
+             jnp.zeros((rows,), jnp.float32),
              jnp.zeros((rows,), bool), jnp.zeros((rows,), jnp.int32),
              jnp.full((b_audio, max_candidates, total), eot, jnp.int32),
              jnp.full((b_audio, max_candidates), _NEG_INF, jnp.float32),
@@ -217,14 +244,15 @@ def _beam_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
 @functools.partial(jax.jit, static_argnames=(
     "dims", "sample_begin", "max_steps", "ts_begin", "eot", "no_timestamps",
     "no_speech", "max_initial_ts_index", "use_timestamps", "compute_dtype",
-    "n_group", "sot_index", "attn_mode", "cross_mode"))
+    "n_group", "sot_index", "attn_mode", "cross_mode", "prefill"))
 def _sample_loop(params, dims: ModelDims, mel, prompt, suppress_mask,
                  blank_mask, rng, *, sample_begin: int, max_steps: int,
                  ts_begin: int, eot: int, no_timestamps: int, no_speech: int,
                  max_initial_ts_index: Optional[int], use_timestamps: bool,
                  compute_dtype=jnp.float32, n_group: int = 1,
                  temperature=1.0, sot_index: int = 0,
-                 attn_mode: str = "xla", cross_mode: str = "xla"):
+                 attn_mode: str = "xla", cross_mode: str = "xla",
+                 prefill: bool = True):
     """Categorical sampling at ``temperature`` with ``n_group`` independent
     rows per audio. Returns (tokens (rows, total), sum_lp, ns_prob, n_steps,
     xa). Cumulative logprobs come from the un-scaled distribution (published
@@ -244,11 +272,32 @@ def _sample_loop(params, dims: ModelDims, mel, prompt, suppress_mask,
                              attn_mode=attn_mode)
     cross_kv = wmodel.precompute_cross_kv(params, dims, xa,
                                           compute_dtype=compute_dtype)
-    cross_kv = jax.tree.map(lambda x: jnp.repeat(x, n_group, axis=1), cross_kv)
-    cache = wmodel.init_kv_cache(dims, rows, total, dtype=compute_dtype)
 
     prompt2d = prompt if prompt.ndim == 2 else jnp.broadcast_to(
         prompt[None], (b_audio, sample_begin))
+    # prompt prefill over the un-repeated (B, P) prompt, filled cache rows
+    # repeated per sample group (identical rows; see _beam_loop's twin block)
+    start = 1
+    ns_seed = None
+    if prefill and sample_begin >= 2:
+        ns_at = (sot_index if (no_speech is not None
+                               and sot_index < sample_begin - 1) else None)
+        cache1 = wmodel.init_kv_cache(dims, b_audio, total,
+                                      dtype=compute_dtype)
+        pf_logits, cache1 = wmodel.decode_prefill(
+            params, dims, prompt2d[:, :sample_begin - 1], cache1, cross_kv,
+            compute_dtype=compute_dtype, cross_mode=cross_mode,
+            logits_at=ns_at)
+        cache = jax.tree.map(lambda x: jnp.repeat(x, n_group, axis=1), cache1)
+        if ns_at is not None:
+            ns_seed = jnp.repeat(
+                jax.nn.softmax(pf_logits, axis=-1)[:, no_speech],
+                n_group, axis=0)
+        start = sample_begin
+    else:
+        cache = wmodel.init_kv_cache(dims, rows, total, dtype=compute_dtype)
+    cross_kv = jax.tree.map(lambda x: jnp.repeat(x, n_group, axis=1), cross_kv)
+
     prompt_rows = jnp.repeat(prompt2d, n_group, axis=0)
     tokens0 = jnp.full((rows, total), eot, jnp.int32)
     tokens0 = jax.lax.dynamic_update_slice(tokens0, prompt_rows, (0, 0))
@@ -297,7 +346,9 @@ def _sample_loop(params, dims: ModelDims, mel, prompt, suppress_mask,
 
     ns_prob0 = (jnp.zeros((rows,), jnp.float32) if no_speech is not None
                 else jnp.full((rows,), jnp.nan, jnp.float32))
-    state = (jnp.int32(1), tokens0, cache, jnp.zeros((rows,), bool),
+    if ns_seed is not None:
+        ns_prob0 = ns_seed
+    state = (jnp.int32(start), tokens0, cache, jnp.zeros((rows,), bool),
              jnp.zeros((rows,), jnp.float32), jnp.zeros((rows,), bool),
              jnp.zeros((rows,), jnp.int32), ns_prob0)
     i, tokens, _, _, sum_lp, _, _, ns_prob = jax.lax.while_loop(
@@ -366,7 +417,7 @@ def run(params, dims: ModelDims, tokenizer, mel, options, prompt_arr,
     temperature sampling is requested; mirrors decode()'s return contract.
     ``return_cross_kv`` yields ``cross_kv=None`` (the capture pass recomputes
     from ``xa`` — the beam loop's repeated rows are not reusable)."""
-    from .decoding import DecodeFuture, DecodingResult
+    from .decoding import DecodeFuture, DecodingResult, _prefill_enabled
 
     common = dict(sample_begin=sample_begin, max_steps=sample_len,
                   sot_index=sot_index,
@@ -382,7 +433,7 @@ def run(params, dims: ModelDims, tokenizer, mel, options, prompt_arr,
                   # the beam/sampling loops never quantize their K/V, so the
                   # cross-attention mode is inert: a constant keeps
                   # WCA_CROSS_ATTN flips from recompiling these loops
-                  cross_mode="xla")
+                  cross_mode="xla", prefill=_prefill_enabled())
     eot = tokenizer.eot
 
     def build_results(groups, ns_probs, n_steps):

@@ -68,8 +68,9 @@ class DecodingResult:
     no_speech_prob: float
     temperature: float
     compression_ratio: float
-    # observability (no reference analog): while_loop iterations actually
-    # executed for the whole batch — early exit on all-finished is visible here
+    # observability (no reference analog): sequence positions the loop reached
+    # for the whole batch (prompt positions count whether prefilled or stepped)
+    # — early exit on all-finished is visible here
     n_steps: int = 0
     # smallest sampled-step top1-top2 filtered-logit gap over the utterance,
     # populated only when margin tracking ran (kv_int8_guard set); NaN
@@ -178,11 +179,24 @@ def apply_logit_filters(logits, cur_len, tokens, has_ts, last_ts_tok,
     return jnp.where(kill_text_all, _NEG_INF, logits)
 
 
+def _prefill_enabled() -> bool:
+    """WCA_DECODE_PREFILL: 1 (default) consumes the decode prompt in one
+    teacher-forced pass (the published decoder's first-forward shape — see
+    :func:`whisper.decode_prefill`); 0 steps through prompt tokens one loop
+    iteration each (the pre-round-4 behavior, kept as an A/B lever)."""
+    import os
+
+    v = os.environ.get("WCA_DECODE_PREFILL", "1")
+    if v not in ("0", "1"):
+        raise ValueError(f"WCA_DECODE_PREFILL={v!r}: expected 0 or 1")
+    return v == "1"
+
+
 @functools.partial(jax.jit, static_argnames=(
     "dims", "sample_begin", "max_steps", "ts_begin", "eot", "no_timestamps",
     "no_speech", "max_initial_ts_index", "use_timestamps", "compute_dtype",
     "kv_frames", "kv_int8", "sot_index", "attn_mode", "cross_mode",
-    "track_margin"))
+    "track_margin", "prefill"))
 def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask,
                  *, sample_begin: int, max_steps: int, ts_begin: int, eot: int,
                  no_timestamps: int, no_speech: int,
@@ -191,9 +205,10 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
                  kv_frames: Optional[int] = None, kv_int8: bool = False,
                  sot_index: int = 0, attn_mode: str = "xla",
                  cross_mode: str = "xla", track_margin: bool = False,
-                 xa_in=None):
+                 prefill: bool = True, xa_in=None):
     """Returns (tokens (B, total), sum_logprobs (B,), no_speech_probs (B,),
-    n_steps (scalar: body iterations executed), xa (B, n_audio_ctx, d),
+    n_steps (scalar: sequence positions reached — prompt positions count
+    whether prefilled or stepped), xa (B, n_audio_ctx, d),
     cross_kv, min_margin (B,)). xa is the UNSLICED encoder states even when
     kv_frames trims the K/V; cross_kv is the per-layer cross K/V exactly as
     the loop used it (sliced/quantized under kv_frames/kv_int8 — reusable by
@@ -297,12 +312,32 @@ def _decode_loop(params, dims: ModelDims, mel, prompt, suppress_mask, blank_mask
     # published result value for that tokenizer shape)
     ns_prob0 = (jnp.zeros((b,), jnp.float32) if no_speech is not None
                 else jnp.full((b,), jnp.nan, jnp.float32))
-    state = (jnp.int32(1), tokens0, cache, jnp.zeros((b,), bool),
+    start = 1
+    if prefill and sample_begin >= 2:
+        # consume prompt positions 0..sample_begin-2 in one teacher-forced
+        # pass instead of sample_begin-1 sequential loop iterations — the
+        # published decoder's own first-forward shape (decode_prefill
+        # docstring). The first loop iteration below (i = sample_begin)
+        # consumes the last prompt token and predicts the first sampled one.
+        # The no-speech probe position sot_index lands inside the prefill
+        # whenever the sot sequence carries tokens after sot (multilingual);
+        # otherwise (sot_index == sample_begin - 1) the in-loop probe at
+        # i == sot_index + 1 still fires.
+        ns_at = (sot_index if (no_speech is not None
+                               and sot_index < sample_begin - 1) else None)
+        pf_logits, cache = wmodel.decode_prefill(
+            params, dims, tokens0[:, :sample_begin - 1], cache, cross_kv,
+            compute_dtype=compute_dtype, cross_mode=cross_mode,
+            logits_at=ns_at)
+        if ns_at is not None:
+            ns_prob0 = jax.nn.softmax(pf_logits, axis=-1)[:, no_speech]
+        start = sample_begin
+    state = (jnp.int32(start), tokens0, cache, jnp.zeros((b,), bool),
              jnp.zeros((b,), jnp.float32), jnp.zeros((b,), bool),
              jnp.zeros((b,), jnp.int32), ns_prob0,
              jnp.full((b,), jnp.inf, jnp.float32))
-    # consume the first prompt token outside the loop to fill position 0's cache —
-    # handled inside the loop by starting at i=1 after seeding tokens0
+    # start = sample_begin when the prompt was prefilled above, else 1 (each
+    # iteration i consumes tokens[i-1] and fills cache column i-1)
     (i, tokens, cache, finished, sum_lp, has_ts, last_ts_tok, ns_prob,
      min_margin) = jax.lax.while_loop(cond, body, state)
     # xa (unsliced) and cross_kv ride along so callers can reuse the encoder
@@ -513,7 +548,7 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         use_timestamps=not options.without_timestamps,
         compute_dtype=compute_dtype, sot_index=sot_index,
         # kernel-mode env flags resolve here, outside the jit, and key the trace
-        attn_mode=wmodel._encoder_attn_mode())
+        attn_mode=wmodel._encoder_attn_mode(), prefill=_prefill_enabled())
     mel_j = jnp.asarray(mel)
     prompt_j = jnp.asarray(prompt_arr)
     suppress_j = jnp.asarray(suppress_mask)

@@ -814,3 +814,135 @@ def _decode_step_jit(params: Params, dims: ModelDims, tokens: jax.Array,
     logits = jnp.dot(x[:, 0].astype(jnp.float32), dp["tok_emb"].T.astype(jnp.float32),
                      preferred_element_type=jnp.float32)
     return logits, new_cache
+
+
+def decode_prefill(params: Params, dims: ModelDims, tokens: jax.Array,
+                   cache: Params, cross_kv, compute_dtype=jnp.float32,
+                   cross_mode: Optional[str] = None,
+                   logits_at: Optional[int] = None):
+    """Consume the decode prompt in ONE teacher-forced pass.
+
+    The published decoder's first forward runs over the ENTIRE initial token
+    sequence (whisper decoding.py PyTorchInference.logits: ``if
+    tokens.shape[-1] > self.initial_token_length`` only trims AFTER the first
+    call), so prompt positions are prefilled in parallel there — consuming
+    them one sequential decode_step each (sample_begin-1 extra loop
+    iterations, up to ~192 under transcribe's conditioning context) is this
+    port's deviation, not the other way round. This restores the published
+    compute shape.
+
+    tokens (B, P) int32 = the prompt tokens at positions 0..P-1; cache as from
+    :func:`init_kv_cache`. Writes the P cache columns and returns
+    ``(logits_at_position, new_cache)`` where the logits row (B, vocab) f32 is
+    taken at static position ``logits_at`` (the no-speech probe's sot_index) —
+    or None when ``logits_at`` is None, skipping the lm-head projection
+    entirely.
+
+    Numerics: per-position attention reductions span the same cache-wide ctx
+    axis with the same -inf masking as :func:`decode_step`, so each prompt
+    position sees a bit-identical computation shape to its sequential twin
+    (tests/test_decoding.py locks prefill==step-by-step transcripts and
+    logprobs on CPU; scripts/verify_kernels_on_device.py checks on-device).
+    """
+    if cross_mode is None:
+        cross_mode = _cross_attn_mode()
+    return _decode_prefill_jit(params, dims, tokens, cache, cross_kv,
+                               compute_dtype=compute_dtype,
+                               cross_mode=cross_mode, logits_at=logits_at)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype",
+                                             "cross_mode", "logits_at"))
+def _decode_prefill_jit(params: Params, dims: ModelDims, tokens: jax.Array,
+                        cache: Params, cross_kv, compute_dtype=jnp.float32,
+                        cross_mode: str = "xla",
+                        logits_at: Optional[int] = None):
+    dp = params["decoder"]
+    b, p = tokens.shape
+    max_len = cache["k"].shape[-1]
+    x = (dp["tok_emb"][tokens] + dp["pos_emb"][:p]).astype(compute_dtype)
+
+    # same mask semantics as the step path's pos_mask, one row per prompt
+    # position: row t attends to cache columns <= t, -inf elsewhere
+    pos_mask = jnp.where(
+        jnp.arange(max_len)[None, None, None, :]
+        <= jnp.arange(p)[None, None, :, None],
+        0.0, -jnp.inf).astype(jnp.float32)
+    cross_ks, cross_vs = cross_kv
+
+    def step(carry, inp):
+        x, layer = carry
+        bp, ck, cv = inp
+        h = _layer_norm(bp["attn_ln"], x)
+        hd = dims.n_text_head_dim
+        scale = hd ** -0.25
+        q = _split_heads(_linear(bp["attn"]["q"], h), dims.n_text_head) * scale
+        k_new = _split_heads(_linear(bp["attn"]["k"], h), dims.n_text_head)
+        v_new = _split_heads(_linear(bp["attn"]["v"], h), dims.n_text_head)
+        # write the P new columns at position 0 of this layer's cache view so
+        # the attention reduction spans the identical (hd, ctx)-wide tensor a
+        # sequential decode_step at pos=t would read
+        k_all = jax.lax.dynamic_update_slice_in_dim(
+            cache["k"][layer],
+            k_new.transpose(0, 1, 3, 2).astype(cache["k"].dtype), 0, axis=3)
+        v_all = jax.lax.dynamic_update_slice_in_dim(
+            cache["v"][layer],
+            v_new.transpose(0, 1, 3, 2).astype(cache["v"].dtype), 0, axis=3)
+        qk = jnp.einsum("bhtd,bhds->bhts", q, k_all.astype(compute_dtype) * scale,
+                        preferred_element_type=jnp.float32) + pos_mask
+        w = jax.nn.softmax(qk, axis=-1).astype(compute_dtype)
+        a = _merge_heads(jnp.einsum("bhts,bhds->bhtd", w,
+                                    v_all.astype(compute_dtype),
+                                    preferred_element_type=jnp.float32
+                                    ).astype(compute_dtype))
+        x = x + _linear(bp["attn"]["out"], a)
+
+        hc = _layer_norm(bp["cross_attn_ln"], x)
+        qc = _split_heads(_linear(bp["cross_attn"]["q"], hc),
+                          dims.n_text_head) * scale  # (B, H, P, hd)
+        if isinstance(ck, tuple) and cross_mode == "mxu":
+            # the int8-MXU step math is row-shaped: it extends to P rows as-is
+            oc = _cross_attn_step_int8_mxu(qc, ck, cv, float(scale),
+                                           compute_dtype)
+        else:
+            # "pallas" mode's fused kernel is (B, H, 1, hd)-shaped; the
+            # prefill happens once per decode, so int8 K/V dequantizes via
+            # XLA here rather than growing a second kernel variant
+            def dequant(c):
+                if isinstance(c, tuple):
+                    q8, s = c
+                    return q8.astype(compute_dtype) * s.astype(compute_dtype)
+                return c.astype(compute_dtype)
+
+            ck_d = dequant(ck)
+            cv_d = dequant(cv)
+            qkc = jnp.einsum("bhtd,bhdf->bhtf", qc, ck_d * scale,
+                             preferred_element_type=jnp.float32)
+            wc = jax.nn.softmax(qkc, axis=-1).astype(compute_dtype)
+            oc = jnp.einsum("bhtf,bhdf->bhtd", wc, cv_d,
+                            preferred_element_type=jnp.float32
+                            ).astype(compute_dtype)
+        x = x + _linear(bp["cross_attn"]["out"], _merge_heads(oc))
+        h2 = _layer_norm(bp["mlp_ln"], x)
+        h2 = _linear(bp["mlp"]["fc2"],
+                     jax.nn.gelu(_linear(bp["mlp"]["fc1"], h2),
+                                 approximate=False))
+        return (x + h2, layer + 1), (k_new, v_new)
+
+    (x, _), (k_news, v_news) = jax.lax.scan(
+        step, (x, 0), (dp["blocks"], cross_ks, cross_vs))
+    new_cache = {
+        "k": jax.lax.dynamic_update_slice(
+            cache["k"], k_news.transpose(0, 1, 2, 4, 3).astype(cache["k"].dtype),
+            (0, 0, 0, 0, 0)),
+        "v": jax.lax.dynamic_update_slice(
+            cache["v"], v_news.transpose(0, 1, 2, 4, 3).astype(cache["v"].dtype),
+            (0, 0, 0, 0, 0)),
+    }
+    if logits_at is None:
+        return None, new_cache
+    x_at = _layer_norm(dp["ln"], x[:, logits_at])
+    logits = jnp.dot(x_at.astype(jnp.float32),
+                     dp["tok_emb"].T.astype(jnp.float32),
+                     preferred_element_type=jnp.float32)
+    return logits, new_cache
