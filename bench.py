@@ -281,12 +281,13 @@ def main():
         "reuse_cross_kv": cfg.reuse_cross_kv,
         # decode_len=32 is a real-transcript-length proxy (random weights
         # never emit eot; real checkpoints early-exit near transcript length).
-        # The published sample_len=224 with no early exit measures 9.1 utts/s
-        # (re-measured round 4 after the background wire prep; was 8.4 in
-        # round 3) — re-measure via WCA_BENCH_DECODE_LEN=224 whenever the
-        # decode path changes.
+        # The published sample_len=224 with no early exit measures 9.0 utts/s
+        # (re-measured round 4 session 6 after the decode prompt prefill —
+        # it saves only 2 of 227 sequential steps at this length; 9.1 after
+        # the background wire prep, 8.4 in round 3) — re-measure via
+        # WCA_BENCH_DECODE_LEN=224 whenever the decode path changes.
         "decode_len": DECODE_LEN,
-        "decode_len224_worst_case_utts_per_sec": 9.1,
+        "decode_len224_worst_case_utts_per_sec": 9.0,
         "stage_split_s": stage_split,
         "best_pass_wall_s": round(wall, 3),
     }))

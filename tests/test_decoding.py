@@ -298,7 +298,15 @@ def test_prefill_matches_stepwise_prompt_consumption(setup, monkeypatch):
             decoding.DecodingOptions(language="en", sample_len=8,
                                      without_timestamps=True),
             decoding.DecodingOptions(language="en", sample_len=6,
-                                     prompt=list(range(4, 12)))]:
+                                     prompt=list(range(4, 12))),
+            # forced prefix lives AFTER the sot sequence (inside
+            # sample_begin), and with a prompt too the no-speech probe's
+            # sot_index sits strictly inside the prefilled range
+            decoding.DecodingOptions(language="en", sample_len=6,
+                                     prefix=[9, 10, 11]),
+            decoding.DecodingOptions(language="en", sample_len=5,
+                                     prompt=list(range(4, 10)),
+                                     prefix=[9, 10])]:
         monkeypatch.setenv("WCA_DECODE_PREFILL", "0")
         r0 = decoding.decode(params, dims, tok, mels, opts)
         monkeypatch.setenv("WCA_DECODE_PREFILL", "1")
