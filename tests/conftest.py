@@ -53,3 +53,20 @@ if not os.environ.get("WCA_TEST_NO_CACHE"):
 
         jax.config.update("jax_compilation_cache_dir", cpu_cache_dir())
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _restore_compilation_cache_flag():
+    """CPU-mesh helpers turn the persistent compilation cache OFF for the
+    mesh programs they are about to compile (parallel/mesh.py::
+    disable_compile_cache_for_cpu_collectives — deserialized multi-device
+    XLA:CPU executables deadlock in the collective rendezvous). Restore the
+    flag after each test so only the mesh test itself pays cold compiles and
+    the rest of the suite keeps its warm cache."""
+    was = jax.config.jax_enable_compilation_cache
+    yield
+    if jax.config.jax_enable_compilation_cache != was:
+        jax.config.update("jax_enable_compilation_cache", was)

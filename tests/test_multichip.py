@@ -250,3 +250,28 @@ def test_pipeline_int8_tensor_parallel_matches_single_device(eight_devices,
         assert a.fid == b.fid and a.words == b.words
         np.testing.assert_array_equal(a.start_times, b.start_times)
         np.testing.assert_array_equal(a.end_times, b.end_times)
+
+
+def test_cpu_mesh_disables_persistent_compile_cache(eight_devices):
+    """Round-4 incident regression: multi-device XLA:CPU programs
+    DESERIALIZED from the persistent cache deadlock in the in-process
+    collective rendezvous (the suite died in AwaitAndLogIfStuck after the
+    600 s terminate timeout; the identical programs compiled fresh pass).
+    make_mesh must therefore flip the compilation cache OFF for CPU meshes —
+    and conftest's autouse fixture restores it after each test, which
+    test_cache_flag_restored_between_tests below asserts."""
+    assert jax.config.jax_enable_compilation_cache
+    mesh_lib.make_mesh(4, n_model=2)
+    assert not jax.config.jax_enable_compilation_cache
+    # single-device "mesh" keeps the cache (no collectives, no deadlock)
+    jax.config.update("jax_enable_compilation_cache", True)
+    mesh_lib.make_mesh(1)
+    assert jax.config.jax_enable_compilation_cache
+    mesh_lib.make_mesh(2)  # any >1-device CPU mesh flips it
+    assert not jax.config.jax_enable_compilation_cache
+
+
+def test_cache_flag_restored_between_tests():
+    """Runs after the test above (file order): the autouse conftest fixture
+    must have restored the flag so non-mesh tests keep their warm cache."""
+    assert jax.config.jax_enable_compilation_cache

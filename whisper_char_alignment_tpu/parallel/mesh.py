@@ -19,6 +19,31 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def disable_compile_cache_for_cpu_collectives(devices) -> None:
+    """Turn the persistent compilation cache OFF when a >1-device CPU mesh is
+    about to be used (process-wide; tests/conftest.py restores it per test).
+
+    Incident (round 4): multi-device XLA:CPU programs DESERIALIZED from the
+    persistent cache deadlock in the in-process collective rendezvous — the
+    suite aborted with `AwaitAndLogIfStuck ... InProcessCommunicator::
+    AllGather` LOG(FATAL) after the 600 s terminate timeout, reproducibly
+    (same test set, warm AOT load: deadlock; cold in-process compile of the
+    IDENTICAL programs: pass — even for executables compiled by the same
+    host minutes earlier, so this is not the cross-host staleness class that
+    utils/compile_cache.py keys away). Freshly-compiled mesh programs have
+    never deadlocked, so CPU-mesh work simply opts out of the cache; TPU
+    meshes are unaffected (the bug is in the XLA:CPU thunk-runtime AOT-load
+    path).
+    """
+    try:
+        platforms = {d.platform for d in np.asarray(devices).ravel().tolist()}
+    except Exception:
+        platforms = {getattr(d, "platform", "?") for d in devices}
+    if platforms == {"cpu"} and np.asarray(devices).size > 1 \
+            and jax.config.jax_enable_compilation_cache:
+        jax.config.update("jax_enable_compilation_cache", False)
+
+
 def make_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
     """(data,) mesh, or (data, model) when ``n_model > 1``.
 
@@ -44,11 +69,13 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1) -> Mesh:
             # review finding)
             raise ValueError(f"mesh ({n},) needs {n} devices, "
                              f"have {len(devices)}")
+        disable_compile_cache_for_cpu_collectives(devices[:n])
         return Mesh(np.array(devices[:n]), ("data",))
     n = n_data or len(devices) // n_model
     if n < 1 or n * n_model > len(devices):
         raise ValueError(f"mesh ({n}x{n_model}) needs {max(n, 1) * n_model} "
                          f"devices, have {len(devices)}")
+    disable_compile_cache_for_cpu_collectives(devices[:n * n_model])
     return Mesh(np.array(devices[:n * n_model]).reshape(n, n_model),
                 ("data", "model"))
 
