@@ -1,18 +1,22 @@
-"""Calibrate WCA_KV_INT8_GUARD_MARGIN for the guarded int8 K/V decode mode.
+"""Calibrate the guard margins for the guarded decode modes.
 
-The guarded mode (`--decode_kv_int8_guarded`, models/decoding.py) keeps an
-utterance's int8 transcript only when EVERY sampled step's top1-top2
-filtered-logit margin exceeds the guard bound; utterances below it re-decode
-exactly. The bound is checkpoint/data dependent — this script measures it on
-a real corpus the day assets arrive (and smokes on the offline test model):
+--mode int8   (default): WCA_KV_INT8_GUARD_MARGIN for --decode_kv_int8_guarded
+--mode bucket : WCA_BUCKET_GUARD_MARGIN for --decode_frame_bucket_guarded
+--mode both   : the SUM bound when both guarded modes run together
 
-1. decode each batch twice: exact, and plain int8 with margin tracking
-   (kv_int8_guard=0.0 tracks margins but flags nothing),
+A guarded mode (models/decoding.py) keeps an utterance's perturbed-decode
+transcript only when EVERY sampled step's top1-top2 filtered-logit margin
+exceeds the guard bound; utterances below it re-decode with the guarded
+perturbation off. The bound is checkpoint/data dependent — this script
+measures it on a real corpus the day assets arrive (and smokes on the
+offline test model):
+
+1. decode each batch twice: exact, and perturbed (int8 and/or frame-bucketed)
+   with margin tracking (guard=0.0 tracks margins but flags nothing),
 2. compare transcripts: any difference is a "flip" the guard must catch,
 3. recommend bound = safety x the LARGEST margin observed on a flipped
    utterance (flips with bigger margins would escape a smaller bound); with
-   zero flips the tested default (decoding.DEFAULT_KV_INT8_GUARD_MARGIN)
-   stands,
+   zero flips the tested default for the mode stands,
 4. report the predicted re-decode (flag) rate of the recommended bound from
    the corpus margin distribution — the deployability condition is
    flag_rate < ~4% (DESIGN.md guarded-int8 envelope: cost = guard-track +
@@ -66,6 +70,12 @@ def main():
     ap.add_argument("--decode_len", type=int, default=32)
     ap.add_argument("--safety", type=float, default=2.0,
                     help="bound = safety x max flipped-utterance margin")
+    ap.add_argument("--mode", choices=("int8", "bucket", "both"),
+                    default="int8",
+                    help="which guarded perturbation to calibrate")
+    ap.add_argument("--frame_bucket", type=int, default=128,
+                    help="bucket multiple for --mode bucket/both (the "
+                         "--decode_frame_bucket value being deployed)")
     args = ap.parse_args()
 
     from whisper_char_alignment_tpu.cli import common
@@ -125,9 +135,25 @@ def main():
                                   n_mels=dims.n_mels).astype(dtype)
         exact = decoding.decode(params, dims, tok, mel, opts,
                                 compute_dtype=dtype)
-        quant = decoding.decode(params, dims, tok, mel, opts,
-                                compute_dtype=dtype, kv_int8=True,
-                                kv_int8_guard=0.0)  # track, flag nothing
+        kv_frames = None
+        if args.mode in ("bucket", "both"):
+            # same bucket arithmetic as the production runner
+            # (runner._dispatch_transcribe): batch-max true frames rounded up
+            # to the bucket multiple, capped at the full window
+            from whisper_char_alignment_tpu.parallel import mesh as mesh_lib
+
+            max_fl = max(max(u.duration // constants.AUDIO_SAMPLES_PER_TOKEN,
+                             1) for u in batch)
+            kv_frames = min(dims.n_audio_ctx,
+                            mesh_lib.pad_to_multiple(int(max_fl),
+                                                     args.frame_bucket))
+        quant = decoding.decode(
+            params, dims, tok, mel, opts, compute_dtype=dtype,
+            kv_int8=args.mode in ("int8", "both"),
+            kv_frames=kv_frames,
+            # guard=0.0: track margins, flag nothing
+            kv_int8_guard=0.0 if args.mode in ("int8", "both") else None,
+            kv_frames_guard=0.0 if args.mode in ("bucket", "both") else None)
         for e, q in zip(exact[:n_live], quant[:n_live]):  # skip pad rows
             n_total += 1
             margins.append(q.min_margin)
@@ -136,7 +162,12 @@ def main():
         log(f"{n_total} utts: {len(flipped_margins)} flips so far")
 
     margins = np.asarray(margins, np.float64)
-    default = decoding.DEFAULT_KV_INT8_GUARD_MARGIN
+    default = {
+        "int8": decoding.DEFAULT_KV_INT8_GUARD_MARGIN,
+        "bucket": decoding.DEFAULT_BUCKET_GUARD_MARGIN,
+        "both": (decoding.DEFAULT_KV_INT8_GUARD_MARGIN
+                 + decoding.DEFAULT_BUCKET_GUARD_MARGIN),
+    }[args.mode]
     if flipped_margins:
         bound = args.safety * max(flipped_margins)
         basis = "safety x max flipped-utterance margin"
@@ -147,7 +178,8 @@ def main():
     flag_rate_default = float((margins < default).mean())
 
     print(json.dumps({
-        "metric": "kv_int8_guard_calibration",
+        "metric": f"kv_{args.mode}_guard_calibration",
+        "mode": args.mode,
         "recommended_guard_margin": round(float(bound), 4),
         "basis": basis,
         "n_utts": n_total,

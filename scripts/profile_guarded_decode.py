@@ -15,7 +15,12 @@ The deployable guarded cost is guard0 + flag_rate * (guardinf - guard0);
 flag_rate is checkpoint/data dependent (random weights have near-zero margins,
 so no rate is claimed here — the calibration lives in tests/test_kv_int8.py).
 
-Knobs (env): B (16), STEPS (32), WCA_PROFILE_TINY=1 (CPU smoke).
+MODE=bucket measures the same envelope for the guarded frame-bucket mode
+(--decode_frame_bucket_guarded): exact / plain bucket / guard=0 / guard=inf,
+at KV_FRAMES (default 512 of medium's 1500 — a ~10 s batch bucket).
+
+Knobs (env): B (16), STEPS (32), MODE (int8|bucket), KV_FRAMES (512),
+WCA_PROFILE_TINY=1 (CPU smoke).
 """
 
 import os
@@ -56,12 +61,26 @@ def main():
         0, 1, (B, dims.n_mels, 2 * dims.n_audio_ctx)).astype(np.float32))
     opts = decoding.DecodingOptions(language="en", sample_len=STEPS)
 
-    modes = [
-        ("exact", dict()),
-        ("int8", dict(kv_int8=True)),
-        ("guard=0 (track only)", dict(kv_int8_guard=0.0)),
-        ("guard=inf (full re-decode)", dict(kv_int8_guard=1e9)),
-    ]
+    if os.environ.get("MODE", "int8") == "bucket":
+        kv_frames = int(os.environ.get(
+            "KV_FRAMES", "32" if TINY else "512"))
+        print(f"mode=bucket kv_frames={kv_frames}/{dims.n_audio_ctx}",
+              file=sys.stderr)
+        modes = [
+            ("exact", dict()),
+            ("bucket", dict(kv_frames=kv_frames)),
+            ("guard=0 (track only)",
+             dict(kv_frames=kv_frames, kv_frames_guard=0.0)),
+            ("guard=inf (full re-decode)",
+             dict(kv_frames=kv_frames, kv_frames_guard=1e9)),
+        ]
+    else:
+        modes = [
+            ("exact", dict()),
+            ("int8", dict(kv_int8=True)),
+            ("guard=0 (track only)", dict(kv_int8_guard=0.0)),
+            ("guard=inf (full re-decode)", dict(kv_int8_guard=1e9)),
+        ]
     results = {}
     for name, kw in modes:
         decoding.decode(params, dims, tok, mel, opts,

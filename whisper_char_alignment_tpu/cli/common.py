@@ -114,6 +114,15 @@ def add_pipeline_flags(parser: argparse.ArgumentParser) -> None:
                              "and any utterance whose min margin falls below "
                              "the bound (WCA_KV_INT8_GUARD_MARGIN) is "
                              "re-decoded exactly, reusing its encoder states")
+    parser.add_argument("--decode_frame_bucket_guarded", action="store_true",
+                        help="frame-bucketed decode with a transcript-parity "
+                             "guard (requires --decode_frame_bucket N): "
+                             "margin-tracked like --decode_kv_int8_guarded; "
+                             "utterances whose min margin falls below "
+                             "WCA_BUCKET_GUARD_MARGIN re-decode over the full "
+                             "30s window (calibrate the bound on your own "
+                             "data: scripts/calibrate_kv_guard.py "
+                             "--mode bucket)")
     parser.add_argument("--decode_sample_len", type=int, default=0,
                         help="cap sampled decode steps per utterance (0 = "
                              "published default, n_text_ctx // 2)")

@@ -406,8 +406,22 @@ def main(argv=None) -> int:
                    help="LRU bound on cached per-recipe align pipelines "
                         "(each owns a wire-staging pool; bounds host memory "
                         "under clients cycling recipe options)")
+    p.add_argument("--decode_kv_int8_guarded", action="store_true",
+                   help="serve with the guarded int8 K/V decode "
+                        "(WCA_KV_INT8_GUARD_MARGIN; see infer_ali --help)")
+    p.add_argument("--decode_frame_bucket", type=int, default=0,
+                   help="bucket decode cross-K/V to each batch's true frames "
+                        "(multiple N; 0 = full 30s window, reference-exact)")
+    p.add_argument("--decode_frame_bucket_guarded", action="store_true",
+                   help="guard the bucketed decode (WCA_BUCKET_GUARD_MARGIN; "
+                        "see infer_ali --help)")
     common.add_tpu_flags(p)
     args = p.parse_args(argv)
+    if args.decode_frame_bucket_guarded and args.decode_frame_bucket <= 0:
+        # fail at parse time, not inside the batcher's worker thread on the
+        # first request (AlignmentPipeline raises the same requirement)
+        p.error("--decode_frame_bucket_guarded requires "
+                "--decode_frame_bucket N (the bucket multiple)")
     params, dims, tok = common.load_model_and_tokenizer(args)
     dtype = jnp.bfloat16 if args.compute_dtype == "bfloat16" else jnp.float32
     params = common.cast_params(params, dtype)  # int8 leaves survive the cast
@@ -416,9 +430,14 @@ def main(argv=None) -> int:
     srv = serve(model, args.host, args.port, compute_dtype=dtype,
                 batch_size=args.serve_batch_size,
                 linger_ms=args.serve_linger_ms,
-                config_overrides=(
-                    {"decode_sample_len": args.decode_sample_len}
-                    if args.decode_sample_len else None),
+                config_overrides={
+                    k: v for k, v in dict(
+                        decode_sample_len=args.decode_sample_len,
+                        decode_kv_int8_guarded=args.decode_kv_int8_guarded,
+                        decode_frame_bucket=args.decode_frame_bucket,
+                        decode_frame_bucket_guarded=(
+                            args.decode_frame_bucket_guarded),
+                    ).items() if v} or None,
                 max_pipes=args.max_pipes)
     if args.warmup:
         warmup(model, compute_dtype=dtype, batcher=srv.batcher)

@@ -202,6 +202,12 @@ class AlignConfig:
     # (encoder skipped via the saved states) — most of the int8 decode win
     # with transcript parity (oracle-tested in tests/test_kv_int8.py)
     decode_kv_int8_guarded: bool = False
+    # guarded variant of decode_frame_bucket: bucketed decode with the same
+    # margin guard — utterances whose minimum sampled-step top1-top2 logit
+    # margin falls below the calibrated bound (WCA_BUCKET_GUARD_MARGIN)
+    # re-decode over the full padded 30 s window, reusing their encoder
+    # states. Requires decode_frame_bucket > 0 (the bucket multiple).
+    decode_frame_bucket_guarded: bool = False
     # opt-in encoder speedup: per-channel int8 encoder projections/MLP on the
     # int8 MXU path (2x matmul throughput; NOT parity-true — perturbs the
     # encoder states at the ~1% quantization level)

@@ -73,8 +73,9 @@ class DecodingResult:
     # — early exit on all-finished is visible here
     n_steps: int = 0
     # smallest sampled-step top1-top2 filtered-logit gap over the utterance,
-    # populated only when margin tracking ran (kv_int8_guard set); NaN
-    # otherwise. Feeds scripts/calibrate_kv_guard.py's bound selection.
+    # populated only when margin tracking ran (kv_int8_guard and/or
+    # kv_frames_guard set); NaN otherwise. Feeds
+    # scripts/calibrate_kv_guard.py's bound selection.
     min_margin: float = float("nan")
 
 
@@ -387,12 +388,30 @@ def default_guard_margin() -> float:
                                 DEFAULT_KV_INT8_GUARD_MARGIN))
 
 
+# Default min-margin threshold for the guarded frame-bucket mode (logit
+# units). Bucketing removes the softmax mass the decode would have spent on
+# pad-silence frames, so unlike int8's half-step bound the perturbation is
+# not bounded a priori — the default is calibrated the same way
+# (scripts/calibrate_kv_guard.py --mode bucket measures the teacher-forced
+# logit perturbation on a deployment's own data); override via
+# WCA_BUCKET_GUARD_MARGIN.
+DEFAULT_BUCKET_GUARD_MARGIN = 2.0
+
+
+def default_bucket_guard_margin() -> float:
+    import os
+
+    return float(os.environ.get("WCA_BUCKET_GUARD_MARGIN",
+                                DEFAULT_BUCKET_GUARD_MARGIN))
+
+
 def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
            options: Optional[DecodingOptions] = None,
            compute_dtype=jnp.float32,
            kv_frames: Optional[int] = None,
            kv_int8: bool = False,
            kv_int8_guard: Optional[float] = None,
+           kv_frames_guard: Optional[float] = None,
            return_xa: bool = False,
            return_cross_kv: bool = False,
            async_results: bool = False,
@@ -406,7 +425,17 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
     so the capture pass can skip the K/V projections too — only reusable in the
     parity-true configuration (no kv_frames slicing, no int8). With
     ``async_results=True`` the results slot holds a :class:`DecodeFuture`
-    (call ``.result()``) and no host sync happens in this call."""
+    (call ``.result()``) and no host sync happens in this call.
+
+    Guards: ``kv_int8_guard`` / ``kv_frames_guard`` (logit-margin thresholds)
+    turn the corresponding speedup into a transcript-parity mode — each
+    sampled step's top1-top2 filtered-logit margin is tracked, and utterances
+    whose minimum margin falls below the sum of the active guards are
+    re-decoded with the guarded perturbations turned OFF (int8 → exact K/V,
+    bucketed frames → the full padded window), reusing their encoder states.
+    ``kv_int8_guard`` implies ``kv_int8``; ``kv_frames_guard`` requires
+    ``kv_frames``. An unguarded mode passed alongside a guarded one is kept
+    as-is in the re-decode (it was opted into without parity claims)."""
     options = options or DecodingOptions()
     single = mel.ndim == 2
     if single:
@@ -509,14 +538,16 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         # cross-K/V reuse gate) instead of crashing a pipeline that combines
         # decode_frame_bucket/kv_int8 with beam/sampling options. Loud so a
         # perf A/B doesn't silently measure the wrong path.
-        if kv_frames is not None or kv_int8 or kv_int8_guard is not None:
+        if (kv_frames is not None or kv_int8 or kv_int8_guard is not None
+                or kv_frames_guard is not None):
             import warnings
 
             warnings.warn(
                 "kv_frames / kv_int8 are greedy-decode-only speedups; "
                 "falling back to the full-window un-quantized path for "
                 "beam/sampling decoding", stacklevel=2)
-        kv_frames, kv_int8, kv_int8_guard = None, False, None
+        kv_frames, kv_int8 = None, False
+        kv_int8_guard, kv_frames_guard = None, None
         from . import beam as beam_mod
 
         from ..text.tokenizer import normalize_language
@@ -540,6 +571,16 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
 
     if kv_int8_guard is not None:
         kv_int8 = True  # the guard is a mode of the int8 path
+    if kv_frames_guard is not None and kv_frames is None:
+        raise ValueError(
+            "kv_frames_guard guards the frame-bucketed decode: pass kv_frames "
+            "(decode_frame_bucket > 0) alongside it")
+    # utterances are re-decoded when their min margin falls below the SUM of
+    # the active guards: the two perturbations (quantization error, missing
+    # pad-frame softmax mass) compose additively in the worst case
+    guard = ((kv_int8_guard or 0.0) + (kv_frames_guard or 0.0)
+             if (kv_int8_guard is not None or kv_frames_guard is not None)
+             else None)
     loop_kwargs = dict(
         sample_begin=sample_begin, max_steps=sample_len,
         ts_begin=tokenizer.timestamp_begin, eot=tokenizer.eot,
@@ -557,7 +598,7 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         _decode_loop(
             params, dims, mel_j, prompt_j, suppress_j, blank_j,
             kv_frames=kv_frames, kv_int8=kv_int8,
-            track_margin=kv_int8_guard is not None,
+            track_margin=guard is not None,
             # cross_mode only matters for quantized K/V — keep it a constant
             # otherwise so flipping WCA_CROSS_ATTN cannot force a spurious
             # recompile of the un-quantized loop
@@ -565,22 +606,29 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
             **loop_kwargs)
 
     def redecode_exact(flagged):
-        """Guarded int8: exact re-decode (skipping the encoder via the saved
-        xa) for the whole batch; callers merge only the flagged rows."""
+        """Guarded re-decode (skipping the encoder via the saved xa) for the
+        whole batch; callers merge only the flagged rows. Only the GUARDED
+        perturbations are turned off: an unguarded kv_frames/kv_int8 passed
+        alongside a guarded one was opted into without parity claims and is
+        kept as-is."""
+        re_frames = None if kv_frames_guard is not None else kv_frames
+        re_int8 = False if kv_int8_guard is not None else kv_int8
         et, es, en, _, _, _, _ = _decode_loop(
             params, dims, mel_j, prompt_j, suppress_j, blank_j,
-            kv_frames=kv_frames, kv_int8=False, xa_in=xa, cross_mode="xla",
+            kv_frames=re_frames, kv_int8=re_int8, xa_in=xa,
+            cross_mode=wmodel._cross_attn_mode() if re_int8 else "xla",
             **loop_kwargs)
         return np.asarray(et), np.asarray(es), np.asarray(en)
 
     def finalize(tokens, sum_lp, ns_prob, n_steps, margin=None):
-        if margin is not None and kv_int8_guard is not None:
+        if margin is not None and guard is not None:
             # any utterance whose smallest sampled-step top1-top2 margin is
             # below the guard could have had a token flipped by the K/V
-            # quantization error: re-decode those rows exactly. Rows above
-            # the guard keep the int8 transcript (their every step's decision
-            # had more headroom than the calibrated perturbation bound).
-            flagged = margin < kv_int8_guard
+            # quantization error / the bucketed-away pad-frame softmax mass:
+            # re-decode those rows with the guarded perturbations off. Rows
+            # above the guard keep their transcript (their every step's
+            # decision had more headroom than the calibrated bound).
+            flagged = margin < guard
             if flagged.any():
                 et, es, en = redecode_exact(flagged)
                 tokens = np.where(flagged[:, None], et, tokens)
@@ -614,7 +662,7 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         return results[0] if single else results
 
     arrays = (tokens_d, sum_lp_d, ns_prob_d, n_steps_d)
-    if kv_int8_guard is not None:
+    if guard is not None:
         arrays = arrays + (margin_d,)
     if async_results:
         # in guarded mode a triggered re-decode runs at .result() time — the

@@ -234,6 +234,11 @@ class AlignmentPipeline:
         self.compute_dtype = compute_dtype
         self.token_bucket = token_bucket
         self.mesh = mesh
+        if cfg.decode_frame_bucket_guarded and cfg.decode_frame_bucket <= 0:
+            raise ValueError(
+                "--decode_frame_bucket_guarded guards the frame-bucketed "
+                "decode: pass --decode_frame_bucket N (the bucket multiple, "
+                "e.g. 128) alongside it")
         if cfg.encoder_int8:
             # the quantized pytree itself routes every encoder dense layer
             # through the int8-MXU path — no signature changes downstream
@@ -382,6 +387,9 @@ class AlignmentPipeline:
                     kv_int8_guard=(decoding.default_guard_margin()
                                    if self.cfg.decode_kv_int8_guarded
                                    else None),
+                    kv_frames_guard=(decoding.default_bucket_guard_margin()
+                                     if self.cfg.decode_frame_bucket_guarded
+                                     else None),
                     return_xa=True, async_results=True)
                 cross_kv = None
         return dict(utts=utts, future=future, mel=mel, xa=xa,
