@@ -79,6 +79,12 @@ DECODE_LEN = int(os.environ.get("WCA_BENCH_DECODE_LEN", "8" if TINY else "32"))
 # opt-in decode frame bucketing (NOT reference-exact: attends over the true
 # audio length rounded up, not the padded 30 s window) — secondary perf mode
 BUCKET = int(os.environ.get("WCA_BENCH_BUCKET", "0"))
+# opt-in guard on the bucketed decode (--decode_frame_bucket_guarded): margin
+# tracking + full-window re-decode of flagged rows. With random weights the
+# flag rate is an artifact of the margin bound, so sweep the envelope via
+# WCA_BUCKET_GUARD_MARGIN: 0 = track-only best case, 1e9 = 100%-re-decode
+# worst case (real checkpoints land near the best case — DESIGN.md envelope)
+BUCKET_GUARDED = os.environ.get("WCA_BENCH_BUCKET_GUARDED", "0") == "1"
 # measured single-core torch reference (scripts/measure_cpu_baseline.py) and
 # the conservative 16-core perfect-scaling model of a multi-core reference box
 BASELINE_1CORE = 0.0250
@@ -190,6 +196,7 @@ def main():
     cfg = AlignConfig.recommended(model=model_name, batch_size=BATCH,
                                   use_gt_transcript=True,
                                   decode_frame_bucket=BUCKET,
+                                  decode_frame_bucket_guarded=BUCKET_GUARDED,
                                   # BASELINE config #3 variant: subword units
                                   # with 'mean' aggregation
                                   aligned_unit_type=os.environ.get(
@@ -287,6 +294,11 @@ def main():
         # the background wire prep, 8.4 in round 3) — re-measure via
         # WCA_BENCH_DECODE_LEN=224 whenever the decode path changes.
         "decode_len": DECODE_LEN,
+        # 0 = reference-exact full-window decode (the headline config);
+        # nonzero = the opt-in bucketed variant (guarded: margin-tracked
+        # with full-window re-decode of flagged utterances)
+        "decode_frame_bucket": BUCKET,
+        "decode_frame_bucket_guarded": BUCKET_GUARDED,
         "decode_len224_worst_case_utts_per_sec": 9.0,
         "stage_split_s": stage_split,
         "best_pass_wall_s": round(wall, 3),
