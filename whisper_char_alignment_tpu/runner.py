@@ -264,6 +264,16 @@ class AlignmentPipeline:
         # test/isolation hook: a callable (utts -> list[str]) that supplies
         # transcripts instead of the decode output (decode still runs)
         self.transcribe_override = None
+        # guarded-mode telemetry: per-utterance min top1-top2 logit margins
+        # (populated only when a guard tracked them). flag_rate() compares
+        # them to the active guard — the scoreboard's deployability number
+        self.min_margins: List[float] = []
+        # shape telemetry for the MFU roll-up (utils/flops.py): the PADDED
+        # shapes each device launch actually ran. (b_pad, n_live, kv_frames)
+        # per decode batch; (t_bucket, b_pad, n_live, reused_kv) per capture
+        # batch
+        self.decode_shapes: List[tuple] = []
+        self.capture_shapes: List[tuple] = []
         # wire staging buffers: a slot must outlive its batch's transcript
         # sync (<= pipeline_depth + 1 batches in flight) plus the one-batch
         # prep lookahead; pooling is unsafe under CPU zero-copy device_put
@@ -272,6 +282,26 @@ class AlignmentPipeline:
             pooled=jax.default_backend() != "cpu")
 
     # -- helpers -------------------------------------------------------------
+
+    def active_guard_margin(self) -> Optional[float]:
+        """Sum of the active guard thresholds (decoding.decode flags an
+        utterance when its min margin is below this), or None when no guarded
+        mode is configured."""
+        total, active = 0.0, False
+        if self.cfg.decode_kv_int8_guarded:
+            total += decoding.default_guard_margin()
+            active = True
+        if self.cfg.decode_frame_bucket_guarded:
+            total += decoding.default_bucket_guard_margin()
+            active = True
+        return total if active else None
+
+    def flag_rate(self) -> Optional[float]:
+        """Fraction of margin-tracked utterances the guard re-decoded."""
+        guard = self.active_guard_margin()
+        if guard is None or not self.min_margins:
+            return None
+        return float(np.mean(np.asarray(self.min_margins) < guard))
 
     def _shard(self, tree):
         if self.mesh is None:
@@ -392,6 +422,7 @@ class AlignmentPipeline:
                                      else None),
                     return_xa=True, async_results=True)
                 cross_kv = None
+        self.decode_shapes.append((b_pad, len(utts), kv_frames))
         return dict(utts=utts, future=future, mel=mel, xa=xa,
                     cross_kv=cross_kv)
 
@@ -420,6 +451,9 @@ class AlignmentPipeline:
         else:
             with self.timers.stage("transcripts sync", units=len(utts)):
                 results = tp["future"].result()
+            for r in results[:len(utts)]:
+                if np.isfinite(r.min_margin):
+                    self.min_margins.append(float(r.min_margin))
             transcripts = [r.text for r in results[:len(utts)]]
 
         # host: text normalization + re-tokenization (reference infer_ali.py:63-76)
@@ -464,6 +498,8 @@ class AlignmentPipeline:
                 cross_kv = None
             xa_live = (None if cross_kv is not None
                        else jnp.take(xa, jnp.asarray(xa_idx), axis=0))
+            self.capture_shapes.append((t_bucket, b_pad, len(live),
+                                        cross_kv is not None))
             with self.timers.stage("align dispatch", units=len(live)):
                 xa_in = None if xa_live is None else self._shard(xa_live)
                 if cfg.default_whisper_timing:

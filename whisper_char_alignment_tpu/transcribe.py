@@ -199,41 +199,37 @@ def decode_with_fallback(params, dims, tokenizer, mel_segment,
     return result
 
 
-def transcribe(params, dims, tokenizer,
-               audio: Union[np.ndarray, jnp.ndarray],
-               *,
-               temperature: Union[float, Sequence[float]] = (
-                   0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
-               compression_ratio_threshold: Optional[float] = 2.4,
-               logprob_threshold: Optional[float] = -1.0,
-               no_speech_threshold: Optional[float] = 0.6,
-               condition_on_previous_text: bool = True,
-               initial_prompt: Optional[str] = None,
-               prompt_bucket: int = 32,
-               word_timestamps: bool = False,
-               word_aggr: str = "default",
-               model_name: Optional[str] = None,
-               compute_dtype=jnp.float32,
-               rng=None,
-               verbose: Optional[bool] = None,
-               **decode_options) -> dict:
-    """Transcribe 16 kHz mono ``audio`` of any length.
+def _seek_machine(params, dims, tokenizer,
+                  audio: Union[np.ndarray, jnp.ndarray],
+                  *,
+                  temperature: Union[float, Sequence[float]] = (
+                      0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+                  compression_ratio_threshold: Optional[float] = 2.4,
+                  logprob_threshold: Optional[float] = -1.0,
+                  no_speech_threshold: Optional[float] = 0.6,
+                  condition_on_previous_text: bool = True,
+                  initial_prompt: Optional[str] = None,
+                  prompt_bucket: int = 32,
+                  word_timestamps: bool = False,
+                  word_aggr: str = "default",
+                  model_name: Optional[str] = None,
+                  compute_dtype=jnp.float32,
+                  rng=None,
+                  verbose: Optional[bool] = None,
+                  **decode_options):
+    """The seek loop as a resumable GENERATOR: it yields device-work requests
+    ({"kind": "decode"|"detect", "mel_segment", "options", "rng",
+    "batchable"}) and receives their results via ``send``; the final
+    transcribe dict arrives as the generator's return value.
 
-    ``decode_options`` are DecodingOptions fields (language, beam_size,
-    best_of, patience, length_penalty, prefix, suppress_tokens, ...); a
-    caller-supplied ``prompt`` is dropped (the loop owns it, as published).
-    ``prompt_bucket`` bounds decode jit signatures by keeping the rolling
-    conditioning context in 32-token steps (1 = published exact lengths).
-
-    ``word_timestamps=True`` attaches per-word ``{word, start, end,
-    probability}`` lists to every segment by teacher-forced cross-attention
-    alignment of each window's tokens: ``word_aggr='default'`` uses the
-    published alignment-heads recipe (``model_name`` selects the head table),
-    ``word_aggr='topk'`` uses the paper's unsupervised top-k saliency heads.
-    Segment start/end are tightened to their words' span. Deviations from the
-    published add_word_timestamps: no word-based seek refinement and no
-    hallucination heuristics (both are opt-in refinements there).
-    """
+    This inversion is what makes cross-request batching possible
+    (VERDICT r04 #7): the per-window decode is the only device work in the
+    loop, so a driver holding N machines can group their pending windows into
+    one batched decode launch (:func:`transcribe_batched`) while the solo
+    driver (:func:`transcribe`) executes each request directly — both run the
+    IDENTICAL seek-loop/host logic. ``batchable`` marks deterministic greedy
+    requests (t == 0, no beam): temperature-fallback retries carry a per-seek
+    rng and run solo."""
     if isinstance(temperature, (int, float)):
         temperatures = [float(temperature)]
     else:
@@ -275,9 +271,7 @@ def transcribe(params, dims, tokenizer,
     if language is None:
         if tokenizer.is_multilingual and len(tokenizer.sot_sequence) >= 2:
             seg0 = pad_or_trim(jnp.asarray(mel), window_frames, axis=-1)
-            code, _ = decoding.detect_language(params, dims, tokenizer, seg0,
-                                               compute_dtype=compute_dtype)
-            language = code
+            language = yield {"kind": "detect", "mel_segment": seg0}
         else:
             language = tokenizer.language or "en"
 
@@ -322,11 +316,34 @@ def transcribe(params, dims, tokenizer,
             language=language,
             prompt=ctx[len(ctx) - keep:] or None,
             **decode_options)
-        result = decode_with_fallback(
-            params, dims, tokenizer, mel_segment, opts, temperatures,
-            compression_ratio_threshold, logprob_threshold,
-            no_speech_threshold, compute_dtype=compute_dtype,
-            rng=jax.random.fold_in(base_rng, seek))
+        # published fallback ladder (decode_with_fallback), with each decode
+        # yielded to the driver: first temperature whose result passes the
+        # compression-ratio and logprob gates wins; a no-speech window never
+        # triggers a retry
+        result = None
+        for t in temperatures:
+            if t > 0:
+                opts_t = dataclasses.replace(opts, temperature=t,
+                                             beam_size=None, patience=None)
+            else:
+                opts_t = dataclasses.replace(opts, temperature=t, best_of=None)
+            result = yield {
+                "kind": "decode", "mel_segment": mel_segment,
+                "options": opts_t, "rng": jax.random.fold_in(base_rng, seek),
+                "batchable": (t == 0 and opts_t.beam_size is None)}
+            needs_fallback = False
+            if (compression_ratio_threshold is not None
+                    and result.compression_ratio
+                    > compression_ratio_threshold):
+                needs_fallback = True  # too repetitive
+            if (logprob_threshold is not None
+                    and result.avg_logprob < logprob_threshold):
+                needs_fallback = True  # average log probability too low
+            if (no_speech_threshold is not None
+                    and result.no_speech_prob > no_speech_threshold):
+                needs_fallback = False  # silence: skip, don't retry
+            if not needs_fallback:
+                break
         tokens = list(result.tokens)
 
         if no_speech_threshold is not None:
@@ -437,3 +454,148 @@ def transcribe(params, dims, tokenizer,
         [t for t in all_tokens[len(initial_prompt_tokens):]
          if t < tokenizer.eot])
     return {"text": text, "segments": all_segments, "language": language}
+
+
+def _execute_request(params, dims, tokenizer, req, compute_dtype):
+    """Run one machine request directly (the solo driver's executor, and the
+    batched driver's path for non-batchable requests)."""
+    if req["kind"] == "detect":
+        code, _ = decoding.detect_language(params, dims, tokenizer,
+                                           jnp.asarray(req["mel_segment"]),
+                                           compute_dtype=compute_dtype)
+        return code
+    return decoding.decode(params, dims, tokenizer,
+                           jnp.asarray(req["mel_segment"]), req["options"],
+                           compute_dtype=compute_dtype, rng=req["rng"])
+
+
+def transcribe(params, dims, tokenizer,
+               audio: Union[np.ndarray, jnp.ndarray],
+               *, compute_dtype=jnp.float32, **kwargs) -> dict:
+    """Transcribe 16 kHz mono ``audio`` of any length.
+
+    ``kwargs`` are the seek-loop knobs plus DecodingOptions fields (language,
+    beam_size, best_of, patience, length_penalty, prefix, suppress_tokens,
+    ...); a caller-supplied ``prompt`` is dropped (the loop owns it, as
+    published). ``prompt_bucket`` bounds decode jit signatures by keeping the
+    rolling conditioning context in 32-token steps (1 = published exact
+    lengths).
+
+    ``word_timestamps=True`` attaches per-word ``{word, start, end,
+    probability}`` lists to every segment by teacher-forced cross-attention
+    alignment of each window's tokens: ``word_aggr='default'`` uses the
+    published alignment-heads recipe (``model_name`` selects the head table),
+    ``word_aggr='topk'`` uses the paper's unsupervised top-k saliency heads.
+    Segment start/end are tightened to their words' span. Deviations from the
+    published add_word_timestamps: no word-based seek refinement and no
+    hallucination heuristics (both are opt-in refinements there).
+    """
+    gen = _seek_machine(params, dims, tokenizer, audio,
+                        compute_dtype=compute_dtype, **kwargs)
+    resp = None
+    while True:
+        try:
+            req = gen.send(resp)
+        except StopIteration as e:
+            return e.value
+        resp = _execute_request(params, dims, tokenizer, req, compute_dtype)
+
+
+def _pad_pow2(n: int, cap: int) -> int:
+    """Next power of two >= n (capped): bounds batched-decode jit signatures
+    to ~log2(cap) distinct batch shapes."""
+    b = 1
+    while b < min(n, cap):
+        b *= 2
+    return min(b, cap)
+
+
+def transcribe_batched(params, dims, tokenizer, audios,
+                       *, compute_dtype=jnp.float32, max_batch: int = 8,
+                       **kwargs) -> List[dict]:
+    """Transcribe N audios with their seek-loop windows decoded in SHARED
+    device launches (the serving-side answer to /transcribe serializing per
+    request — VERDICT r04 #7).
+
+    Each audio runs its own :func:`_seek_machine` (identical host logic to
+    solo :func:`transcribe`); each round, every machine's pending window
+    decode is grouped by (options minus prompt, prompt length, window shape)
+    and executed as ONE batched ``decoding.decode`` with per-row conditioning
+    prompts. Groupability in practice: window 1 of every request shares an
+    empty prompt; later windows group whenever their prompt BUCKETS coincide
+    (the 32-token prompt_bucket quantizes lengths, deliberately), and always
+    under ``condition_on_previous_text=False``. Temperature-fallback retries
+    (t > 0) and beam decodes run solo — they are rare and carry per-seek rngs.
+    Language detection requests batch the same way.
+
+    Batches are padded to a power of two (<= ``max_batch``) by repeating row
+    0 so jit signatures stay bounded; padded rows' results are discarded.
+    Per-request results are identical to solo ``transcribe`` (locked by
+    tests/test_transcribe_batched.py).
+    """
+    gens = [_seek_machine(params, dims, tokenizer, a,
+                          compute_dtype=compute_dtype, **kwargs)
+            for a in audios]
+    results: List[Optional[dict]] = [None] * len(gens)
+    pending = {}
+    for i, g in enumerate(gens):
+        try:
+            pending[i] = g.send(None)
+        except StopIteration as e:
+            results[i] = e.value
+
+    def run_group(idxs):
+        reqs = [pending[i] for i in idxs]
+        kind = reqs[0]["kind"]
+        b_pad = _pad_pow2(len(idxs), max_batch)
+        rows = [np.asarray(r["mel_segment"]) for r in reqs]
+        rows += [rows[0]] * (b_pad - len(rows))
+        mels = jnp.asarray(np.stack(rows))
+        if kind == "detect":
+            det = decoding.detect_language(params, dims, tokenizer, mels,
+                                           compute_dtype=compute_dtype)
+            return {i: det[k][0] for k, i in enumerate(idxs)}
+        base = dataclasses.replace(reqs[0]["options"], prompt=None)
+        prompts = [r["options"].prompt or None for r in reqs]
+        if prompts[0]:
+            prows = [list(p) for p in prompts]
+            prows += [prows[0]] * (b_pad - len(prompts))
+            opts = dataclasses.replace(base, prompt=prows)
+        else:
+            opts = base
+        out = decoding.decode(params, dims, tokenizer, mels, opts,
+                              compute_dtype=compute_dtype)
+        return {i: out[k] for k, i in enumerate(idxs)}
+
+    while pending:
+        groups: dict = {}
+        solos = []
+        for i, req in pending.items():
+            opts = req.get("options")
+            if req["kind"] == "detect":
+                groups.setdefault(("detect", np.shape(req["mel_segment"])),
+                                  []).append(i)
+            elif req.get("batchable"):
+                plen = len(opts.prompt) if opts.prompt else 0
+                key = ("decode",
+                       repr(dataclasses.replace(opts, prompt=None)), plen,
+                       np.shape(req["mel_segment"]))
+                groups.setdefault(key, []).append(i)
+            else:
+                solos.append(i)
+        resps = {}
+        for key, idxs in groups.items():
+            # chunk oversized groups to max_batch-row launches
+            for k0 in range(0, len(idxs), max_batch):
+                resps.update(run_group(idxs[k0:k0 + max_batch]))
+        for i in solos:
+            resps[i] = _execute_request(params, dims, tokenizer, pending[i],
+                                        compute_dtype)
+        nxt = {}
+        for i, resp in resps.items():
+            try:
+                nxt[i] = gens[i].send(resp)
+            except StopIteration as e:
+                results[i] = e.value
+        pending = nxt
+    return results
