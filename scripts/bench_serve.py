@@ -56,6 +56,10 @@ DECODE_LEN = int(os.environ.get("WCA_SERVE_BENCH_DECODE_LEN",
                                 "8" if TINY else "32"))
 SECONDS = float(os.environ.get("WCA_SERVE_BENCH_SECONDS",
                                "0.5" if TINY else "5.0"))
+# "align" (default) or "transcribe": which endpoint the workload drives.
+# /transcribe measures TranscribeBatcher (shared window-decode launches,
+# VERDICT r04 #7) instead of AlignBatcher.
+ENDPOINT = os.environ.get("WCA_SERVE_BENCH_ENDPOINT", "align")
 
 
 def log(msg):
@@ -90,21 +94,29 @@ def main():
     body = open(path, "rb").read()
     os.unlink(path)
 
+    if ENDPOINT == "transcribe":
+        url = f"{base}/transcribe?language=en&sample_len={DECODE_LEN}"
+        expect_key = "segments"
+    else:
+        url = f"{base}/align?topk=10"
+        expect_key = "end_times"
+
     def post():
         t0 = time.perf_counter()
-        req = urllib.request.Request(f"{base}/align?topk=10", data=body,
-                                     method="POST")
+        req = urllib.request.Request(url, data=body, method="POST")
         with urllib.request.urlopen(req, timeout=3600) as r:
             out = json.loads(r.read())
-        assert "end_times" in out, out
+        assert expect_key in out, out
         return time.perf_counter() - t0
 
     log("warmup (compiles the batcher's padded signature)...")
     t0 = time.perf_counter()
-    warmup(model, compute_dtype=jnp.bfloat16, seconds=(SECONDS,),
-           batcher=srv.batcher)
+    if ENDPOINT != "transcribe":
+        warmup(model, compute_dtype=jnp.bfloat16, seconds=(SECONDS,),
+               batcher=srv.batcher)
     log(f"warmup done in {time.perf_counter() - t0:.1f}s")
-    post()  # one warm request through the HTTP path
+    post()  # one warm request through the HTTP path (transcribe: compiles
+    # the B=1 window signature; the concurrent wave below compiles the rest)
     # a full-live concurrent wave hits a DIFFERENT live-token bucket than the
     # 1-live warmup batch; compile it before timing anything
     t0 = time.perf_counter()
@@ -172,8 +184,9 @@ def main():
 
     serial_rps = N_REQS / serial_wall
     conc_rps = len(conc_lat) / conc_wall
+    batcher = srv.tbatcher if ENDPOINT == "transcribe" else srv.batcher
     payload = {
-        "metric": "serve_align_multistream_req_per_sec",
+        "metric": f"serve_{ENDPOINT}_multistream_req_per_sec",
         "value": round(conc_rps, 3),
         "unit": "req/sec",
         "vs_baseline": None,
@@ -183,8 +196,8 @@ def main():
         "p50_concurrent_ms": round(1000 * statistics.median(conc_lat), 1),
         "n_reqs": N_REQS, "clients": CLIENTS, "batch": BATCH,
         "decode_len": DECODE_LEN, "audio_seconds": SECONDS,
-        "batcher_launches": srv.batcher.n_launches,
-        "batcher_reqs": srv.batcher.n_reqs,
+        "batcher_launches": batcher.n_launches,
+        "batcher_reqs": batcher.n_reqs,
     }
     log(f"serial {serial_rps:.2f} req/s (p50 {payload['p50_serial_ms']} ms) "
         f"-> concurrent {conc_rps:.2f} req/s "
@@ -193,6 +206,8 @@ def main():
     print(json.dumps(payload))
     srv.shutdown()
     srv.batcher.close()
+    if srv.tbatcher is not None:
+        srv.tbatcher.close()
 
 
 if __name__ == "__main__":

@@ -75,7 +75,18 @@ def make_encoder(convs=True, attn="fused", mlp=True, n_layers=None,
                     v = wmodel._linear(bp["attn"]["v"], h_in)
                     a = wmodel._linear(bp["attn"]["out"], q + k + v)
                 x = x + a
-            if mlp:
+            if mlp == "flat":
+                # A/B (VERDICT r04 #4): one (B*T, d) GEMM per fc instead of a
+                # (B, T, d) batched GEMM — tests whether XLA's 65%-of-MXU MLP
+                # schedule is an artifact of the batch dimension
+                h = wmodel._layer_norm(bp["mlp_ln"], x)
+                hf = h.reshape(-1, h.shape[-1])
+                hf = wmodel._linear(bp["mlp"]["fc2"],
+                                    jax.nn.gelu(wmodel._linear(bp["mlp"]["fc1"],
+                                                               hf),
+                                                approximate=False))
+                x = x + hf.reshape(x.shape)
+            elif mlp:
                 h = wmodel._layer_norm(bp["mlp_ln"], x)
                 h = wmodel._linear(bp["mlp"]["fc2"],
                                    jax.nn.gelu(wmodel._linear(bp["mlp"]["fc1"],
@@ -108,6 +119,8 @@ def main():
         ("attn proj only (no T^2)", make_encoder(attn="proj_only")),
         ("no attn (mlp only)", make_encoder(attn="none")),
         ("no mlp", make_encoder(mlp=False)),
+        ("full, mlp flattened (B*T)", make_encoder(mlp="flat")),
+        ("mlp only, flattened", make_encoder(attn="none", mlp="flat")),
     ]
     for name, fn in variants:
         timed(name, lambda f=fn: f(params, mel))

@@ -206,12 +206,33 @@ def _published_greedy_step(logits: np.ndarray, tokens, sample_begin, tok,
     return int(np.argmax(logits))
 
 
-def torch_greedy_decode(model, tok, mel_t, sample_len: int) -> str:
+def letters_only_suppress(tok) -> list:
+    """Suppress every text token except {a, e, space}, plus eot (a PUBLISHED
+    DecodingOptions.suppress_tokens list, applied identically by both
+    engines). Purpose: a random checkpoint's unconstrained argmax walk almost
+    never emits a space at real vocab sizes, so medium-shaped rehearsals
+    compared degenerate single-word alignments (measured: '???', 0 words).
+    With three samplable text ids a space lands in a dozen steps with ~99%
+    probability, and suppressing eot keeps the walk sampling for the full
+    sample_len — multi-word transcripts without touching any pipeline code."""
+    keep = {t for c in "ae " for t in tok.encode(c)}
+    # range covers the specials band too (eot..timestamp_begin): random
+    # weights happily argmax LANGUAGE tokens ('<|ur|>...'), which decode as
+    # markup text — the published default suppress set only bans the named
+    # specials because real checkpoints put no mass there
+    return [i for i in range(tok.timestamp_begin) if i not in keep]
+
+
+def torch_greedy_decode(model, tok, mel_t, sample_len: int,
+                        suppress_tokens=None) -> str:
     """Published greedy decode (DecodingOptions(language='en') semantics) on
     the HF torch model with a KV cache."""
     import torch
 
-    options = decoding.DecodingOptions(language="en", sample_len=sample_len)
+    options = decoding.DecodingOptions(
+        language="en", sample_len=sample_len,
+        suppress_tokens=suppress_tokens if suppress_tokens is not None
+        else "-1")
     prompt = list(tok.sot_sequence)
     sample_begin = len(prompt)
     suppress = decoding._get_suppress_tokens(tok, options)
@@ -254,7 +275,8 @@ def _medfilt_frames(x: np.ndarray, width: int) -> np.ndarray:
 
 def torch_align_chain(model, tok, audio: np.ndarray, dims, *,
                       sample_len: int, topk: int = 10,
-                      medfilt_width: int = 3) -> dict:
+                      medfilt_width: int = 3, suppress_tokens=None,
+                      gt_text: str = None) -> dict:
     """The reference library chain (README.md:76-153) on the torch twin.
 
     Capture math note: the reference median-filters the PRE-softmax QK then
@@ -272,8 +294,15 @@ def torch_align_chain(model, tok, audio: np.ndarray, dims, *,
 
     mel_t = _torch_log_mel(audio, dims)
     transcription = retokenize.remove_punctuation(
-        torch_greedy_decode(model, tok, mel_t, sample_len))
-    text_tokens = retokenize.encode(transcription or " ", tok, "char")
+        torch_greedy_decode(model, tok, mel_t, sample_len,
+                            suppress_tokens=suppress_tokens))
+    if len(transcription) == 0:
+        # the runner's empty-transcript guard (intended semantics of ref
+        # infer_ali.py:65): align a single space instead of crashing
+        transcription = " "
+    aligned_text = (retokenize.remove_punctuation(gt_text)
+                    if gt_text is not None else transcription)
+    text_tokens = retokenize.encode(aligned_text or " ", tok, "char")
     tokens = [*tok.sot_sequence, tok.no_timestamps, *text_tokens, tok.eot]
     max_frames = int(audio.size // constants.AUDIO_SAMPLES_PER_TOKEN)
 
@@ -318,18 +347,26 @@ def torch_align_chain(model, tok, audio: np.ndarray, dims, *,
 
 def jax_align_chain(checkpoint: str, tok_dir: str, audios, *, sample_len: int,
                     topk: int = 10, medfilt_width: int = 3,
-                    model_name: str = "medium") -> list:
-    """api.load_model -> api.align: the exact calls an asset-day user makes."""
+                    model_name: str = "medium", suppress_tokens=None,
+                    gt_texts=None) -> list:
+    """api.load_model -> api.align: the exact calls an asset-day user makes.
+    ``gt_texts`` switches to GT-fed alignment (use_gt_transcript; the decode
+    pass still runs at full cost, its text unused)."""
     from whisper_char_alignment_tpu import api
 
     model = api.load_model(model_name, checkpoint=checkpoint,
                            tokenizer_dir=tok_dir)
+    opts = (decoding.DecodingOptions(language="en", sample_len=sample_len,
+                                     suppress_tokens=suppress_tokens)
+            if suppress_tokens is not None else None)
     out = []
-    for audio in audios:
+    for i, audio in enumerate(audios):
+        kw = ({"use_gt_transcript": True, "gt_text": gt_texts[i]}
+              if gt_texts is not None else {})
         r = api.align(model, audio, aligned_unit_type="char",
                       aggregation="topk", topk=topk,
                       medfilt_width=medfilt_width,
-                      decode_sample_len=sample_len)
+                      decode_sample_len=sample_len, decode_options=opts, **kw)
         out.append({"transcription": r.transcription, "words": r.words[:-1],
                     "starts": np.asarray(r.start_times),
                     "ends": np.asarray(r.end_times)})
@@ -356,9 +393,23 @@ def compare_chains(ours: dict, twin: dict, tol: float = 0.02):
     return fails
 
 
+GT_TEXTS = ("the quick brown fox jumps over the lazy dog",
+            "she sells sea shells by the sea shore",
+            "pack my box with five dozen liquor jugs")
+
+
 def run_rehearsal(dims, *, seed: int = 0, n_utts: int = 2,
                   sample_len: int = 12, model_name: str = "medium",
-                  out_dir: str = None) -> int:
+                  out_dir: str = None, letters_only: bool = False,
+                  gt_mode: bool = False) -> int:
+    """``gt_mode``: feed GUARANTEED multi-word ground-truth text to the
+    alignment stage on both engines (use_gt_transcript) and check the decode
+    pass separately by transcript equality on utterance 0. Rationale: an
+    unconstrained random MEDIUM checkpoint's argmax emits one garbage word
+    (and letters-only restriction collapsed onto all-spaces), so the
+    decode-fed boundary comparison is vacuous at real vocab sizes — GT mode
+    keeps every chain stage exercised at medium shapes with non-vacuous
+    assertions on each."""
     tmp = out_dir or tempfile.mkdtemp(prefix="wca_rehearsal_")
     assets = make_assets(tmp, dims, seed=seed)
     log(f"assets: {assets}")
@@ -377,29 +428,59 @@ def run_rehearsal(dims, *, seed: int = 0, n_utts: int = 2,
 
     tok = get_tokenizer(True, language="English",
                         tokenizer_dir=assets["tokenizer_dir"])
+    suppress = letters_only_suppress(tok) if letters_only else None
     audios = make_audio(dims, n_utts=n_utts, seed=seed)
+    gt_texts = ([GT_TEXTS[i % len(GT_TEXTS)] for i in range(n_utts)]
+                if gt_mode else None)
     ours = jax_align_chain(assets["pt"], assets["tokenizer_dir"], audios,
-                           sample_len=sample_len, model_name=model_name)
+                           sample_len=sample_len, model_name=model_name,
+                           suppress_tokens=suppress, gt_texts=gt_texts)
 
     hf = build_hf_model(assets["safetensors"], dims)
     n_fail = 0
     seen_transcripts = set()
     for i, audio in enumerate(audios):
-        twin = torch_align_chain(hf, tok, audio, dims, sample_len=sample_len)
+        twin = torch_align_chain(hf, tok, audio, dims, sample_len=sample_len,
+                                 suppress_tokens=suppress,
+                                 gt_text=gt_texts[i] if gt_texts else None)
+        if gt_texts:
+            # both engines aligned the SAME normalized GT text; the decode
+            # transcript comparison happens separately below
+            ours[i]["transcription"] = twin["transcription"] = "<gt>"
         fails = compare_chains(ours[i], twin)
         # non-vacuous payloads (round-4 test rule): a rehearsal that compares
         # empty alignments proves nothing
         if len(ours[i]["words"]) < 2:
             fails.append(f"degenerate payload: words={ours[i]['words']}")
-        seen_transcripts.add(ours[i]["transcription"])
+        seen_transcripts.add(tuple(np.round(ours[i]["ends"], 4))
+                             if gt_texts else ours[i]["transcription"])
         status = "OK" if not fails else "FAIL " + "; ".join(fails)
         log(f"utt {i}: {len(ours[i]['words'])} words, "
             f"transcript {ours[i]['transcription']!r}: {status}")
         n_fail += bool(fails)
     if len(seen_transcripts) < min(2, n_utts):
-        log("FAIL: utterances produced identical transcripts — payloads not "
-            "pairwise distinct")
+        log("FAIL: utterances produced identical payloads — not pairwise "
+            "distinct")
         n_fail += 1
+    if gt_texts:
+        # decode parity, asserted explicitly in GT mode: the production
+        # decode path on utterance 0 must emit the twin's transcript exactly
+        # (with random medium weights both are garbage — equality is the
+        # assertion, the degenerate-payload rule is carried by the GT chain)
+        probe = jax_align_chain(assets["pt"], assets["tokenizer_dir"],
+                                audios[:1], sample_len=sample_len,
+                                model_name=model_name,
+                                suppress_tokens=suppress)
+        twin0 = torch_align_chain(hf, tok, audios[0], dims,
+                                  sample_len=sample_len,
+                                  suppress_tokens=suppress)
+        if probe[0]["transcription"] != twin0["transcription"]:
+            log(f"FAIL decode parity: {probe[0]['transcription']!r} vs "
+                f"{twin0['transcription']!r}")
+            n_fail += 1
+        else:
+            log(f"decode parity: both engines transcribe "
+                f"{twin0['transcription']!r}")
     log(f"rehearsal: {n_utts - n_fail}/{n_utts} utterances matched")
     return n_fail
 
@@ -421,6 +502,16 @@ def main(argv=None):
     ap.add_argument("--sample_len", type=int, default=16)
     ap.add_argument("--out_dir", default=None,
                     help="keep the generated assets here (default: tmp)")
+    ap.add_argument("--letters_only", action="store_true",
+                    help="restrict the samplable text vocabulary to {a, e, "
+                         "space} via DecodingOptions.suppress_tokens (makes "
+                         "random tiny checkpoints emit multi-word text)")
+    ap.add_argument("--gt_mode", action="store_true",
+                    help="align guaranteed multi-word ground-truth text on "
+                         "both engines (decode still runs; its transcript "
+                         "parity asserted separately). Default ON for "
+                         "--medium, where random-weight transcripts are "
+                         "degenerate at the real vocab size")
     args = ap.parse_args(argv)
 
     tok_probe = get_tokenizer  # noqa: F841  (import sanity)
@@ -438,7 +529,9 @@ def main(argv=None):
                               state=32, head=4, layers=2)
     return 1 if run_rehearsal(dims, seed=args.seed, n_utts=args.n_utts,
                               sample_len=args.sample_len,
-                              out_dir=args.out_dir) else 0
+                              out_dir=args.out_dir,
+                              letters_only=args.letters_only,
+                              gt_mode=args.gt_mode or args.medium) else 0
 
 
 if __name__ == "__main__":

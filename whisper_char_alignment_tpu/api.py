@@ -77,8 +77,17 @@ def test_model(seed: int = 0) -> Model:
 def align(model: Model, audio: Union[str, np.ndarray],
           aligned_unit_type: str = "char", aggregation: str = "topk",
           topk: int = 10, medfilt_width: int = 3, qk_scale: float = 1.0,
-          compute_dtype=jnp.float32, **kwargs) -> UttAlignment:
-    """Align one utterance with the README-recommended recipe defaults."""
+          compute_dtype=jnp.float32, decode_options=None, gt_text: str = "",
+          **kwargs) -> UttAlignment:
+    """Align one utterance with the README-recommended recipe defaults.
+
+    ``decode_options``: an optional ``decoding.DecodingOptions`` for the
+    transcription pass (language, suppress_tokens, sample_len, beam_size,
+    ...) — the library twin of the reference's ``whisper.DecodingOptions``
+    argument (ref README.md:95). ``gt_text`` carries ground-truth text onto
+    the utterance for ``use_gt_transcript=True`` runs (align known text while
+    the transcription pass still executes — the reference CLI's --use_gt
+    evaluation mode)."""
     data, fid = _load_audio(audio)
 
     cfg = AlignConfig(aligned_unit_type=aligned_unit_type, aggr=aggregation,
@@ -86,8 +95,10 @@ def align(model: Model, audio: Union[str, np.ndarray],
                       batch_size=1, model=model.name, **kwargs)
     pipe = AlignmentPipeline(model.params, model.dims, model.tokenizer, cfg,
                              compute_dtype=compute_dtype)
-    utt = Utterance(audio=data.astype(np.float32), duration=data.size, text="",
-                    starts=[], ends=[], fid=fid)
+    if decode_options is not None:
+        pipe.options = decode_options
+    utt = Utterance(audio=data.astype(np.float32), duration=data.size,
+                    text=gt_text, starts=[], ends=[], fid=fid)
     return pipe.align_batch([utt], return_matrix=True)[0]
 
 

@@ -173,7 +173,13 @@ def decode_with_fallback(params, dims, tokenizer, mel_segment,
                          compute_dtype=jnp.float32, rng=None):
     """Published fallback ladder: first temperature whose result passes the
     compression-ratio and logprob gates wins; a no-speech window never
-    triggers a retry."""
+    triggers a retry.
+
+    Library-facing helper (the ``whisper.transcribe.decode_with_fallback``
+    equivalent). The seek loop itself inlines the SAME ladder inside
+    :func:`_seek_machine` (each decode yielded to the driver so batched
+    serving can group them) — change the gate semantics in BOTH places, with
+    tests/test_transcribe.py and the transcribe fuzz as the lock."""
     result = None
     for t in temperatures:
         if t > 0:
