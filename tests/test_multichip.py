@@ -297,7 +297,7 @@ def test_cache_flag_restored_between_tests():
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n_devices,model_axis", [(16, 2), (16, 4)])
+@pytest.mark.parametrize("n_devices,model_axis", [(16, 2), (16, 4), (32, 4)])
 def test_dryrun_wider_virtual_meshes(n_devices, model_axis):
     """VERDICT r04 #8: the (4x2) mesh was the only geometry ever exercised and
     round-4's own _pad_batch/make_mesh divisibility bugs hid in geometry
