@@ -202,6 +202,18 @@ def test_warmup_precompiles_buckets():
     assert n == 2
 
 
+def test_warmup_transcribe_precompiles_pow2_buckets():
+    """warmup_transcribe covers every pow2 launch bucket transcribe_batched
+    can pad a shared group to (1, 2, 4 at batch_size=4) — an unwarmed bucket
+    costs a first-request compile mid-traffic (docs/DESIGN.md round 5)."""
+    from whisper_char_alignment_tpu.cli.serve import warmup_transcribe
+
+    model = api.test_model()
+    n = warmup_transcribe(model, batch_size=4, seconds=0.3,
+                          sample_len=4, temperature=0.0)
+    assert n == 3  # buckets 1, 2, 4
+
+
 def test_oversized_body_rejected_413(server, monkeypatch):
     """A Content-Length beyond the cap is refused BEFORE the body is read —
     the host must not buffer an arbitrarily large POST."""

@@ -448,6 +448,37 @@ def warmup(model: api.Model, compute_dtype=jnp.float32,
     return n
 
 
+def warmup_transcribe(model: api.Model, compute_dtype=jnp.float32,
+                      batch_size: int = 8, seconds: float = 5.0,
+                      **decode_options) -> int:
+    """Pre-compile the /transcribe window-decode bucket signatures.
+
+    ``transcribe_batched`` pads each shared launch to a power of two <=
+    ``batch_size``, so every pow2 bucket is its own jit signature — minutes
+    on a remote-compile backend when a concurrent wave hits it first
+    (measured: unwarmed B=2/B=4 buckets compiling inside a timed serving
+    phase turned a 1.9x batching win into 0.55x — docs/DESIGN.md round 5).
+    One dummy ``transcribe_batched`` call per bucket moves that cost to
+    boot. ``decode_options`` must match the traffic's recipe (language /
+    sample_len / temperature are part of the signature); fallback-ladder
+    rungs (t > 0) run solo by design and compile on first use."""
+    from ..transcribe import transcribe_batched
+
+    audio = np.zeros((int(seconds * 16000),), np.float32)
+    decode_options.setdefault("language", "en")
+    sizes = []
+    b = 1
+    while b <= max(1, batch_size):
+        sizes.append(b)
+        b *= 2
+    for b in sizes:
+        transcribe_batched(model.params, model.dims, model.tokenizer,
+                           [audio] * b, compute_dtype=compute_dtype,
+                           max_batch=batch_size, **decode_options)
+        print(f"warmup: transcribe bucket B={b} compiled", file=sys.stderr)
+    return len(sizes)
+
+
 def main(argv=None) -> int:
     common.apply_platform_env()  # WCA_PLATFORM=cpu must work for serve too
     p = argparse.ArgumentParser(description=__doc__)
@@ -508,6 +539,9 @@ def main(argv=None) -> int:
                 max_pipes=args.max_pipes)
     if args.warmup:
         warmup(model, compute_dtype=dtype, batcher=srv.batcher)
+        if srv.tbatcher is not None:
+            warmup_transcribe(model, compute_dtype=dtype,
+                              batch_size=args.serve_batch_size)
     print(f"serving {args.model} on http://{args.host}:{args.port}",
           file=sys.stderr)
     try:

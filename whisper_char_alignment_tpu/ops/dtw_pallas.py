@@ -94,7 +94,9 @@ def _dtw_kernel(xs_ref, trace_ref, prev_ref, prev2_ref, m_max_ref=None):
         valid = (lane >= 1) & (j_vec >= 1)
         if m_bound is not None:
             valid = valid & (j_vec <= m_bound)
-        cur = jnp.where(valid, xval + c, inf)
+        # xs may stream as bf16 (half the diagonal read; see the probe A/B in
+        # scripts/profile_probe_dtw.py) — accumulate the cost in f32 always
+        cur = jnp.where(valid, xval.astype(jnp.float32) + c, inf)
         trace_ref[0, k] = jnp.where(valid, t, -1)
         return cur, prev
 
