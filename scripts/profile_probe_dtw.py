@@ -133,6 +133,25 @@ def main():
     bad = int((jf32 != jf16).any(axis=-1).sum())
     print(f"bf16-stream jump-frame mismatches: {bad}/{jf32.shape[0]} rows")
 
+    # sublane-width sweep (the chunk is ISSUE-bound on its groups x diagonals
+    # sequential walk — see the bf16 refutation above — so the rows-per-step
+    # width divides the step count directly). Each width is a separate compile
+    # (max_sub is a static arg); results must be bit-equal to the 32-wide ones.
+    for ms in (32, 64, 128, 256):
+        if b % ms:
+            continue
+
+        @jax.jit
+        def full_chunk_w(x, n, m, _ms=ms):
+            xn = timing._safe_col_normalize(x)
+            return dtw_pallas.dtw_jump_frames_pallas(-xn, n, m, max_sub=_ms)
+
+        timed(f"full chunk, max_sub={ms}",
+              lambda: full_chunk_w(maps, n_rows, m_cols), args.iters)
+        jw = np.asarray(full_chunk_w(maps, n_rows, m_cols))
+        assert (jw == jf32).all(), f"max_sub={ms} diverged from 32-wide"
+    print("width sweep: all widths bit-equal to max_sub=32")
+
 
 if __name__ == "__main__":
     main()

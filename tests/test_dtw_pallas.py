@@ -88,6 +88,26 @@ def test_fused_jump_frames_row0_boundary_cell():
     np.testing.assert_array_equal(ref, got)
 
 
+@pytest.mark.parametrize("max_sub", [8, 64, 128, 256])
+def test_fused_jump_frames_wide_sublane_hook_bit_equal(max_sub):
+    """The `max_sub` static arg (the width-sweep A/B hook — production stays
+    at 32; docs/DESIGN.md round 5) must be bit-equal at every width,
+    including widths that shrink the VMEM diagonal block (_k_for: sub=256 ->
+    K=16 at n1=128) and batches the width doesn't divide (fall back to the
+    widest power of two that does)."""
+    rng = np.random.default_rng(31)
+    b, n_max, m_max = 64, 17, 47
+    x = rng.normal(size=(b, n_max, m_max)).astype(np.float32)
+    n = rng.integers(1, n_max + 1, size=(b,)).astype(np.int32)
+    m = rng.integers(1, m_max + 1, size=(b,)).astype(np.int32)
+    ref = np.asarray(dtw_pallas.dtw_jump_frames_pallas(
+        jnp.asarray(x), jnp.asarray(n), jnp.asarray(m), interpret=True))
+    got = np.asarray(dtw_pallas.dtw_jump_frames_pallas(
+        jnp.asarray(x), jnp.asarray(n), jnp.asarray(m), interpret=True,
+        max_sub=max_sub))
+    np.testing.assert_array_equal(ref, got)
+
+
 @pytest.mark.slow
 def test_fused_jump_frames_kernel_probe_scale_shapes():
     """Probe-scale shape: token rows crossing the 128-lane tile boundary

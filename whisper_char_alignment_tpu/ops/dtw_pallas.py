@@ -23,21 +23,48 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# utterances per kernel instance: they ride the VPU sublanes, so wider = more
-# data-parallel lanes per diagonal step (a (32, N1) f32 op is 4 sublane tiles
-# issued by ONE instruction stream vs 4 sequential 8-wide grid groups).
-# Capped at 32 and rounded to the 8-sublane tile; small batches stay narrow.
-_MAX_SUB = 32
+# utterances per kernel instance: they ride the VPU sublanes. 8 -> 32 was a
+# measured win (round 3); widths beyond 32 are NOT (round-5 chunk sweep:
+# 64 neutral, 128/256 +12/+19% — halving the sequential step count changes
+# nothing, so the kernel is bound by the width-invariant VPU recurrence work,
+# not per-step overhead; the bf16-stream A/B bounds HBM at ~8% of chunk time).
+# Default from WCA_DTW_MAX_SUB; `max_sub` stays a static arg as the A/B hook
+# (scripts/profile_probe_dtw.py). Rounded to the 8-sublane tile; small
+# batches stay narrow.
 
 
-def _sub_for(b: int) -> int:
-    # largest width in {32, 16, 8} that divides the 8-rounded batch: b=33
-    # pads to 40 and runs 8-wide (5 groups) rather than padding to 64 rows
+def _max_sub_default() -> int:
+    import os
+
+    return int(os.environ.get("WCA_DTW_MAX_SUB", "32"))
+
+
+def _sub_for(b: int, max_sub: int | None = None) -> int:
+    # largest power-of-two width in [8, max_sub] that divides the 8-rounded
+    # batch: b=33 pads to 40 and runs 8-wide (5 groups) rather than padding
+    # to 64 rows
+    if max_sub is None:
+        max_sub = _max_sub_default()
     b8 = ((b + 7) // 8) * 8
-    for width in (_MAX_SUB, 16, 8):
-        if b8 % width == 0:
-            return width
-    return 8
+    width = max(8, 1 << (max_sub.bit_length() - 1))
+    while width > 8 and b8 % width != 0:
+        width //= 2
+    return width
+
+
+# VMEM budget per streamed block (input diagonals / trace out), bytes. Blocks
+# are double-buffered by the Pallas pipeline, and the wavefront holds an input
+# AND an output block live: ~4x this figure in VMEM (~16 MB/core) plus the
+# (SUB, N1) f32 scratch diagonals.
+_BLOCK_BYTES = 2 * 1024 * 1024
+
+
+def _k_for(sub: int, n1: int) -> int:
+    """Diagonals per grid step: the round-4 fixed 64 when it fits the block
+    budget, shrunk (to an 8-multiple, >= 8) as SUB widens so the streamed
+    (K, SUB, N1) i32/f32 blocks stay within VMEM."""
+    k = min(64, _BLOCK_BYTES // (sub * n1 * 4))
+    return max(8, (k // 8) * 8)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -55,9 +82,6 @@ def _skew_batch(x: jax.Array) -> jax.Array:
     valid = (i_idx < n) & (j_idx >= 0) & (j_idx < m)
     gathered = x[:, jnp.clip(i_idx, 0, n - 1), jnp.clip(j_idx, 0, m - 1)]
     return jnp.where(valid[None], gathered, 0.0)
-
-
-_DIAG_BLOCK = 64  # diagonals processed per grid step (one DMA'd chunk)
 
 
 def _dtw_kernel(xs_ref, trace_ref, prev_ref, prev2_ref, m_max_ref=None):
@@ -88,15 +112,16 @@ def _dtw_kernel(xs_ref, trace_ref, prev_ref, prev2_ref, m_max_ref=None):
         t = jnp.where((c0 < c1) & (c0 < c2), 0,
                       jnp.where((c1 < c0) & (c1 < c2), 1, 2)).astype(jnp.int32)
         c = jnp.where(t == 0, c0, jnp.where(t == 1, c1, c2))
-        xval = shift(xs_ref[0, k], 0.0)  # x at (i, j) = xs_d[i - 1]
+        # xs may stream as bf16 (half the diagonal read; see the probe A/B in
+        # scripts/profile_probe_dtw.py) — upcast BEFORE the rotate (Mosaic has
+        # no sub-32-bit dynamic_rotate) and accumulate the cost in f32 always
+        xval = shift(xs_ref[0, k].astype(jnp.float32), 0.0)  # x at (i, j)
         grid_d = d0 + k + 2  # cells on grid diagonal i + j
         j_vec = grid_d - lane
         valid = (lane >= 1) & (j_vec >= 1)
         if m_bound is not None:
             valid = valid & (j_vec <= m_bound)
-        # xs may stream as bf16 (half the diagonal read; see the probe A/B in
-        # scripts/profile_probe_dtw.py) — accumulate the cost in f32 always
-        cur = jnp.where(valid, xval.astype(jnp.float32) + c, inf)
+        cur = jnp.where(valid, xval + c, inf)
         trace_ref[0, k] = jnp.where(valid, t, -1)
         return cur, prev
 
@@ -106,26 +131,27 @@ def _dtw_kernel(xs_ref, trace_ref, prev_ref, prev2_ref, m_max_ref=None):
     prev2_ref[:] = prev2
 
 
-def _dtw_trace_raw(x: jax.Array, interpret: bool = False):
+def _dtw_trace_raw(x: jax.Array, interpret: bool = False,
+                   max_sub: int | None = None):
     """Run the wavefront kernel and return its NATIVE (groups, D_pad, SUB, N1)
-    int32 trace plus the (sub, d_pad) layout — shared by the public transposed
-    API below and the fused backtrace kernel (which consumes this layout
-    directly, skipping the 2x-trace-size transpose + int8 convert)."""
+    int32 trace plus the (sub, d_pad, k) layout — shared by the public
+    transposed API below and the fused backtrace kernel (which consumes this
+    layout directly, skipping the 2x-trace-size transpose + int8 convert)."""
     b, n, m = x.shape
-    sub = _sub_for(b)
+    sub = _sub_for(b, max_sub)
     b_pad = _round_up(b, sub)
     if b_pad != b:
         x = jnp.pad(x, ((0, b_pad - b), (0, 0), (0, 0)))
     xs = _skew_batch(x)  # (B_pad, D, N1)
     _, d, n1 = xs.shape
-    d_pad = _round_up(d, _DIAG_BLOCK)
+    k = _k_for(sub, n1)
+    d_pad = _round_up(d, k)
     if d_pad != d:
         xs = jnp.pad(xs, ((0, 0), (0, d_pad - d), (0, 0)))
     groups = b_pad // sub
     # group layout: (G, D, SUB, N1) so a block's last two dims are (SUB, N1)
     xs_g = jnp.transpose(xs.reshape(groups, sub, d_pad, n1), (0, 2, 1, 3))
     m_bound = jnp.full((1,), m, jnp.int32)
-    k = _DIAG_BLOCK
 
     def kernel_with_m(m_ref, xs_ref, trace_ref, prev_ref, prev2_ref):
         _dtw_kernel(xs_ref, trace_ref, prev_ref, prev2_ref, m_max_ref=m_ref)
@@ -148,7 +174,7 @@ def _dtw_trace_raw(x: jax.Array, interpret: bool = False):
         out_shape=jax.ShapeDtypeStruct((groups, d_pad, sub, n1), jnp.int32),
         interpret=interpret,
     )(m_bound, xs_g)
-    return out, sub, d_pad
+    return out, sub, d_pad, k
 
 
 def _backtrace_kernel(nm_ref, trace_ref, jump_ref, i_ref, dn_ref, done_ref):
@@ -218,9 +244,10 @@ def _backtrace_kernel(nm_ref, trace_ref, jump_ref, i_ref, dn_ref, done_ref):
         done_ref[:] = done
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+@functools.partial(jax.jit, static_argnames=("interpret", "max_sub"))
 def dtw_jump_frames_pallas(x: jax.Array, n: jax.Array, m: jax.Array,
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           max_sub: int | None = None) -> jax.Array:
     """Fused wavefront + backtrace: (B, N, M) f32 costs -> (B, N+1) int32 jump
     frames, bit-equal to ``dtw.dtw_jump_frames_batch`` over the scan trace.
 
@@ -233,10 +260,10 @@ def dtw_jump_frames_pallas(x: jax.Array, n: jax.Array, m: jax.Array,
     happen — the trace is read exactly once, in layout. Measured ~6x on the
     probe's 1024-row chunk shape (docs/DESIGN.md round-4 revision)."""
     b, n_rows, m_cols = x.shape
-    trace_g, sub, d_pad = _dtw_trace_raw(x, interpret=interpret)
+    trace_g, sub, d_pad, k = _dtw_trace_raw(x, interpret=interpret,
+                                            max_sub=max_sub)
     groups = trace_g.shape[0]
     n1 = trace_g.shape[3]
-    k = _DIAG_BLOCK
     b_pad = groups * sub
     nv = jnp.zeros((b_pad,), jnp.int32).at[:b].set(n.astype(jnp.int32))
     mv = jnp.zeros((b_pad,), jnp.int32).at[:b].set(m.astype(jnp.int32))
@@ -271,8 +298,9 @@ def dtw_jump_frames_pallas(x: jax.Array, n: jax.Array, m: jax.Array,
     return jnp.where(row_ids[None, :] < n[:, None].astype(jnp.int32), jump, -1)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def dtw_trace_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
+@functools.partial(jax.jit, static_argnames=("interpret", "max_sub"))
+def dtw_trace_pallas(x: jax.Array, interpret: bool = False,
+                     max_sub: int | None = None) -> jax.Array:
     """Batched DTW trace: x (B, N, M) f32 cost -> trace diagonals (B, D, N1_pad)
     int32 with trace[b, i, j] == out[b, i + j - 2, i] for interior cells.
 
@@ -281,7 +309,8 @@ def dtw_trace_pallas(x: jax.Array, interpret: bool = False) -> jax.Array:
     """
     b, n, m = x.shape
     d = n + m - 1
-    out, sub, d_pad = _dtw_trace_raw(x, interpret=interpret)
+    out, sub, d_pad, _ = _dtw_trace_raw(x, interpret=interpret,
+                                        max_sub=max_sub)
     groups = out.shape[0]
     n1 = out.shape[3]
     out = jnp.transpose(out, (0, 2, 1, 3)).reshape(groups * sub, d_pad, n1)
