@@ -26,8 +26,16 @@ Prints ONE JSON line on stdout; logs on stderr.
 
 Usage:
   python scripts/calibrate_kv_guard.py --test_model            # offline smoke
+  python scripts/calibrate_kv_guard.py --rehearse --mode both  # asset-day dry run
   WCA_CHECKPOINT=medium.npz python scripts/calibrate_kv_guard.py \
       --model medium --scp timit_test.scp --dataset TIMIT
+
+--rehearse serializes a random tiny checkpoint in the REAL formats (OpenAI
+.pt zip-pickle + tokenizer dir, scripts/rehearse_asset_day.make_assets) and
+loads it through the production --checkpoint/--tokenizer_dir path before
+calibrating — the asset-day procedure end-to-end, so the day real weights
+arrive only the weight VALUES are new (VERDICT r04: "the calibration
+procedure can still be rehearsed on the synthetic-asset fixture").
 """
 
 import argparse
@@ -62,6 +70,10 @@ def main():
     ap.add_argument("--model", default="medium")
     ap.add_argument("--test_model", action="store_true",
                     help="offline smoke: tiny random model + synthetic corpus")
+    ap.add_argument("--rehearse", action="store_true",
+                    help="asset-day dry run: real-format synthetic assets "
+                         "loaded through the production checkpoint/tokenizer "
+                         "path (see module docstring)")
     ap.add_argument("--scp", default=None,
                     help="corpus scp (default: a synthetic TIMIT-style one)")
     ap.add_argument("--dataset", default="TIMIT")
@@ -88,7 +100,24 @@ def main():
         pad_or_trim
     from whisper_char_alignment_tpu import constants
 
-    if args.test_model:
+    if args.rehearse:
+        import rehearse_asset_day
+        from whisper_char_alignment_tpu.text.bpe import ByteBPE, toy_ranks
+        from whisper_char_alignment_tpu.text.tokenizer import WhisperTokenizer
+
+        # the tokenizer-dir tokenizer's vocab must equal the checkpoint's
+        n_vocab = WhisperTokenizer(ByteBPE(toy_ranks())).n_vocab
+        rdims = tiny_test_dims(n_vocab=n_vocab, n_audio_ctx=96, n_text_ctx=64,
+                               state=16, head=2, layers=2)
+        asset_dir = tempfile.mkdtemp(prefix="wca_calib_assets_")
+        assets = rehearse_asset_day.make_assets(asset_dir, rdims)
+        log(f"rehearsal assets (real formats): {assets}")
+        ns = argparse.Namespace(model=args.model, test_model=False,
+                                checkpoint=assets["pt"],
+                                tokenizer_dir=assets["tokenizer_dir"])
+        params, dims, tok = common.load_model_and_tokenizer(ns)
+        dtype = jnp.float32
+    elif args.test_model:
         from whisper_char_alignment_tpu.text.tokenizer import get_test_tokenizer
 
         tok = get_test_tokenizer()
@@ -180,6 +209,8 @@ def main():
     print(json.dumps({
         "metric": f"kv_{args.mode}_guard_calibration",
         "mode": args.mode,
+        "source": ("rehearsal-assets" if args.rehearse
+                   else "test_model" if args.test_model else args.model),
         "recommended_guard_margin": round(float(bound), 4),
         "basis": basis,
         "n_utts": n_total,

@@ -85,6 +85,40 @@ def test_rehearsal_medium_shaped(reh, tmp_path):
     assert n_fail == 0
 
 
+@pytest.mark.slow
+def test_guard_calibration_rehearsal_through_asset_path():
+    """The guard-margin calibration PROCEDURE rehearsed on the asset-day
+    fixture (VERDICT r04 weak item): scripts/calibrate_kv_guard.py --rehearse
+    serializes real-format assets, loads them through the production
+    --checkpoint/--tokenizer_dir path, decodes exact-vs-guarded, and emits
+    the calibration artifact. Asserts the artifact's schema and that the
+    margin statistics are real (measured, finite, ordered)."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "calibrate_kv_guard.py"),
+         "--rehearse", "--mode", "both", "--n_utts", "8", "--batch_size", "4",
+         "--decode_len", "8"],
+        capture_output=True, text=True, env=env, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    art = json.loads(out.stdout.strip().splitlines()[-1])
+    assert art["metric"] == "kv_both_guard_calibration"
+    assert art["source"] == "rehearsal-assets"
+    assert art["n_utts"] == 8
+    assert art["recommended_guard_margin"] > 0
+    assert 0.0 <= art["flip_rate_unguarded"] <= 1.0
+    assert 0.0 <= art["predicted_flag_rate"] <= 1.0
+    pct = art["margin_percentiles"]
+    vals = [pct[k] for k in ("1", "5", "25", "50")]
+    assert all(np.isfinite(v) and v >= 0 for v in vals)
+    assert vals == sorted(vals)
+    # the production loader path really ran (real-format assets created)
+    assert "rehearsal assets (real formats)" in out.stderr
+
+
 def test_twin_medfilt_matches_production(reh):
     """The twin's reflect-pad frame medfilt must equal the production masked
     median filter on full-width rows (both implement whisper.timing
