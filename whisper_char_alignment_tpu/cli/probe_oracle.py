@@ -283,8 +283,11 @@ def infer_dataset(args) -> dict:
 
             # the hit threshold indexes the FULL ascending order: the
             # reference's scores[-hit_within] is the hit_within-th highest
-            # overall (its 360-entry list shares that tail with the full one)
-            if best_saliency > flat[order][-args.hit_within]:
+            # overall (its 360-entry list shares that tail with the full
+            # one). Clamped to the head count: hit_within >= all heads means
+            # "within the top-everything" (always a hit) instead of an
+            # IndexError on models with < hit_within total heads
+            if best_saliency > flat[order][max(-args.hit_within, -flat.size)]:
                 state["if_include_best"] += 1
 
             if not args.strict:
