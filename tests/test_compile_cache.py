@@ -7,6 +7,13 @@ CPU *model*, not the flags) — the old flags-only tag collided and the fast
 tier aborted (SIGABRT) executing a cross-host AOT blob inside
 dryrun_multichip. The tag must therefore cover the full CPU identity block
 and the jaxlib version.
+
+Round-5 incident: even the FULL /proc/cpuinfo identity block collided — two
+fleet VMs presented byte-identical cpuinfo while their physical CPUID
+differed, and a foreign AOT entry SIGSEGV'd the suite inside jax's cache
+deserialization (compilation_cache.get_executable_and_time). The tag now
+leads with the raw CPUID feature leaves + XCR0 read by cpp/hostid.cc — the
+same source LLVM's host detection uses.
 """
 
 import hashlib
@@ -26,7 +33,7 @@ def test_tag_is_stable_and_hexish():
 def test_tag_covers_model_identity_not_just_flags():
     """Two hosts with identical flags but different model/stepping/microcode
     must get different cache dirs (the exact round-4 collision)."""
-    sig_parts = []
+    sig_parts = [compile_cache._cpuid_fingerprint()]
     with open("/proc/cpuinfo") as f:
         block = []
         for line in f:
@@ -47,6 +54,31 @@ def test_tag_covers_model_identity_not_just_flags():
     joined = "\n".join(sig_parts + [f"jaxlib={jaxlib.__version__}"])
     assert compile_cache.cpu_cache_tag() == hashlib.sha1(
         joined.encode()).hexdigest()[:12]
+
+
+def test_tag_leads_with_raw_cpuid(monkeypatch):
+    """The round-5 collision: identical /proc/cpuinfo, different physical
+    CPUID. The fingerprint must be present on x86 and load-bearing — a
+    different CPUID dump must roll the tag (and so the cache dir)."""
+    fp = compile_cache._cpuid_fingerprint()
+    import platform
+
+    if platform.machine() in ("x86_64", "i686"):
+        assert fp.startswith("cpuid=")
+        # real leaf data, not an empty dump: vendor leaf 0 is present
+        assert len(fp.split(",")) >= 24
+    base = compile_cache.cpu_cache_tag()
+    monkeypatch.setattr(compile_cache, "_cpuid_fingerprint",
+                        lambda: "cpuid=deadbeef")
+    assert compile_cache.cpu_cache_tag() != base
+
+
+def test_fingerprint_failure_degrades_to_cpuinfo_tag(monkeypatch):
+    """No compiler / non-x86: the fingerprint is '' and the tag still works
+    (cold cache at worst, never an exception)."""
+    monkeypatch.setattr(compile_cache, "_cpuid_fingerprint", lambda: "")
+    t = compile_cache.cpu_cache_tag()
+    assert re.fullmatch(r"[0-9a-f]{12}", t)
 
 
 def test_flags_only_signature_would_collide():

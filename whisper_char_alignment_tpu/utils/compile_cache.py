@@ -12,14 +12,26 @@ target features were not — the old tag hashed only the flags line and
 collided).
 
 The tag therefore hashes every host-identity field that feeds LLVM's target
-detection (vendor/family/model/stepping/model-name/microcode — virtual
-machines with identical feature masks still differ here when the hypervisor
-exposes a different CPU model, which is exactly what changes XLA's
-`prefer-no-gather`-style tuning features) plus the flags line and the jaxlib
-version (the AOT format is jaxlib-internal). Anything unparseable degrades to
-the empty string — worst case a cold cache, never a cross-host hit.
+detection, from TWO sources:
+
+- **Raw CPUID + XCR0** (``cpp/hostid.cc`` via ctypes) — the same leaves
+  LLVM's runtime host detection reads. This is the load-bearing component:
+  round 5 observed two fleet VMs with byte-identical ``/proc/cpuinfo``
+  identity blocks whose XLA-detected target features differed
+  (``+prefer-no-scatter``/``+prefer-no-gather`` tuning plus ISA deltas); an
+  entry written by one host SIGSEGV'd inside jax's cache deserialization on
+  the other, crashing the suite mid-run. ``/proc/cpuinfo`` is fully
+  hypervisor-virtualized and CANNOT distinguish such hosts.
+- ``/proc/cpuinfo`` identity fields (vendor/family/model/stepping/model-name/
+  microcode/flags) as the fallback when the native helper is unavailable
+  (no compiler, non-x86), plus the jaxlib version (the AOT format is
+  jaxlib-internal).
+
+Anything unparseable degrades to the empty string — worst case a cold cache,
+never a cross-host hit.
 """
 
+import ctypes
 import hashlib
 import os
 
@@ -27,9 +39,28 @@ _ID_FIELDS = ("vendor_id", "cpu family", "model", "model name", "stepping",
               "microcode", "flags")
 
 
+def _cpuid_fingerprint() -> str:
+    """Hex dump of the raw CPUID feature leaves + XCR0 (cpp/hostid.cc), or ''
+    when the native helper can't be built/loaded."""
+    try:
+        from . import native as native_lib
+
+        lib = native_lib.load("hostid.cc", "libhostid.so")
+        if lib is None:
+            return ""
+        lib.hostid_cpuid.restype = ctypes.c_int
+        lib.hostid_cpuid.argtypes = [ctypes.POINTER(ctypes.c_uint32),
+                                     ctypes.c_int]
+        buf = (ctypes.c_uint32 * 128)()
+        n = lib.hostid_cpuid(buf, len(buf))
+        return "cpuid=" + ",".join(f"{buf[i]:08x}" for i in range(max(0, n)))
+    except Exception:
+        return ""
+
+
 def cpu_cache_tag() -> str:
     """A 12-hex tag identifying (host CPU identity, jaxlib version)."""
-    parts = []
+    parts = [_cpuid_fingerprint()]
     try:
         with open("/proc/cpuinfo") as f:
             block = []
