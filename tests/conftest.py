@@ -35,9 +35,11 @@ if not os.environ.get("WCA_TEST_TPU"):
 # warm runs of the fast tier (`pytest -m "not slow"`) reuse them. Subprocess
 # tests (bench smoke, multihost) set their own cache dir. The dir is keyed by
 # the host CPU identity + jaxlib version (utils/compile_cache.py has the
-# full rationale): XLA:CPU AOT executables compiled on a different host can
-# SIGILL/SIGABRT mid-suite when loaded here, so a cache written on one fleet
-# host must never be read on another.
+# full rationale): XLA:CPU AOT executables are host-specific, so as
+# defense-in-depth a cache written on one fleet host is never read on
+# another. (The r4/r5 full-suite crashes originally attributed to cross-host
+# entries turned out to be vm.max_map_count exhaustion — see
+# utils/hostmaps.py and the _bound_host_mappings fixture below.)
 if not os.environ.get("WCA_TEST_NO_CACHE"):
     if os.environ.get("WCA_TEST_TPU"):
         # on the real chip, share the cache every TPU script uses — the
@@ -56,6 +58,25 @@ if not os.environ.get("WCA_TEST_NO_CACHE"):
 
 
 import pytest
+
+
+@pytest.fixture(autouse=True)
+def _bound_host_mappings():
+    """Keep the suite's VM mapping count under the kernel's vm.max_map_count.
+
+    Every XLA:CPU executable holds per-kernel anon mappings; one pytest
+    process compiling ~450 tests' worth of distinct programs crosses the
+    65530 default ceiling near the end of the full suite, after which mmap
+    ENOMEM SIGSEGVs the process inside jax's cache deserialization (the
+    r4/r5 "tiers pass alone, full suite dies" incidents — root-caused round 5
+    by sampling /proc/self/maps to 59,689 right before the crash). Clearing
+    jax's caches releases the mappings; do it only when close to the ceiling
+    so warm executables are kept the rest of the time."""
+    yield
+    from whisper_char_alignment_tpu.utils.hostmaps import \
+        clear_jax_caches_if_crowded
+
+    clear_jax_caches_if_crowded()
 
 
 @pytest.fixture(autouse=True)

@@ -8,12 +8,13 @@ tier aborted (SIGABRT) executing a cross-host AOT blob inside
 dryrun_multichip. The tag must therefore cover the full CPU identity block
 and the jaxlib version.
 
-Round-5 incident: even the FULL /proc/cpuinfo identity block collided — two
-fleet VMs presented byte-identical cpuinfo while their physical CPUID
-differed, and a foreign AOT entry SIGSEGV'd the suite inside jax's cache
-deserialization (compilation_cache.get_executable_and_time). The tag now
-leads with the raw CPUID feature leaves + XCR0 read by cpp/hostid.cc — the
-same source LLVM's host detection uses.
+Round 5 added a raw-CPUID fingerprint (cpp/hostid.cc) in front of the
+cpuinfo fields: CPUID is what LLVM's host detection actually reads, so the
+tag follows the physical CPU even where a hypervisor virtualizes cpuinfo.
+NOTE the incident that motivated it was later root-caused to
+vm.max_map_count exhaustion, not cache poisoning (see utils/hostmaps.py);
+the CPUID keying stays as defense-in-depth and these tests pin its
+contract, not a crash fix.
 """
 
 import hashlib

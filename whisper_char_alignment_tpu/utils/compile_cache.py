@@ -15,13 +15,9 @@ The tag therefore hashes every host-identity field that feeds LLVM's target
 detection, from TWO sources:
 
 - **Raw CPUID + XCR0** (``cpp/hostid.cc`` via ctypes) — the same leaves
-  LLVM's runtime host detection reads. This is the load-bearing component:
-  round 5 observed two fleet VMs with byte-identical ``/proc/cpuinfo``
-  identity blocks whose XLA-detected target features differed
-  (``+prefer-no-scatter``/``+prefer-no-gather`` tuning plus ISA deltas); an
-  entry written by one host SIGSEGV'd inside jax's cache deserialization on
-  the other, crashing the suite mid-run. ``/proc/cpuinfo`` is fully
-  hypervisor-virtualized and CANNOT distinguish such hosts.
+  LLVM's runtime host detection reads, so the tag follows the physical truth
+  even where a hypervisor virtualizes ``/proc/cpuinfo`` identically across
+  differing hosts.
 - ``/proc/cpuinfo`` identity fields (vendor/family/model/stepping/model-name/
   microcode/flags) as the fallback when the native helper is unavailable
   (no compiler, non-x86), plus the jaxlib version (the AOT format is
@@ -29,6 +25,29 @@ detection, from TWO sources:
 
 Anything unparseable degrades to the empty string — worst case a cold cache,
 never a cross-host hit.
+
+Round-5 correction (important for future debugging): a full-suite SIGSEGV
+inside ``compilation_cache.get_executable_and_time`` was initially blamed on
+cross-host entries under this key, because the cache's ``cpu_aot_loader``
+logs showed entries with ``+prefer-no-scatter``/``+prefer-no-gather`` target
+features "not supported on the host machine". Both parts of that theory were
+subsequently DISPROVEN on this image:
+
+- That E-log is benign self-noise. XLA's compile path appends tuning
+  features to the serialized attribute list that LLVM's host detection never
+  reports, so the loader's comparison warns for EVERY persistent-cache load —
+  verified by writing an entry and re-loading it in the same process on the
+  same host (the warning fired for our own seconds-old entry).
+- The SIGSEGV was ``vm.max_map_count`` exhaustion: every live XLA:CPU
+  executable holds per-kernel anon mappings, the full suite crosses the
+  65530 kernel ceiling near its end (sampled 59,689 right before a
+  reproduced crash), mmap ENOMEMs, and an unchecked LLVM allocation-failure
+  path segfaults during cache deserialization. Fixed by utils/hostmaps.py +
+  the conftest ``_bound_host_mappings`` fixture, not by this key.
+
+The CPUID keying stays as cheap defense-in-depth (a genuinely foreign AOT
+blob would still be an arbitrary-crash hazard), but it is not load-bearing
+for any incident observed so far.
 """
 
 import ctypes
