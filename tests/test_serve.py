@@ -264,6 +264,28 @@ def test_timed_out_request_is_withdrawn_from_queue():
         b.close()
 
 
+def test_batcher_loop_checks_host_mapping_guard(monkeypatch):
+    """The dispatcher must invoke the VM-mapping guard once per launch: a
+    long-lived server whose clients vary decode options compiles unboundedly
+    many signatures and would otherwise segfault past vm.max_map_count
+    (utils/hostmaps.py post-mortem)."""
+    from whisper_char_alignment_tpu.cli import serve as serve_mod
+    from whisper_char_alignment_tpu.cli.serve import AlignBatcher
+
+    calls = []
+    monkeypatch.setattr(serve_mod.hostmaps, "clear_jax_caches_if_crowded",
+                        lambda *a, **k: calls.append(1) or False)
+    model = api.test_model()
+    b = AlignBatcher(model, np.float32, batch_size=1, linger_ms=0.0,
+                     device_lock=threading.Lock())
+    try:
+        b.submit(np.zeros(1600, np.float32), ("char", "topk", 3, 3),
+                 timeout=300)
+    finally:
+        b.close()
+    assert calls, "guard not called after a batch launch"
+
+
 @pytest.mark.slow
 def test_batcher_stress_mixed_keys_and_clients(server, srv_obj):
     """Soak the micro-batcher: 24 requests across 8 client threads and two

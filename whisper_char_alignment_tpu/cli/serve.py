@@ -49,6 +49,7 @@ from .. import api
 from ..config import AlignConfig
 from ..data.dataset import Utterance
 from ..runner import AlignmentPipeline
+from ..utils import hostmaps
 from . import common
 
 _TRUE = ("1", "true", "True", "yes")
@@ -187,6 +188,14 @@ class _MicroBatcher:
                 for r in batch:
                     r.error = e
                     r.event.set()
+            # A long-lived server whose clients vary decode options/shapes
+            # compiles unboundedly many signatures; each live XLA executable
+            # holds per-kernel VM mappings and the process segfaults past the
+            # kernel's vm.max_map_count (utils/hostmaps.py has the full
+            # post-mortem). Check once per launch, off the request path —
+            # clearing near the ceiling trades one warm-cache reload for not
+            # crashing the server.
+            hostmaps.clear_jax_caches_if_crowded()
 
 
 class AlignBatcher(_MicroBatcher):
