@@ -405,37 +405,16 @@ def default_bucket_guard_margin() -> float:
                                 DEFAULT_BUCKET_GUARD_MARGIN))
 
 
-def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
-           options: Optional[DecodingOptions] = None,
-           compute_dtype=jnp.float32,
-           kv_frames: Optional[int] = None,
-           kv_int8: bool = False,
-           kv_int8_guard: Optional[float] = None,
-           kv_frames_guard: Optional[float] = None,
-           return_xa: bool = False,
-           return_cross_kv: bool = False,
-           async_results: bool = False,
-           rng: Optional[jax.Array] = None):
-    """Transcribe a batch of mels. mel: (B, n_mels, 2*n_audio_ctx) or single
-    (n_mels, frames). Returns one DecodingResult per utterance (a single result
-    for unbatched input, like the published API). With ``return_xa=True``
-    returns ``(results, xa)`` where xa are the (device) encoder states, for
-    reuse by the alignment capture pass; ``return_cross_kv=True`` additionally
-    appends the loop's cross-attention K/V stacks (``(results, xa, cross_kv)``)
-    so the capture pass can skip the K/V projections too — only reusable in the
-    parity-true configuration (no kv_frames slicing, no int8). With
-    ``async_results=True`` the results slot holds a :class:`DecodeFuture`
-    (call ``.result()``) and no host sync happens in this call.
+def _decode_plan(params, dims: ModelDims, tokenizer, mel: jax.Array,
+                 options: Optional[DecodingOptions], compute_dtype):
+    """Host-side decode setup shared by :func:`decode` and
+    :func:`decode_speculative`: language detection, the published initial
+    token sequence (sot/prefix/prompt trimming quirks), sample_len clamping,
+    suppress/blank masks, and DecodingTask._verify_options validation.
 
-    Guards: ``kv_int8_guard`` / ``kv_frames_guard`` (logit-margin thresholds)
-    turn the corresponding speedup into a transcript-parity mode — each
-    sampled step's top1-top2 filtered-logit margin is tracked, and utterances
-    whose minimum margin falls below the sum of the active guards are
-    re-decoded with the guarded perturbations turned OFF (int8 → exact K/V,
-    bucketed frames → the full padded window), reusing their encoder states.
-    ``kv_int8_guard`` implies ``kv_int8``; ``kv_frames_guard`` requires
-    ``kv_frames``. An unguarded mode passed alongside a guarded one is kept
-    as-is in the re-decode (it was opted into without parity claims)."""
+    Returns (options, single, mel(B,...), detected_langs, sample_begin,
+    sample_len, sot_index, prompt_arr, suppress_mask, blank_mask,
+    max_initial_ts_index)."""
     options = options or DecodingOptions()
     single = mel.ndim == 2
     if single:
@@ -565,6 +544,47 @@ def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
             0 <= options.length_penalty <= 1):
         raise ValueError(
             "length_penalty (alpha) should be a value between 0 and 1")
+
+    return (options, single, mel, detected_langs, sample_begin, sample_len,
+            sot_index, prompt_arr, suppress_mask, blank_mask,
+            max_initial_ts_index)
+
+
+def decode(params, dims: ModelDims, tokenizer, mel: jax.Array,
+           options: Optional[DecodingOptions] = None,
+           compute_dtype=jnp.float32,
+           kv_frames: Optional[int] = None,
+           kv_int8: bool = False,
+           kv_int8_guard: Optional[float] = None,
+           kv_frames_guard: Optional[float] = None,
+           return_xa: bool = False,
+           return_cross_kv: bool = False,
+           async_results: bool = False,
+           rng: Optional[jax.Array] = None):
+    """Transcribe a batch of mels. mel: (B, n_mels, 2*n_audio_ctx) or single
+    (n_mels, frames). Returns one DecodingResult per utterance (a single result
+    for unbatched input, like the published API). With ``return_xa=True``
+    returns ``(results, xa)`` where xa are the (device) encoder states, for
+    reuse by the alignment capture pass; ``return_cross_kv=True`` additionally
+    appends the loop's cross-attention K/V stacks (``(results, xa, cross_kv)``)
+    so the capture pass can skip the K/V projections too — only reusable in the
+    parity-true configuration (no kv_frames slicing, no int8). With
+    ``async_results=True`` the results slot holds a :class:`DecodeFuture`
+    (call ``.result()``) and no host sync happens in this call.
+
+    Guards: ``kv_int8_guard`` / ``kv_frames_guard`` (logit-margin thresholds)
+    turn the corresponding speedup into a transcript-parity mode — each
+    sampled step's top1-top2 filtered-logit margin is tracked, and utterances
+    whose minimum margin falls below the sum of the active guards are
+    re-decoded with the guarded perturbations turned OFF (int8 → exact K/V,
+    bucketed frames → the full padded window), reusing their encoder states.
+    ``kv_int8_guard`` implies ``kv_int8``; ``kv_frames_guard`` requires
+    ``kv_frames``. An unguarded mode passed alongside a guarded one is kept
+    as-is in the re-decode (it was opted into without parity claims)."""
+    (options, single, mel, detected_langs, sample_begin, sample_len,
+     sot_index, prompt_arr, suppress_mask, blank_mask,
+     max_initial_ts_index) = _decode_plan(params, dims, tokenizer, mel,
+                                          options, compute_dtype)
 
     if options.beam_size is not None or options.temperature > 0:
         # beam search / temperature sampling live in models/beam.py; the greedy
@@ -736,3 +756,287 @@ def detect_language(params, dims: ModelDims, tokenizer, mel: jax.Array,
                 for j in range(len(tokenizer.all_language_codes))})
            for i, c in enumerate(codes)]
     return out[0] if single else out
+
+
+# ---------------------------------------------------------------------------
+# Speculative greedy decoding (draft model + windowed verification)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=(
+    "dims", "draft_dims", "k", "sample_begin", "max_steps", "ts_begin", "eot",
+    "no_timestamps", "no_speech", "max_initial_ts_index", "use_timestamps",
+    "compute_dtype", "sot_index", "attn_mode"))
+def _speculative_loop(params, draft_params, dims: ModelDims,
+                      draft_dims: ModelDims, mel, prompt, suppress_mask,
+                      blank_mask, *, k: int, sample_begin: int, max_steps: int,
+                      ts_begin: int, eot: int, no_timestamps: int,
+                      no_speech: Optional[int],
+                      max_initial_ts_index: Optional[int],
+                      use_timestamps: bool, compute_dtype=jnp.float32,
+                      sot_index: int = 0, attn_mode: str = "xla"):
+    """Greedy decode with a DRAFT model proposing k tokens per round and the
+    target model verifying them in ONE teacher-forced window pass
+    (wmodel.decode_window). Exact by construction: a draft token is committed
+    only when it equals the target's own filtered argmax at that position, and
+    the first disagreeing position commits the target's choice instead — so
+    the emitted sequence is bit-identical to the sequential greedy loop
+    (tests/test_speculative.py locks transcripts, logprobs, and no-speech
+    probabilities against :func:`_decode_loop` for arbitrary drafts).
+
+    The sequential-step count drops from max_steps target steps to
+    ~max_steps/(accepted+1) rounds of (k cheap draft steps + one target
+    window); with a tiny draft against a medium target the round costs about
+    one target step, so the speedup ≈ mean accepted prefix length + 1 —
+    acceptance is checkpoint/data dependent, measured on real weights
+    (scripts/profile_speculative.py gives the machine envelope).
+
+    B == 1 only (enforced by the caller): rows would accept different prefix
+    lengths and the shared-position loop deliberately has no per-row position
+    machinery. Returns (tokens (1, total), sum_lp (1,), ns_prob (1,),
+    n_steps, n_rounds, xa)."""
+    b = mel.shape[0]
+    n_vocab = dims.n_vocab
+    total = sample_begin + max_steps
+    buf = total + k + 1  # window/draft writes may run past the budget
+    vocab_ids = jnp.arange(n_vocab)
+
+    xa = wmodel.encode_audio(params, dims, mel, compute_dtype=compute_dtype,
+                             attn_mode=attn_mode)
+    cross_t = wmodel.precompute_cross_kv(params, dims, xa,
+                                         compute_dtype=compute_dtype)
+    xa_d = wmodel.encode_audio(draft_params, draft_dims, mel,
+                               compute_dtype=compute_dtype,
+                               attn_mode=attn_mode)
+    cross_d = wmodel.precompute_cross_kv(draft_params, draft_dims, xa_d,
+                                         compute_dtype=compute_dtype)
+    cache_t = wmodel.init_kv_cache(dims, b, buf, dtype=compute_dtype)
+    cache_d = wmodel.init_kv_cache(draft_dims, b, buf, dtype=compute_dtype)
+
+    # positions >= n_text_ctx have no learned embedding; windows near the
+    # budget edge may reach them (their logits are discarded by the commit
+    # clamp, but the lookup must stay in bounds). Zero-pad the tables.
+    def _pad_pos(p, need):
+        dp = dict(p["decoder"])
+        pe = dp["pos_emb"]
+        if pe.shape[0] < need:
+            dp["pos_emb"] = jnp.concatenate(
+                [pe, jnp.zeros((need - pe.shape[0], pe.shape[1]), pe.dtype)])
+        return {**p, "decoder": dp}
+
+    params_w = _pad_pos(params, buf)
+    draft_params_w = _pad_pos(draft_params, buf)
+
+    tokens0 = jnp.full((b, buf), eot, jnp.int32)
+    prompt2d = prompt if prompt.ndim == 2 else jnp.broadcast_to(
+        prompt[None], (b, sample_begin))
+    tokens0 = jax.lax.dynamic_update_slice(tokens0, prompt2d, (0, 0))
+
+    def apply_filters(logits, pos, tokens, has_ts, last_ts_tok):
+        return apply_logit_filters(
+            logits, pos, tokens, has_ts, last_ts_tok, suppress_mask,
+            blank_mask, vocab_ids, sample_begin=sample_begin,
+            ts_begin=ts_begin, eot=eot, no_timestamps=no_timestamps,
+            max_initial_ts_index=max_initial_ts_index,
+            use_timestamps=use_timestamps)
+
+    ns_prob0 = (jnp.zeros((b,), jnp.float32) if no_speech is not None
+                else jnp.full((b,), jnp.nan, jnp.float32))
+    if sample_begin >= 2:
+        # same one-pass prompt consumption as the exact loop's prefill
+        ns_at = (sot_index if (no_speech is not None
+                               and sot_index < sample_begin - 1) else None)
+        pf_logits, cache_t = wmodel.decode_prefill(
+            params_w, dims, tokens0[:, :sample_begin - 1], cache_t, cross_t,
+            compute_dtype=compute_dtype, logits_at=ns_at)
+        _, cache_d = wmodel.decode_prefill(
+            draft_params_w, draft_dims, tokens0[:, :sample_begin - 1], cache_d,
+            cross_d, compute_dtype=compute_dtype, logits_at=None)
+        if ns_at is not None:
+            ns_prob0 = jax.nn.softmax(pf_logits, axis=-1)[:, no_speech]
+
+    def cond(state):
+        return (state[0] < total) & ~jnp.all(state[4])
+
+    def body(state):
+        (L, tokens, cache_t, cache_d, finished, sum_lp, has_ts, last_ts_tok,
+         ns_prob, n_rounds) = state
+
+        # --- draft phase: k cheap autoregressive steps, filters applied so
+        # the draft plays the same game the verifier scores ---
+        def draft_step(j, carry):
+            tokens, cache_d, d_has, d_last = carry
+            pos = L - 1 + j
+            tok_in = jax.lax.dynamic_slice(tokens, (0, pos), (b, 1))
+            lg, cache_d = wmodel.decode_step(
+                draft_params_w, draft_dims, tok_in, pos, cache_d, cross_d,
+                compute_dtype=compute_dtype, cross_mode="xla")
+            f = apply_filters(lg, pos + 1, tokens, d_has, d_last)
+            d_tok = jnp.argmax(f, axis=-1).astype(jnp.int32)
+            is_ts = d_tok >= ts_begin
+            d_has = d_has | is_ts
+            d_last = jnp.where(is_ts, d_tok, d_last)
+            tokens = jax.lax.dynamic_update_slice(tokens, d_tok[:, None],
+                                                  (0, pos + 1))
+            return tokens, cache_d, d_has, d_last
+
+        tokens, cache_d, _, _ = jax.lax.fori_loop(
+            0, k, draft_step, (tokens, cache_d, has_ts, last_ts_tok))
+
+        # --- verify phase: ONE target pass over [t_{L-1}, d_0 .. d_{k-1}] ---
+        window = jax.lax.dynamic_slice(tokens, (0, L - 1), (b, k + 1))
+        logits_w, cache_t = wmodel.decode_window(
+            params_w, dims, window, L - 1, cache_t, cross_t,
+            compute_dtype=compute_dtype, cross_mode="xla")
+
+        if no_speech is not None:
+            # the in-loop probe fires only when the prompt is too short for
+            # the prefill to cover sot_index (mirrors the exact loop)
+            ns_prob = jax.lax.cond(
+                L == sot_index + 1,
+                lambda lg: jax.nn.softmax(lg, axis=-1)[:, no_speech],
+                lambda lg: ns_prob, logits_w[:, 0])
+
+        # --- filter scan: the target's own greedy choice at each window
+        # position, teacher-forced along the drafted prefix ---
+        def verify_step(carry, lg_j):
+            jj, s_has, s_last = carry
+            pos = L + jj
+            f = apply_filters(lg_j, pos, tokens, s_has, s_last)
+            g = jnp.argmax(f, axis=-1).astype(jnp.int32)
+            lp = f.max(axis=-1) - jax.scipy.special.logsumexp(f, axis=-1)
+            d_tok = tokens[:, jnp.minimum(pos, buf - 1)]
+            # evolve with g: below the first mismatch g == draft, and later
+            # positions are discarded, so this walks the committed sequence
+            is_ts = g >= ts_begin
+            s_has2 = s_has | is_ts
+            s_last2 = jnp.where(is_ts, g, s_last)
+            return ((jj + 1, s_has2, s_last2),
+                    (g, g == d_tok, lp, s_has2, s_last2))
+
+        _, (g, match, lp, hs, ls) = jax.lax.scan(
+            verify_step, (jnp.int32(0), has_ts, last_ts_tok),
+            logits_w.transpose(1, 0, 2))
+        g = g[:, 0]           # (k+1,) — b == 1
+        match = match[:, 0]
+        lp = lp[:, 0]
+
+        # --- acceptance: longest matching draft prefix + the target's own
+        # token at the first mismatch (or the bonus token when all k match) ---
+        no_match = ~match.at[k].set(False)  # row k always commits the target
+        m = jnp.argmax(no_match).astype(jnp.int32)  # first mismatch index
+        is_eot = (g == eot) & (jnp.arange(k + 1) <= m)
+        any_eot = jnp.any(is_eot)
+        e = jnp.where(any_eot, jnp.argmax(is_eot), m).astype(jnp.int32)
+        c = jnp.minimum(e + 1, total - L)  # committed count this round
+        finished2 = finished | (any_eot & (e + 1 <= total - L))
+
+        # write the corrected/bonus token at its position (safe even when the
+        # commit clamp cut earlier: positions >= L+c are masked to eot at the
+        # end and never read as committed state)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, g[e][None, None], (0, L + e))
+        commit = jnp.arange(k + 1) < c
+        sum_lp = sum_lp + jnp.sum(jnp.where(commit, lp, 0.0))[None]
+        has_ts = hs[c - 1]
+        last_ts_tok = ls[c - 1]
+        return (L + c, tokens, cache_t, cache_d, finished2, sum_lp, has_ts,
+                last_ts_tok, ns_prob, n_rounds + 1)
+
+    state = (jnp.int32(sample_begin), tokens0, cache_t, cache_d,
+             jnp.zeros((b,), bool), jnp.zeros((b,), jnp.float32),
+             jnp.zeros((b,), bool), jnp.zeros((b,), jnp.int32), ns_prob0,
+             jnp.int32(0))
+    (L, tokens, _, _, finished, sum_lp, _, _, ns_prob,
+     n_rounds) = jax.lax.while_loop(cond, body, state)
+    # uncommitted draft/window residue past the final position -> eot
+    tokens = jnp.where(jnp.arange(buf)[None, :] < L, tokens, eot)[:, :total]
+    return tokens, sum_lp, ns_prob, L - 1, n_rounds, xa
+
+
+def decode_speculative(params, dims: ModelDims, draft_params,
+                       draft_dims: ModelDims, tokenizer, mel: jax.Array,
+                       options: Optional[DecodingOptions] = None,
+                       draft_k: int = 4, compute_dtype=jnp.float32,
+                       return_info: bool = False):
+    """Greedy :func:`decode` accelerated by a draft model — exact transcripts.
+
+    The draft (a smaller Whisper sharing the tokenizer, e.g. tiny drafting
+    for medium) proposes ``draft_k`` tokens per round; the target verifies
+    them in one teacher-forced window pass and commits the longest prefix
+    that matches its own greedy choices, plus one target token. Output is
+    bit-identical to ``decode(...)`` with the same options — speculation
+    changes only how many sequential target steps the transcript costs.
+
+    Single-utterance only (mel (n_mels, F) or (1, n_mels, F)): speculative
+    rows accept different prefix lengths, and the batch loop's shared
+    position counter deliberately has no per-row machinery (batched
+    alignment keeps the exact loop, where cross-utterance batching already
+    amortizes the weight stream). Greedy only (no beam/best_of/temperature).
+
+    ``return_info=True`` appends {"n_rounds", "n_steps"} for
+    acceptance-rate telemetry (rounds ≈ steps/(accepted+1))."""
+    if dims.n_vocab != draft_dims.n_vocab:
+        raise ValueError(
+            f"draft vocab {draft_dims.n_vocab} != target {dims.n_vocab}: the "
+            "draft must share the target's tokenizer")
+    if dims.n_mels != draft_dims.n_mels:
+        raise ValueError(
+            f"draft n_mels {draft_dims.n_mels} != target {dims.n_mels}: pick "
+            "a draft with the target's mel frontend")
+    if draft_k < 1:
+        raise ValueError(f"draft_k must be >= 1, got {draft_k}")
+    (options, single, mel, detected_langs, sample_begin, sample_len,
+     sot_index, prompt_arr, suppress_mask, blank_mask,
+     max_initial_ts_index) = _decode_plan(params, dims, tokenizer, mel,
+                                          options, compute_dtype)
+    if mel.shape[0] != 1:
+        raise ValueError(
+            f"decode_speculative is single-utterance (got batch "
+            f"{mel.shape[0]}); batched alignment uses the exact loop")
+    if options.beam_size is not None or options.best_of is not None \
+            or options.temperature > 0:
+        raise ValueError("decode_speculative is greedy-only: beam/best_of/"
+                         "temperature>0 use decode()")
+
+    tokens_d, sum_lp_d, ns_prob_d, n_steps_d, n_rounds_d, _xa = \
+        _speculative_loop(
+            params, draft_params, dims, draft_dims, jnp.asarray(mel),
+            jnp.asarray(prompt_arr), jnp.asarray(suppress_mask),
+            jnp.asarray(blank_mask), k=int(draft_k),
+            sample_begin=sample_begin, max_steps=sample_len,
+            ts_begin=tokenizer.timestamp_begin, eot=tokenizer.eot,
+            no_timestamps=tokenizer.no_timestamps,
+            no_speech=tokenizer.no_speech,
+            max_initial_ts_index=max_initial_ts_index,
+            use_timestamps=not options.without_timestamps,
+            compute_dtype=compute_dtype, sot_index=sot_index,
+            attn_mode=wmodel._encoder_attn_mode())
+
+    from ..text.tokenizer import normalize_language
+
+    tokens = np.asarray(tokens_d)
+    sum_lp = np.asarray(sum_lp_d)
+    ns_prob = np.asarray(ns_prob_d)
+    norm_lang = normalize_language(options.language)
+    lang = (detected_langs[0] if detected_langs is not None
+            else norm_lang or (tokenizer.language or "en"))
+    seq = tokens[0, sample_begin:].tolist()
+    if tokenizer.eot in seq:
+        seq = seq[:seq.index(tokenizer.eot)]
+    text = tokenizer.decode(seq).strip()
+    avg_lp = sum_lp[0] / (len(seq) + 1)
+    try:
+        ratio = len(text.encode()) / max(len(zlib.compress(text.encode())), 1)
+    except Exception:
+        ratio = np.nan
+    result = DecodingResult(
+        language=lang, tokens=seq, text=text, avg_logprob=float(avg_lp),
+        no_speech_prob=float(ns_prob[0]), temperature=options.temperature,
+        compression_ratio=ratio, n_steps=int(n_steps_d),
+        min_margin=float("nan"))
+    if not single:
+        result = [result]
+    if return_info:
+        return result, {"n_rounds": int(n_rounds_d),
+                        "n_steps": int(n_steps_d)}
+    return result

@@ -946,3 +946,117 @@ def _decode_prefill_jit(params: Params, dims: ModelDims, tokens: jax.Array,
                      dp["tok_emb"].T.astype(jnp.float32),
                      preferred_element_type=jnp.float32)
     return logits, new_cache
+
+
+def decode_window(params: Params, dims: ModelDims, tokens: jax.Array,
+                  start: jax.Array, cache: Params, cross_kv,
+                  compute_dtype=jnp.float32,
+                  cross_mode: Optional[str] = None):
+    """Teacher-forced pass over a WINDOW of P tokens at a dynamic offset.
+
+    The speculative-decode verifier (``decoding.decode_speculative``): one
+    target-model forward consumes the draft's P candidate tokens at positions
+    ``start .. start+P-1``, writes their cache columns, and returns the logits
+    of EVERY window position (B, P, vocab) so the caller can check which
+    drafts match the target's own greedy choices. :func:`decode_prefill` is
+    the ``start == 0`` special case of this shape (it keeps its own lm-head
+    slicing); the masking is position-exact to sequential
+    :func:`decode_step` calls, so accepted tokens are bit-identical to the
+    stepped greedy decode (tests/test_speculative.py locks this).
+
+    ``start`` is a traced scalar — one compiled program serves every window
+    offset of the speculative while_loop."""
+    if cross_mode is None:
+        cross_mode = _cross_attn_mode()
+    return _decode_window_jit(params, dims, tokens, start, cache, cross_kv,
+                              compute_dtype=compute_dtype,
+                              cross_mode=cross_mode)
+
+
+@functools.partial(jax.jit, static_argnames=("dims", "compute_dtype",
+                                             "cross_mode"))
+def _decode_window_jit(params: Params, dims: ModelDims, tokens: jax.Array,
+                       start: jax.Array, cache: Params, cross_kv,
+                       compute_dtype=jnp.float32, cross_mode: str = "xla"):
+    dp = params["decoder"]
+    b, p = tokens.shape
+    d = dp["tok_emb"].shape[1]
+    max_len = cache["k"].shape[-1]
+    pos_emb = jax.lax.dynamic_slice(dp["pos_emb"], (start, 0), (p, d))
+    x = (dp["tok_emb"][tokens] + pos_emb[None]).astype(compute_dtype)
+
+    # row t (window position start+t) attends to cache columns <= start+t —
+    # the same -inf mask a sequential decode_step at pos=start+t applies
+    pos_mask = jnp.where(
+        jnp.arange(max_len)[None, None, None, :]
+        <= (start + jnp.arange(p))[None, None, :, None],
+        0.0, -jnp.inf).astype(jnp.float32)
+    cross_ks, cross_vs = cross_kv
+
+    def step(carry, inp):
+        x, layer = carry
+        bp, ck, cv = inp
+        h = _layer_norm(bp["attn_ln"], x)
+        hd = dims.n_text_head_dim
+        scale = hd ** -0.25
+        q = _split_heads(_linear(bp["attn"]["q"], h), dims.n_text_head) * scale
+        k_new = _split_heads(_linear(bp["attn"]["k"], h), dims.n_text_head)
+        v_new = _split_heads(_linear(bp["attn"]["v"], h), dims.n_text_head)
+        k_all = jax.lax.dynamic_update_slice_in_dim(
+            cache["k"][layer],
+            k_new.transpose(0, 1, 3, 2).astype(cache["k"].dtype), start, axis=3)
+        v_all = jax.lax.dynamic_update_slice_in_dim(
+            cache["v"][layer],
+            v_new.transpose(0, 1, 3, 2).astype(cache["v"].dtype), start, axis=3)
+        qk = jnp.einsum("bhtd,bhds->bhts", q, k_all.astype(compute_dtype) * scale,
+                        preferred_element_type=jnp.float32) + pos_mask
+        w = jax.nn.softmax(qk, axis=-1).astype(compute_dtype)
+        a = _merge_heads(jnp.einsum("bhts,bhds->bhtd", w,
+                                    v_all.astype(compute_dtype),
+                                    preferred_element_type=jnp.float32
+                                    ).astype(compute_dtype))
+        x = x + _linear(bp["attn"]["out"], a)
+
+        hc = _layer_norm(bp["cross_attn_ln"], x)
+        qc = _split_heads(_linear(bp["cross_attn"]["q"], hc),
+                          dims.n_text_head) * scale  # (B, H, P, hd)
+        if isinstance(ck, tuple) and cross_mode == "mxu":
+            oc = _cross_attn_step_int8_mxu(qc, ck, cv, float(scale),
+                                           compute_dtype)
+        else:
+            def dequant(c):
+                if isinstance(c, tuple):
+                    q8, s = c
+                    return q8.astype(compute_dtype) * s.astype(compute_dtype)
+                return c.astype(compute_dtype)
+
+            ck_d = dequant(ck)
+            cv_d = dequant(cv)
+            qkc = jnp.einsum("bhtd,bhdf->bhtf", qc, ck_d * scale,
+                             preferred_element_type=jnp.float32)
+            wc = jax.nn.softmax(qkc, axis=-1).astype(compute_dtype)
+            oc = jnp.einsum("bhtf,bhdf->bhtd", wc, cv_d,
+                            preferred_element_type=jnp.float32
+                            ).astype(compute_dtype)
+        x = x + _linear(bp["cross_attn"]["out"], _merge_heads(oc))
+        h2 = _layer_norm(bp["mlp_ln"], x)
+        h2 = _linear(bp["mlp"]["fc2"],
+                     jax.nn.gelu(_linear(bp["mlp"]["fc1"], h2),
+                                 approximate=False))
+        return (x + h2, layer + 1), (k_new, v_new)
+
+    (x, _), (k_news, v_news) = jax.lax.scan(
+        step, (x, 0), (dp["blocks"], cross_ks, cross_vs))
+    new_cache = {
+        "k": jax.lax.dynamic_update_slice(
+            cache["k"], k_news.transpose(0, 1, 2, 4, 3).astype(cache["k"].dtype),
+            (0, 0, 0, 0, start)),
+        "v": jax.lax.dynamic_update_slice(
+            cache["v"], v_news.transpose(0, 1, 2, 4, 3).astype(cache["v"].dtype),
+            (0, 0, 0, 0, start)),
+    }
+    x = _layer_norm(dp["ln"], x)
+    logits = jnp.einsum("bpd,vd->bpv", x.astype(jnp.float32),
+                        dp["tok_emb"].astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    return logits, new_cache
